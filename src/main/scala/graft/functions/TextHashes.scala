@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text hashing primitives the engine adds beyond the reference
+  * (training-data-pipeline extensions, SURVEY.md §7 step 6): document
+  * fingerprinting (polynomial rolling hash + winnowing) and SimHash.
+  *
+  * Implemented as native Catalyst `Expression`s with `doGenCode` delegating
+  * to static helpers — stays inside whole-stage codegen (no UDF boxing,
+  * no serialization), evaluates on UTF8String bytes without copying.
+  */
+object TextHashImpl {
+  final val Prime = 1099511628211L // FNV-64 prime
+  final val Offset = -3750763034362895579L // FNV-64 offset basis
+
+  /** FNV-1a 64-bit over the UTF-8 bytes — whole-document fingerprint. */
+  def poly64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 — public algorithm):
+    * rolling k-gram hashes, min per window of w, deduplicated, sorted.
+    * Returns a compact array<long> signature robust to local edits.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = Offset
+      var j = 0
+      while (j < k) { h ^= (bytes(i + j) & 0xffL); h *= Prime; j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    if (m <= w) {
+      var mn = hashes(0); i = 1
+      while (i < m) { if (hashes(i) < mn) mn = hashes(i); i += 1 }
+      picked += mn
+    } else {
+      i = 0
+      while (i + w <= m) {
+        var mn = hashes(i); var j = i + 1
+        while (j < i + w) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+        picked += mn
+        i += 1
+      }
+    }
+    new GenericArrayData(picked.toArray)
+  }
+
+  /** 64-bit SimHash over a token array: per-token FNV-64, per-bit vote. */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = poly64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** fnv64(text): whole-string 64-bit fingerprint. */
+case class Fnv64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.poly64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.poly64($c)")
+  override protected def withNewChildInternal(c: Expression): Fnv64 = copy(c)
+}
+
+/** winnow_fingerprint(text, k, w): winnowed rolling-hash signature. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.winnow(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint =
+    copy(child = c)
+}
+
+/** simhash64(array<string>): 64-bit SimHash of a token array. */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** SQL registration — makes the expressions usable from `expr(...)` /
+  * `spark.sql` so they compose with built-ins inside codegen'd stages.
+  */
+object TextHashes {
+  import org.apache.spark.sql.SparkSession
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("fnv64", es => Fnv64(es.head), "builtin")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      es => WinnowFingerprint(es.head, 8, 4), "builtin")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "builtin")
+  }
+
+  def fnv64(sqlFragment: String): Column =
+    org.apache.spark.sql.functions.expr(s"fnv64($sqlFragment)")
+  def winnowFingerprint(sqlFragment: String): Column =
+    org.apache.spark.sql.functions.expr(s"winnow_fingerprint($sqlFragment)")
+  def simhash64(sqlFragment: String): Column =
+    org.apache.spark.sql.functions.expr(s"simhash64($sqlFragment)")
+}

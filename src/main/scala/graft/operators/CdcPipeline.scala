@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Model, OutMessage}
+
+/** The reference's per-collection dataflow (SURVEY.md §2/§3), re-expressed as
+  * declarative DataFrame transforms over the change-event envelope:
+  *
+  *   source → F1 publishable filter → P1 extract → P3 subject → P4 msgId →
+  *   P2 serialize → Dataset[OutMessage] → sink (K1) + token commit (K2)
+  *
+  * Each step is a pure `DataFrame => DataFrame` so Catalyst sees one logical
+  * plan and can fuse everything into a single whole-stage-codegen'd map —
+  * the Spark-native equivalent of the reference's hand-written per-event loop
+  * (internal/mongo/client.go:217-257), but vectorized and partition-parallel.
+  */
+object CdcPipeline {
+
+  /** F1 — keep only publishable ops (internal/mongo/client.go:33-38,231-237). */
+  def filterPublishable(events: DataFrame): DataFrame =
+    events.filter(col("operationType").isin(Model.PublishableOps: _*))
+
+  /** F2 — detect stream invalidation (internal/mongo/client.go:232-236).
+    * Returns true iff the batch contains an `invalidate` event; the caller
+    * (streaming driver) stops the query. Uses a limit-1 scan, not a count.
+    */
+  def containsInvalidate(events: DataFrame): Boolean =
+    !events.filter(col("operationType") === Model.InvalidateOp).isEmpty
+
+  /** Events at-or-before the first invalidate, in token order — the exact set
+    * the reference would have processed before breaking the watch loop.
+    */
+  def truncateAtInvalidate(events: DataFrame): DataFrame = {
+    val firstInvalid = events
+      .filter(col("operationType") === Model.InvalidateOp)
+      .agg(min(col("_id._data")).as("cut"))
+    events.join(broadcast(firstInvalid), lit(true), "cross")
+      .filter(col("cut").isNull || col("_id._data") < col("cut"))
+      .drop("cut")
+  }
+
+  /** P3 — subject routing key `<STREAM>.<operationType>`
+    * (internal/mongo/client.go:239).
+    */
+  def withSubject(streamName: String)(events: DataFrame): DataFrame =
+    events.withColumn("subject",
+      concat_ws(".", lit(streamName), col("operationType")))
+
+  /** P4 — msgId := resume token of the event (client.go:219,240; the
+    * JetStream dedup key, README.md:124-127).
+    */
+  def withMsgId(events: DataFrame): DataFrame =
+    events.withColumn("msgId", col("_id._data"))
+
+  /** P2 — serialize the whole envelope to JSON (client.go:222-225).
+    * `to_json` renders the struct; opaque document fields are already
+    * relaxed-Extended-JSON strings so they are embedded verbatim via a
+    * parsed pass-through (see ExtendedJson for typed rendering).
+    */
+  def withPayload(events: DataFrame): DataFrame =
+    events.withColumn("data", to_json(struct(
+      events.columns.map(col).toIndexedSeq: _*)))
+
+  /** Full transform: change-event envelope → Dataset[OutMessage].
+    * This is the reference's steady-state loop as one Catalyst plan.
+    */
+  def toMessages(spark: SparkSession, streamName: String)(
+      events: DataFrame): Dataset[OutMessage] = {
+    import spark.implicits._
+    val piped = withPayload(
+      withMsgId(withSubject(streamName)(filterPublishable(events))))
+    piped.select(col("subject"), col("msgId"), col("data")).as[OutMessage]
+  }
+
+  /** S2/A1 — top-1 resume-token lookup (internal/mongo/client.go:187-199):
+    * latest committed token by insertion order. `max_by` avoids a sort —
+    * a single-pass aggregate (Catalyst plans partial + final agg, no
+    * TakeOrdered needed).
+    */
+  def latestToken(tokens: DataFrame): DataFrame =
+    tokens.agg(
+      max(col("_id")).as("last_id"),
+      expr("max_by(value, _id)").as("value"))
+
+  /** K1 dedup shape — drop duplicate msgIds keeping the first-by-token-order
+    * occurrence. Deterministic (groupBy+min_by), unlike bare dropDuplicates.
+    */
+  def dedupByMsgId(messages: DataFrame): DataFrame =
+    messages.groupBy(col("msgId")).agg(
+      expr("min_by(subject, msgId)").as("subject"),
+      expr("min_by(data, msgId)").as("data"))
+    .select("subject", "msgId", "data")
+
+  /** A3 — health roll-up (internal/server/health.go:13-29): per-component
+    * UP/DOWN from a monitors DataFrame(name, ok).
+    */
+  def healthRollup(monitors: DataFrame): DataFrame =
+    monitors.groupBy(col("name")).agg(
+      when(min(when(col("ok"), 1).otherwise(0)) === 1, lit("UP"))
+        .otherwise(lit("DOWN")).as("status"))
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Analytic headliners over the TPC-H-ish tables — the A2 "metrics over an
+  * events log" family (SURVEY.md §2.7) generalized to the scan-heavy
+  * aggregations a 100 TB deployment would actually run.
+  *
+  * Scale design:
+  *  - Fact table (`lineitem`/`orders`) is only ever scanned once per query;
+  *    filters + column pruning push into the parquet reader.
+  *  - All dimension joins are explicit `broadcast()` — at 100 TB the facts
+  *    are TBs but region/nation/customer/supplier stay broadcastable;
+  *    no shuffle of the big side, the only exchange is the final partial →
+  *    final aggregation on the (low-cardinality) group keys.
+  *  - Top-k uses sort-free TakeOrderedAndProject (orderBy+limit).
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: pricing summary — single scan, partial aggs
+    "q1_pricing_summary" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").as("sum_disc_price"),
+          exactAvg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: revenue per order for one market segment, top 10.
+    // customer is broadcast; lineitem⋈orders shuffles only the filtered keys.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = load(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    // TPC-H Q5 shape: revenue by nation — star join, all dims broadcast
+    "q5_nation_volume" -> ((s, dir) => {
+      val nat = load(s, dir, "nation")
+      val reg = load(s, dir, "region")
+      val sup = load(s, dir, "supplier")
+      val li = load(s, dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name")).agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // TPC-H Q6 shape: forecast revenue — pure scan+filter+agg, fully pushed
+    "q6_forecast_revenue" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+        .filter(col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // Top-k heavy hitters: customer spend, TakeOrderedAndProject (no global sort)
+    "topk_customers" -> ((s, dir) => {
+      val cust = load(s, dir, "customer").select("c_custkey", "c_name")
+      load(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(
+          moneySum(col("o_totalprice")).as("spend"),
+          count(lit(1)).as("n_orders"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("spend"), col("n_orders"))
+        .orderBy(col("spend").desc, col("c_custkey")).limit(20)
+    }),
+
+    // Windowed analytics on the stream table: per-user running totals —
+    // the "metrics over time" family (A2) with event-time semantics
+    "events_sessionized_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_value"),
+          row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id")))
+            .cast("long").as("seq"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Event-time bucketing (tumbling day windows, batch form): count+sum per
+    // day per type. date_trunc is exact; no float risk.
+    "events_daily_rollup" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy(
+          to_date(date_trunc("DAY", col("ts"))).as("day"),
+          col("event_type")).agg(
+          count(lit(1)).as("n"),
+          moneySum(col("value")).as("sum_value"))
+        .orderBy(col("day"), col("event_type")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_nation_volume" ->
+      """SELECT r_name, n_name,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "topk_customers" ->
+      """SELECT c_custkey, c_name,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS spend,
+                COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY spend DESC, c_custkey LIMIT 20""",
+    "events_sessionized_stats" ->
+      """SELECT event_id, user_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+                CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+         FROM events ORDER BY event_id""",
+    "events_daily_rollup" ->
+      """SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+                COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+  )
+}

@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the oracle-checked query surface.
+  *
+  * Oracle-safety rules (the driver hash-compares our parquet output against
+  * DuckDB running `oracleSql` on the same tables):
+  *  - Never emit a double produced by engine-specific float reduction order.
+  *    Money-like aggregates go through exact DECIMAL arithmetic, are rounded
+  *    as decimals, and only then cast to double — bit-identical both sides.
+  *  - Ratios/averages are `double(exact numerator) / exact denominator` —
+  *    a single IEEE division with identical inputs is bit-identical.
+  *  - Counts/row_numbers are cast to BIGINT on both sides (Spark `size`/
+  *    `row_number` return INT, DuckDB returns BIGINT).
+  *  - Every query ends in a deterministic ORDER BY present in both the
+  *    DataFrame plan and the oracle SQL.
+  */
+object Tables {
+  type Q = (SparkSession, String) => DataFrame
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money sum: SUM(CAST(x AS DECIMAL(18,2))) rounded to 2, as double. */
+  def moneySum(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 2))), 2).cast("double")
+
+  /** Exact mean: double(SUM(DECIMAL)) / COUNT — single IEEE division. */
+  def exactAvg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double") / count(lit(1))
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextHashes
+import Tables._
+
+/** Text-analysis extensions over the `documents` table (training-data
+  * pipeline operators, SURVEY.md §7 step 6): quality scoring, token
+  * statistics, language-ID heuristic, fingerprinting, corpus rollups.
+  *
+  * All token math uses integer/string operations only (exact cross-engine);
+  * ratios are single IEEE divisions of exact integers. At 100 TB every query
+  * is embarrassingly parallel per document (narrow map) + one small
+  * aggregation — no wide shuffle except the final rollup groupBy.
+  */
+object TextQueries {
+
+  // Token array, distinct-token array, stopword subset — shared fragments.
+  private val toks = "split(text, ' ')"
+  private val stopFilter =
+    s"filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of')"
+
+  val queries: Map[String, Q] = Map(
+    // Quality scoring: length / word / stopword-ratio features
+    "text_quality" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"cast(size($toks) as bigint)").as("n_words"),
+        expr(s"cast(size($stopFilter) as bigint)").as("n_stop"),
+        (expr(s"cast(size($stopFilter) as double)") /
+          expr(s"size($toks)")).as("stop_ratio"),
+        (expr("cast(length(replace(text, ' ', '')) as double)") /
+          expr(s"size($toks)")).as("avg_word_len"))
+        .orderBy(col("doc_id"))),
+
+    // Token counting: counts, vocabulary size, type-token ratio
+    "text_token_counts" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        col("n_chars"),
+        expr(s"cast(size($toks) as bigint)").as("n_tokens"),
+        expr(s"cast(size(array_distinct($toks)) as bigint)").as("n_distinct"),
+        (expr(s"cast(size(array_distinct($toks)) as double)") /
+          expr(s"size($toks)")).as("ttr"))
+        .orderBy(col("doc_id"))),
+
+    // Language-ID heuristic: stopword-profile scoring with deterministic
+    // argmax tie-break (n-gram/stopword profiling — public technique)
+    "text_langid" -> ((s, dir) => {
+      val sEn = s"size(filter($toks, t -> t = 'the' OR t = 'and' OR t = 'of'))"
+      val sEs = s"size(filter($toks, t -> t = 'el' OR t = 'la' OR t = 'de'))"
+      val sFr = s"size(filter($toks, t -> t = 'le' OR t = 'les' OR t = 'du'))"
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"cast($sEn as bigint)").as("score_en"),
+        expr(s"cast($sEs as bigint)").as("score_es"),
+        expr(s"cast($sFr as bigint)").as("score_fr"),
+        expr(
+          s"""CASE WHEN $sEn >= $sEs AND $sEn >= $sFr AND $sEn > 0 THEN 'en'
+                   WHEN $sEs >= $sFr AND $sEs > 0 THEN 'es'
+                   WHEN $sFr > 0 THEN 'fr'
+                   ELSE 'und' END""").as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus rollup by (source, lang) — ingestion-monitoring shape
+    "text_corpus_stats" -> ((s, dir) =>
+      load(s, dir, "documents").groupBy(col("source"), col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"), col("lang"))),
+
+    // Document fingerprinting via native Catalyst expressions (FNV-64 +
+    // winnowing) — hash functions are engine-specific ⇒ rows-only check
+    "text_fingerprint" -> ((s, dir) => {
+      TextHashes.register(s)
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        expr("fnv64(text)").as("fp64"),
+        expr("cast(size(winnow_fingerprint(text)) as bigint)").as("n_winnow"),
+        expr(s"simhash64($toks)").as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id,
+                CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+                CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT) AS n_stop,
+                CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     t -> t = 'the' OR t = 'a' OR t = 'of')) AS DOUBLE)
+                  / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio,
+                CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                  / LEN(STRING_SPLIT(text, ' ')) AS avg_word_len
+         FROM documents ORDER BY doc_id""",
+    "text_token_counts" ->
+      """SELECT doc_id, n_chars,
+                CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct,
+                CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                  / LEN(STRING_SPLIT(text, ' ')) AS ttr
+         FROM documents ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                      t -> t = 'the' OR t = 'and' OR t = 'of')) AS s_en,
+                  LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                      t -> t = 'el' OR t = 'la' OR t = 'de')) AS s_es,
+                  LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                      t -> t = 'le' OR t = 'les' OR t = 'du')) AS s_fr
+           FROM documents)
+         SELECT doc_id,
+                CAST(s_en AS BIGINT) AS score_en,
+                CAST(s_es AS BIGINT) AS score_es,
+                CAST(s_fr AS BIGINT) AS score_fr,
+                CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                     WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                     WHEN s_fr > 0 THEN 'fr'
+                     ELSE 'und' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+    "text_corpus_stats" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+                MAX(n_chars) AS max_chars
+         FROM documents GROUP BY source, lang ORDER BY source, lang"""
+    // text_fingerprint: engine-specific hashes — rows-only check
+  )
+}
