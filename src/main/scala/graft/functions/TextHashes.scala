@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -68,6 +69,38 @@ object TextHashImpl {
     new GenericArrayData(picked.toArray)
   }
 
+  /** splitmix64 finalizer (public-domain mixing function) — used to derive
+    * the k independent MinHash permutations from one base FNV-64 hash.
+    */
+  def mix64(v0: Long): Long = {
+    var v = v0 + -7046029254386353131L // 0x9E3779B97F4A7C15
+    v = (v ^ (v >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+    v = (v ^ (v >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+    v ^ (v >>> 31)
+  }
+
+  /** MinHash signature: for each of k permutations, the minimum mixed hash
+    * over the token set. Empty/null-only input ⇒ Long.MaxValue entries.
+    */
+  def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = poly64(tokens.getUTF8String(i))
+        var p = 0
+        while (p < k) {
+          val v = mix64(h + p * 1099511628211L)
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** 64-bit SimHash over a token array: per-token FNV-64, per-bit vote. */
   def simhash(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -91,10 +124,33 @@ object TextHashImpl {
   }
 }
 
+/** Input-type validation via the public `checkInputDataTypes` surface —
+  * `ExpectsInputTypes`' `inputTypes` wants `Seq[AbstractDataType]`, which is
+  * `private[sql]` in Spark 4.1.2 and unusable outside the sql package.
+  */
+trait GraftTypedUnary { self: UnaryExpression =>
+  def expectedInputType: DataType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (DataTypeUtilsShim.sameType(child.dataType, expectedInputType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} expects ${expectedInputType.simpleString}, " +
+        s"got ${child.dataType.simpleString}")
+}
+
+private[functions] object DataTypeUtilsShim {
+  // DataType.sameType is private[sql]; compare structurally, ignoring
+  // containsNull so array<string> matches regardless of element nullability.
+  def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ea, _), ArrayType(eb, _)) => sameType(ea, eb)
+    case (x, y) => x == y
+  }
+}
+
 /** fnv64(text): whole-string 64-bit fingerprint. */
 case class Fnv64(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = StringType
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     TextHashImpl.poly64(v.asInstanceOf[UTF8String])
@@ -105,8 +161,8 @@ case class Fnv64(child: Expression) extends UnaryExpression
 
 /** winnow_fingerprint(text, k, w): winnowed rolling-hash signature. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    extends UnaryExpression with GraftTypedUnary {
+  override def expectedInputType: DataType = StringType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     TextHashImpl.winnow(v.asInstanceOf[UTF8String], k, w)
@@ -119,15 +175,27 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
 /** simhash64(array<string>): 64-bit SimHash of a token array. */
 case class SimHash64(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(StringType))
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     TextHashImpl.simhash(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** minhash_sig(array<string>, k): k-permutation MinHash signature. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.minhashSig(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.minhashSig($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
 }
 
 /** SQL registration — makes the expressions usable from `expr(...)` /
@@ -138,11 +206,15 @@ object TextHashes {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("fnv64", es => Fnv64(es.head), "builtin")
+    // Spark 4.1.2 validates the source tag: must be "built-in".
+    reg.createOrReplaceTempFunction("fnv64", es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
-      es => WinnowFingerprint(es.head, 8, 4), "builtin")
+      es => WinnowFingerprint(es.head, 8, 4), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "builtin")
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   def fnv64(sqlFragment: String): Column =

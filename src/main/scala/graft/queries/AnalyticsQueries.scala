@@ -114,11 +114,13 @@ object AnalyticsQueries {
     }),
 
     // Event-time bucketing (tumbling day windows, batch form): count+sum per
-    // day per type. date_trunc is exact; no float risk.
+    // day per type. `ts` arrives as raw nanos (nanosAsLong read of the
+    // parquet TIMESTAMP(NANOS) column) — integer-divide to micros, then
+    // truncate; exact integer math, no float risk.
     "events_daily_rollup" -> ((s, dir) =>
       load(s, dir, "events")
         .groupBy(
-          to_date(date_trunc("DAY", col("ts"))).as("day"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
           col("event_type")).agg(
           count(lit(1)).as("n"),
           moneySum(col("value")).as("sum_value"))

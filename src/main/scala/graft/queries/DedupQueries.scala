@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextHashes
+import Tables._
+
+/** Deduplication operators over the `documents` table — the training-data
+  * pipeline extensions promised by SURVEY.md §7 step 6: exact dedup,
+  * n-gram Jaccard near-dup, MinHash-LSH banding, SimHash banding.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup groups on a 128-bit content hash (md5), never on the raw
+  *    text — the shuffle key is 16 bytes regardless of document size, and
+  *    the aggregation is partial (map-side combine) before the exchange.
+  *  - Near-dup candidate generation is ALWAYS bucketed (inverted-index join
+  *    on shingles with a document-frequency cap, MinHash bands, SimHash
+  *    bands) — never an all-pairs cross join. The df-cap bounds the worst
+  *    shingle's pair fan-out to cap² and drops only uninformative shingles,
+  *    the standard guard against quadratic blowup on frequent n-grams.
+  *  - Signatures (MinHash/SimHash) are computed per-row inside whole-stage
+  *    codegen (native Catalyst expressions, graft.functions.TextHashes);
+  *    the only shuffles are the band-key exchanges over compact longs.
+  *
+  * Hash-based signatures are engine-specific ⇒ those queries are rows-only
+  * checked; md5-keyed exact dedup and integer-arithmetic Jaccard are
+  * bit-exact in DuckDB and fully oracle-checked.
+  */
+object DedupQueries {
+
+  private val toks = "split(text, ' ')"
+  // Distinct 3-token shingles (1-based element_at; all docs have ≥10 tokens).
+  // Guarded for <3-token docs: ANSI-mode element_at would throw on the
+  // descending sequence(1, 0); DuckDB's range(1, 0) is empty, so match it.
+  private val shingles =
+    s"""CASE WHEN size($toks) >= 3 THEN
+          array_distinct(transform(sequence(1, size($toks) - 2),
+            i -> concat_ws(' ', element_at($toks, i),
+                                element_at($toks, i + 1),
+                                element_at($toks, i + 2))))
+        ELSE array() END"""
+  // Shingles occurring in more than DfCap documents are dropped before the
+  // candidate join — bounds pair fan-out per shingle at scale.
+  private val DfCap = 50
+  private val JaccardMin = 0.5
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup groups: one row per distinct content hash with the
+    // surviving (minimum) doc_id and the duplicate count.
+    "dedup_exact_groups" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("content_hash"))),
+
+    // Exact dedup survivors: the kept row per content group (keep = min id).
+    "dedup_exact_keep" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(col("doc_id"))),
+
+    // n-gram Jaccard near-dup pairs via inverted-index join on shingles
+    // (df-capped). jaccard = |A∩B| / (|A|+|B|-|A∩B|) over the surviving
+    // shingle sets — exact integer counts, single IEEE division.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val ex = load(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(shingles)).as("s"))
+      val rare = ex.groupBy(col("s"))
+        .agg(count(lit(1)).as("sdf")).filter(col("sdf") <= DfCap)
+        .select("s")
+      val e2 = ex.join(rare, "s").select(col("doc_id"), col("s"))
+      val sizes = e2.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val a = e2.toDF("doc_a", "s_a")
+      val b = e2.toDF("doc_b", "s_b")
+      a.join(b, col("s_a") === col("s_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= JaccardMin)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash-LSH near-dup candidates: 32-permutation signature, 8 bands of
+    // 4 — candidate pairs share ≥1 band; estimated Jaccard = matching
+    // signature positions / 32. Engine-specific hashes ⇒ rows-only check.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      TextHashes.register(s)
+      val sig = load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"minhash_sig($shingles, 32)").as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+          .as(Seq("band", "bkey")))
+      val a = bands.toDF("doc_a", "sig_a", "band", "bkey")
+      val b = bands.toDF("doc_b", "sig_b", "band", "bkey")
+      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), p -> p))")
+            .cast("double") / 32.0).as("est_jaccard"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("est_jaccard")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup candidates: 64-bit SimHash, 4 bands of 16 bits —
+    // pairs sharing a band, kept iff Hamming distance ≤ 6. Rows-only check.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      TextHashes.register(s)
+      val sh = load(s, dir, "documents")
+        .select(col("doc_id"), expr(s"simhash64($toks)").as("sh"))
+      val bands = sh.select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftrightunsigned(sh, b * 16) & 65535)"))
+          .as(Seq("band", "bkey")))
+      val a = bands.toDF("doc_a", "sh_a", "band", "bkey")
+      val b = bands.toDF("doc_b", "sh_b", "band", "bkey")
+      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("hamming")).as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  private val duckShingles =
+    """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i + 1] || ' ' ||
+             string_split(text, ' ')[i + 2]))"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                COUNT(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "dedup_exact_keep" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH ex AS (
+            SELECT doc_id, unnest($duckShingles) AS s FROM documents),
+          rare AS (
+            SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $DfCap),
+          e2 AS (SELECT ex.* FROM ex JOIN rare USING (s)),
+          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM e2 GROUP BY doc_id),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, inter,
+                 CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jaccard
+          FROM p
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= $JaccardMin
+          ORDER BY doc_a, doc_b"""
+    // dedup_minhash_pairs / dedup_simhash_pairs: engine-specific hashes —
+    // rows-only check; recall pinned by ScalaTest against dedup_ngram_jaccard.
+  )
+}
