@@ -68,8 +68,11 @@ object CdcPipeline {
   def toMessages(spark: SparkSession, streamName: String)(
       events: DataFrame): Dataset[OutMessage] = {
     import spark.implicits._
-    val piped = withPayload(
-      withMsgId(withSubject(streamName)(filterPublishable(events))))
+    // Serialize FIRST: the payload is the raw envelope exactly as received
+    // (client.go:222 marshals cs.Current before subject/msgId are derived) —
+    // routing fields must not leak into the published document.
+    val piped = withMsgId(withSubject(streamName)(
+      withPayload(filterPublishable(events))))
     piped.select(col("subject"), col("msgId"), col("data")).as[OutMessage]
   }
 

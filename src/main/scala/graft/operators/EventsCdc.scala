@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-path CDC operators over the driver's `events` analog table
+  * (event_id = resume token, event_type = operationType, user_id = watched
+  * collection, props = opaque document). See graft.queries.CdcQueries for
+  * the column mapping rationale.
+  *
+  * NONE of these end in a global sort: ordering semantics at scale are
+  * per-collection (window over user_id) or per-partition, never a
+  * full-table range shuffle. The oracle harness (CdcQueries) adds a
+  * deterministic ORDER BY on top purely for hash comparison — keep that
+  * split: a 100 TB pipeline must not pay an Exchange+Sort for output it
+  * streams to a sink.
+  */
+object EventsCdc {
+
+  /** Publishable operation analogs — internal/mongo/client.go:33-38. */
+  val Publishable: Seq[String] = Seq("click", "purchase", "signup", "view")
+
+  /** The invalidate analog — internal/mongo/client.go:232-236. */
+  val InvalidateType = "error"
+
+  /** F1 — publishable-op filter (internal/mongo/client.go:231-237). */
+  def filterPublishable(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin(Publishable: _*))
+
+  /** P1–P4 + K1 shape — subject, msgId, serialized payload
+    * (internal/mongo/client.go:219-240, internal/nats/client.go:36-40).
+    */
+  def routeMessages(events: DataFrame, streamName: String = "EVENTS"): DataFrame =
+    filterPublishable(events).select(
+      concat(lit(streamName + "."), col("event_type")).as("subject"),
+      col("event_id").cast("string").as("msg_id"),
+      concat(
+        lit("{\"event_id\":"), col("event_id").cast("string"),
+        lit(",\"operationType\":\""), col("event_type"),
+        lit("\",\"props\":"), col("props"), lit("}")).as("data"))
+
+  /** S2/A1 — top-1 resume token (internal/mongo/client.go:187-199): single
+    * partial+final aggregate, no sort.
+    */
+  def latestToken(events: DataFrame): DataFrame =
+    events.agg(
+      max(col("event_id")).as("last_event_id"),
+      expr("max_by(event_type, event_id)").as("last_event_type"))
+
+  /** S2 per collection — one token per watched collection (C1 fan-out). */
+  def tokensPerCollection(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
+      max(col("event_id")).as("last_event_id"),
+      expr("max_by(event_type, event_id)").as("last_event_type"))
+
+  /** A2 — per-subject counters (internal/prometheus/prometheus.go:16-129). */
+  def metricsCounters(events: DataFrame): DataFrame = {
+    import graft.queries.Tables.{exactAvg, moneySum}
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_published"),
+      moneySum(col("value")).as("sum_value"),
+      exactAvg(col("value")).as("avg_value"))
+      .select(
+        concat(lit("EVENTS."), col("event_type")).as("subject"),
+        col("n_published"), col("sum_value"), col("avg_value"))
+  }
+
+  /** A3 — health roll-up (internal/server/health.go:13-29). */
+  def healthRollup(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id").as("component")).agg(
+      when(count(when(col("event_type") === InvalidateType, 1)) === 0,
+        lit("UP")).otherwise(lit("DOWN")).as("status"))
+
+  /** F2 — events before each collection's first invalidate
+    * (internal/mongo/client.go:232-236); tiny cutoff side is broadcast.
+    */
+  def invalidateCutoff(events: DataFrame): DataFrame = {
+    val inv = events.filter(col("event_type") === InvalidateType)
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("inv_id"))
+    events.join(broadcast(inv), Seq("user_id"))
+      .filter(col("event_id") < col("inv_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_before"))
+  }
+
+  /** K1 dedup — deterministic first occurrence per dedup key. */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+
+  /** Per-collection ordering (SURVEY.md §2.8): sequence numbers within each
+    * collection — window shuffle on user_id only, no global sort.
+    */
+  def orderedReplay(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events.select(col("event_id"), col("user_id"),
+      row_number().over(w).cast("long").as("seq"))
+  }
+
+  /** Composite steady-state pipeline folded to per-subject publish stats. */
+  def pipelineStats(events: DataFrame): DataFrame =
+    filterPublishable(events)
+      .select(
+        concat(lit("EVENTS."), col("event_type")).as("subject"),
+        col("event_id").cast("string").as("msg_id"))
+      .groupBy(col("subject")).agg(
+        count(lit(1)).as("n"),
+        min(col("msg_id")).as("first_msg"),
+        max(col("msg_id")).as("last_msg"))
+}

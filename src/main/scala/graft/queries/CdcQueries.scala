@@ -1,11 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.operators.EventsCdc
 import Tables._
 
-/** Batch-parity queries for the reference's CDC operator surface
-  * (SURVEY.md §2), expressed over the driver's `events` table which stands
-  * in for the live change stream (FIXTURES.md §6).
+/** Oracle harness for the reference's CDC operator surface (SURVEY.md §2),
+  * expressed over the driver's `events` table which stands in for the live
+  * change stream.
   *
   * Mapping: `event_type` plays `operationType`; the publishable set
   * {click,purchase,signup,view} mirrors {insert,update,replace,delete}
@@ -14,59 +15,39 @@ import Tables._
   * token (`_id._data`); `user_id` is the watched-collection analog for
   * per-collection fan-out (pkg/connector/connector.go:128-174).
   *
-  * Scale notes (100 TB): every query here is a single scan + partial-agg /
-  * broadcast-join plan — no wide shuffle other than the final keyed
-  * aggregation, filters and projections push into the parquet scan.
+  * Every body is: PRODUCT operator (graft.operators.EventsCdc — no global
+  * sorts, scale-safe plans) + a deterministic ORDER BY added HERE, solely
+  * so the driver's hash comparison sees a stable row order. The sort is
+  * harness overhead, not part of the operator contract.
   */
 object CdcQueries {
-
-  private val Publishable = Seq("click", "purchase", "signup", "view")
 
   val queries: Map[String, Q] = Map(
     // F1 — publishable-op filter (internal/mongo/client.go:231-237)
     "cdc_filter_publishable" -> ((s, dir) =>
-      load(s, dir, "events")
-        .filter(col("event_type").isin(Publishable: _*))
+      EventsCdc.filterPublishable(load(s, dir, "events"))
         .select(col("event_id"), col("event_type"), col("user_id"))
         .orderBy(col("event_id"))),
 
     // P1-P4 + K1 shape — subject routing, msg-id, serialized payload
     // (internal/mongo/client.go:219-240, internal/nats/client.go:36-40)
     "cdc_route_messages" -> ((s, dir) =>
-      load(s, dir, "events")
-        .filter(col("event_type").isin(Publishable: _*))
-        .select(
-          concat(lit("EVENTS."), col("event_type")).as("subject"),
-          col("event_id").cast("string").as("msg_id"),
-          concat(
-            lit("{\"event_id\":"), col("event_id").cast("string"),
-            lit(",\"operationType\":\""), col("event_type"),
-            lit("\",\"props\":"), col("props"), lit("}")).as("data"))
+      EventsCdc.routeMessages(load(s, dir, "events"))
         .orderBy(col("msg_id"))),
 
     // S2/A1 — top-1 resume-token lookup (internal/mongo/client.go:187-199)
     "cdc_token_top1" -> ((s, dir) =>
-      load(s, dir, "events").agg(
-        max(col("event_id")).as("last_event_id"),
-        expr("max_by(event_type, event_id)").as("last_event_type"))),
+      EventsCdc.latestToken(load(s, dir, "events"))),
 
     // S2 per collection — one resume token per watched collection
     "cdc_tokens_per_collection" -> ((s, dir) =>
-      load(s, dir, "events").groupBy(col("user_id")).agg(
-        max(col("event_id")).as("last_event_id"),
-        expr("max_by(event_type, event_id)").as("last_event_type"))
+      EventsCdc.tokensPerCollection(load(s, dir, "events"))
         .orderBy(col("user_id"))),
 
     // A2 — prometheus-style counters per subject
     // (internal/prometheus/prometheus.go:16-129)
     "cdc_metrics_counters" -> ((s, dir) =>
-      load(s, dir, "events").groupBy(col("event_type")).agg(
-        count(lit(1)).as("n_published"),
-        moneySum(col("value")).as("sum_value"),
-        exactAvg(col("value")).as("avg_value"))
-        .select(
-          concat(lit("EVENTS."), col("event_type")).as("subject"),
-          col("n_published"), col("sum_value"), col("avg_value"))
+      EventsCdc.metricsCounters(load(s, dir, "events"))
         .orderBy(col("subject"))),
 
     // A2 — duration-histogram shape (prometheus.go:16-27): bucketed counts
@@ -77,57 +58,31 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("bucket"))),
 
-    // A3 — health roll-up (internal/server/health.go:13-29): a component is
-    // UP iff it produced no error events
+    // A3 — health roll-up (internal/server/health.go:13-29)
     "cdc_health_rollup" -> ((s, dir) =>
-      load(s, dir, "events").groupBy(col("user_id").as("component")).agg(
-        when(count(when(col("event_type") === "error", 1)) === 0, lit("UP"))
-          .otherwise(lit("DOWN")).as("status"))
+      EventsCdc.healthRollup(load(s, dir, "events"))
         .orderBy(col("component"))),
 
-    // F2 — invalidate terminator (internal/mongo/client.go:232-236): how many
-    // events each collection processes before its first invalidate. The
-    // cutoff table is tiny → broadcast join, no shuffle of the big side.
-    "cdc_invalidate_cutoff" -> ((s, dir) => {
-      val ev = load(s, dir, "events")
-      val inv = ev.filter(col("event_type") === "error")
-        .groupBy(col("user_id")).agg(min(col("event_id")).as("inv_id"))
-      ev.join(broadcast(inv), Seq("user_id"))
-        .filter(col("event_id") < col("inv_id"))
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_before"))
-        .orderBy(col("user_id"))
-    }),
+    // F2 — invalidate terminator (internal/mongo/client.go:232-236)
+    "cdc_invalidate_cutoff" -> ((s, dir) =>
+      EventsCdc.invalidateCutoff(load(s, dir, "events"))
+        .orderBy(col("user_id"))),
 
     // K1 dedup — deterministic first-occurrence per dedup key
     // (JetStream Nats-Msg-Id semantics, README.md:124-127)
     "cdc_dedup_first" -> ((s, dir) =>
-      load(s, dir, "events").groupBy(col("user_id"), col("event_type"))
-        .agg(min(col("event_id")).as("first_event_id"))
+      EventsCdc.dedupFirst(load(s, dir, "events"))
         .orderBy(col("user_id"), col("event_type"))),
 
-    // Ordering guarantee — per-collection total order (SURVEY.md §2.8):
-    // sequence numbers assigned in token order within each collection
-    "cdc_ordered_replay" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      load(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          row_number().over(w).cast("long").as("seq"))
-        .orderBy(col("event_id"))
-    }),
+    // Ordering guarantee — per-collection total order (SURVEY.md §2.8)
+    "cdc_ordered_replay" -> ((s, dir) =>
+      EventsCdc.orderedReplay(load(s, dir, "events"))
+        .orderBy(col("event_id"))),
 
     // Composite: the full steady-state pipeline (§3.1 step 5) folded to
     // per-subject publish stats — filter → route → serialize → aggregate
     "cdc_pipeline_e2e" -> ((s, dir) =>
-      load(s, dir, "events")
-        .filter(col("event_type").isin(Publishable: _*))
-        .select(
-          concat(lit("EVENTS."), col("event_type")).as("subject"),
-          col("event_id").cast("string").as("msg_id"))
-        .groupBy(col("subject")).agg(
-          count(lit(1)).as("n"),
-          min(col("msg_id")).as("first_msg"),
-          max(col("msg_id")).as("last_msg"))
+      EventsCdc.pipelineStats(load(s, dir, "events"))
         .orderBy(col("subject")))
   )
 

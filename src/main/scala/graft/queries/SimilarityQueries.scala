@@ -67,35 +67,41 @@ object SimilarityQueries {
         .agg(round(avg(col("x").cast("double")), 6).as("centroid"))
         .orderBy(col("label"), col("d"))),
 
-    // Random-hyperplane LSH signatures: 16 integer-weight hyperplanes
-    // w(j,d) = ((j*31 + d*17) % 7) - 3, bucket = Σ sign-bit_j · 2^j.
-    // Computed per-row with nested HOFs — stays in codegen, zero shuffle.
+    // Random-hyperplane LSH signatures: 16 integer-weight hyperplanes with
+    // multiplicative-mix weights w(j,d) = ((j·2654435761 + d·2246822519)
+    // % 251) % 7 - 3 (decorrelated across planes; a plain (aj+bd) % 7 is
+    // degenerate — every plane a cyclic shift of one pattern).
+    // bucket = Σ sign-bit_j · 2^j, computed per-row with nested HOFs —
+    // stays in codegen, zero shuffle.
     "sim_lsh_buckets" -> ((s, dir) =>
       load(s, dir, "embeddings")
         .select(col("vec_id"), expr(
           """aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
                acc + IF(aggregate(transform(embedding, (x, i) ->
                           cast(x as double)
-                            * cast((j * 31 + (i + 1) * 17) % 7 - 3 as double)),
+                            * cast((j * 2654435761 + (i + 1) * 2246822519) % 251 % 7 - 3
+                                   as double)),
                         cast(0 as double), (a, v) -> a + v) > 0,
                  shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""")
           .as("bucket"))
         .orderBy(col("vec_id"))),
 
     // ANN: LSH-bucketed candidate retrieval + exact cosine re-rank. 4 hash
-    // tables of 8 planes each; candidates share a table bucket. Approximate
-    // by construction ⇒ rows-only check; recall vs sim_knn_brute is pinned
-    // by a ScalaTest.
+    // tables of 6 planes each (64 buckets/table — enough selectivity to
+    // prune, enough bucket occupancy to retrieve); candidates share a table
+    // bucket. Approximate by construction ⇒ rows-only check; recall vs
+    // sim_knn_brute is pinned by a ScalaTest.
     "sim_knn_lsh" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = load(s, dir, "embeddings")
       val sigs = emb.select(col("vec_id"), col("embedding"),
         posexplode(expr(
           """transform(sequence(0, 3), t ->
-               aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) ->
+               aggregate(sequence(0, 5), cast(0 as bigint), (acc, j) ->
                  acc + IF(aggregate(transform(embedding, (x, i) ->
                             cast(x as double)
-                              * cast(((t * 8 + j) * 31 + (i + 1) * 17) % 7 - 3
+                              * cast(((t * 6 + j) * 2654435761
+                                      + (i + 1) * 2246822519) % 251 % 7 - 3
                                      as double)),
                           cast(0 as double), (a, v) -> a + v) > 0,
                    shiftleft(cast(1 as bigint), j), cast(0 as bigint))))"""))
@@ -161,7 +167,8 @@ object SimilarityQueries {
          planes AS (SELECT unnest(range(0, 16)) AS j),
          proj AS (
            SELECT vec_id, j,
-                  SUM(x * CAST((j * 31 + dim * 17) % 7 - 3 AS DOUBLE)) AS s
+                  SUM(x * CAST((j * 2654435761 + dim * 2246822519) % 251 % 7 - 3
+                               AS DOUBLE)) AS s
            FROM d CROSS JOIN planes GROUP BY 1, 2)
          SELECT vec_id,
                 CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT)

@@ -1,0 +1,189 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Model
+import graft.operators.CdcPipeline
+
+/** The reference's streaming runtime (SURVEY.md §2/§3), Spark-native:
+  *
+  *   S1  change-stream source  → `readStream` over a parquet directory of
+  *       change-event envelopes (the zero-egress stand-in for a MongoDB
+  *       change stream; offsets = file positions, checkpointed)
+  *   F1  publishable filter, P1–P4 projections → CdcPipeline.toMessages
+  *   F2  invalidate → batch truncated at the invalidate, query stopped
+  *       (internal/mongo/client.go:232-236)
+  *   K1  publish → idempotent append to the `messages` table
+  *   K2  token commit → append to the `tokens` table AFTER the publish —
+  *       the commit point (internal/mongo/client.go:248-254)
+  *   C1  per-collection fan-out → one StreamingQuery per config
+  *   C2/C3 resume/replay → Structured Streaming checkpoint; a replayed
+  *       batch whose token was never committed re-publishes (the
+  *       reference's at-least-once duplicate window, README.md:118-127);
+  *       a replayed batch whose token IS committed is skipped (idempotent)
+  *   C4  graceful shutdown → stopAll()
+  *
+  * Delivery contract (pinned by StreamingCdcSpec): the raw `messages`
+  * table is at-least-once exactly like the reference — duplicates appear
+  * iff a crash lands between publish and token commit; the deduplicated
+  * view (CdcPipeline.dedupByMsgId, = JetStream Nats-Msg-Id consumer dedup)
+  * is exactly-once. Per-collection order is (batch_id, msgId).
+  *
+  * Scale: each batch is one narrow codegen'd map over the envelope; the
+  * only non-map work is the commit bookkeeping, which touches a one-row
+  * DataFrame. Many collections = many independent queries (C1), exactly
+  * the reference's goroutine-per-collection, but each partition-parallel.
+  */
+object StreamingCdc {
+
+  final case class StreamConfig(
+      name: String,                 // watched-collection analog
+      inputDir: String,             // envelope parquet source (S1)
+      messagesDir: String,          // K1 sink table
+      tokensDir: String,            // K2 token table
+      checkpointDir: String,
+      streamName: Option[String] = None, // P5 default: upper(name)
+      tokensCapped: Boolean = false,     // D1 capped-collection analog
+      tokensMaxRows: Int = 1024,
+      maxFilesPerTrigger: Int = 8) {
+    def resolvedStreamName: String =
+      streamName.getOrElse(Model.defaultStreamName(name))
+  }
+
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  /** tokens-table schema: one row per committed micro-batch (K2). */
+  val tokenSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false),
+    StructField("value", StringType, nullable = true), // last resume token
+    StructField("n_published", LongType, nullable = false)))
+
+  val messagesSchema: StructType = StructType(Seq(
+    StructField("subject", StringType, nullable = false),
+    StructField("msgId", StringType, nullable = false),
+    StructField("data", StringType, nullable = false),
+    StructField("batch_id", LongType, nullable = false)))
+
+  /** F2 state: query name → invalidate seen (stop requested). */
+  private val invalidated = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def wasInvalidated(name: String): Boolean =
+    invalidated.getOrDefault(name, false)
+
+  /** S2 — latest committed token: max_by over the tokens table. */
+  def latestToken(spark: SparkSession, tokensDir: String): Option[String] = {
+    val t = spark.read.parquet(tokensDir)
+    if (t.isEmpty) None
+    else Option(t.agg(expr("max_by(value, batch_id)")).head.getString(0))
+  }
+
+  /** Committed batch ids — the idempotence ledger for replay skips. */
+  private def committedBatches(spark: SparkSession, tokensDir: String): Set[Long] =
+    spark.read.parquet(tokensDir).select("batch_id")
+      .collect().map(_.getLong(0)).toSet
+
+  /** One micro-batch: truncate at invalidate (F2), publish (K1), then
+    * commit the token (K2). Mirrors the reference's per-event loop
+    * (internal/mongo/client.go:217-257) at batch granularity.
+    */
+  private[streaming] def processBatch(
+      cfg: StreamConfig)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (wasInvalidated(cfg.name)) return
+    // C2/C3 replay: skip batches whose token commit already landed.
+    if (committedBatches(spark, cfg.tokensDir).contains(batchId)) return
+
+    val sawInvalidate = CdcPipeline.containsInvalidate(batch)
+    val effective =
+      if (sawInvalidate) CdcPipeline.truncateAtInvalidate(batch) else batch
+
+    val msgs = CdcPipeline
+      .toMessages(spark, cfg.resolvedStreamName)(effective)
+      .withColumn("batch_id", lit(batchId))
+      // Per-collection order within the batch (SURVEY.md §7 hard part 4):
+      // a micro-batch of one collection is small — sort it locally before
+      // the append so file order matches token order.
+      .sortWithinPartitions(col("msgId"))
+
+    msgs.persist()
+    try {
+      // K1 — publish. Crash after this but before the token append ⇒ the
+      // replayed batch re-publishes: the reference's duplicate window.
+      msgs.write.mode("append").parquet(cfg.messagesDir)
+
+      // K2 — token commit point (one pass over the cached batch).
+      val stats = msgs.agg(max(col("msgId")), count(lit(1))).head
+      val committed = spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(batchId, stats.getString(0), stats.getLong(1))),
+        tokenSchema)
+      committed.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
+      if (cfg.tokensCapped) trimTokens(spark, cfg)
+    } finally msgs.unpersist()
+
+    if (sawInvalidate) invalidated.put(cfg.name, true) // F2: stop requested
+  }
+
+  /** D1 capped-collection analog: keep only the newest tokensMaxRows rows.
+    * Both capped and uncapped converge to the same latestToken answer
+    * (mirrors the dual-run acceptance tests, insert_test.go:55-61).
+    */
+  private def trimTokens(spark: SparkSession, cfg: StreamConfig): Unit = {
+    val t = spark.read.parquet(cfg.tokensDir)
+    if (t.count() > cfg.tokensMaxRows) {
+      val keep = t.orderBy(col("batch_id").desc).limit(cfg.tokensMaxRows)
+        .collect()
+      val kept = spark.createDataFrame(
+        java.util.Arrays.asList(keep: _*), tokenSchema)
+      kept.coalesce(1).write.mode("overwrite").parquet(cfg.tokensDir)
+    }
+  }
+
+  /** Start one per-collection query (C1 unit). D1/D3 setup runs first,
+    * idempotently, like connector.Run (pkg/connector/connector.go:125-153).
+    */
+  def start(spark: SparkSession, cfg: StreamConfig,
+      availableNow: Boolean = false): StreamingQuery = {
+    Ddl.ensureTable(spark, cfg.messagesDir, messagesSchema)
+    Ddl.ensureTable(spark, cfg.tokensDir, tokenSchema)
+    invalidated.remove(cfg.name)
+    val src = spark.readStream
+      .schema(Model.changeEventSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.inputDir)
+    val w = src.writeStream
+      .queryName(cfg.name)
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch(processBatch(cfg) _)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** C1 — fan out one query per collection and block until all finish or
+    * one sees an invalidate (then stop that one, like `resume=false`).
+    * First hard failure propagates (errgroup semantics,
+    * pkg/connector/connector.go:128-174).
+    */
+  def runAll(spark: SparkSession, cfgs: Seq[StreamConfig],
+      availableNow: Boolean = false, pollMs: Long = 200L): Unit = {
+    val queries = cfgs.map(c => c.name -> start(spark, c, availableNow)).toMap
+    try {
+      while (queries.values.exists(_.isActive)) {
+        queries.foreach { case (name, q) =>
+          if (q.isActive && wasInvalidated(name)) q.stop() // F2 → C4
+        }
+        Thread.sleep(pollMs)
+      }
+      queries.values.foreach(_.awaitTermination()) // surface errors (C3)
+    } finally stopAll(spark) // C4
+  }
+
+  /** C4 — graceful shutdown of every active query. */
+  def stopAll(spark: SparkSession): Unit =
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+/** Recall/quality pins for the approximate (rows-only-checked) operators:
+  * the LSH candidate generators must find what the exact methods find.
+  */
+class DedupSimilaritySpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  test("MinHash banding recall: finds every exact-Jaccard ≥ 0.7 pair") {
+    val exact = DedupQueries.queries("dedup_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = DedupQueries.queries("dedup_minhash_pairs")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-dup pairs")
+    val recall = exact.intersect(cand).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; missed ${exact.diff(cand)}")
+  }
+
+  test("SimHash banding finds the high-similarity pairs too") {
+    val exact = DedupQueries.queries("dedup_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = DedupQueries.queries("dedup_simhash_pairs")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(cand).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall; missed ${exact.diff(cand)}")
+  }
+
+  test("LSH ANN recall@5 vs brute force") {
+    def pairs(name: String) =
+      SimilarityQueries.queries(name)(spark, dir)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("sim_knn_brute")
+    val ann = pairs("sim_knn_lsh")
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    // 4 tables × 8 planes on 64-dim data — partial recall is expected;
+    // the bound pins that bucketing actually retrieves near neighbors.
+    assert(recall >= 0.2, s"recall@5 $recall")
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val groups = DedupQueries.queries("dedup_exact_groups")(spark, dir)
+    assert(groups.agg(sum("n_dups")).head.getLong(0) == docs.count())
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.EventsCdc
+import graft.queries.{AnalyticsQueries, Tables}
+
+/** Physical-plan assertions — the 100 TB scale contract:
+  *  - product-path operators carry NO global sort (the oracle harness adds
+  *    ORDER BY separately; VERDICT r1 flagged this split);
+  *  - dimension joins broadcast (no shuffle of the fact side);
+  *  - scans push filters down into parquet.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def events: DataFrame =
+    spark.read.parquet(sf("sf0.001") + "/events.parquet")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("product path has no global Sort/Exchange-for-sort " +
+      "(routeMessages, filterPublishable, pipelineStats)") {
+    for (df <- Seq(
+        EventsCdc.routeMessages(events),
+        EventsCdc.filterPublishable(events),
+        EventsCdc.pipelineStats(events),
+        EventsCdc.metricsCounters(events))) {
+      val plan = planOf(df)
+      // a GLOBAL sort prints as `Sort [...], true, ...` over a
+      // rangepartitioning exchange; local SortAggregate sorts are fine
+      assert(!plan.contains("], true, "), s"unexpected global sort in:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"unexpected range shuffle in:\n$plan")
+    }
+  }
+
+  test("orderedReplay shuffles only on user_id (window), never a global sort") {
+    val plan = planOf(EventsCdc.orderedReplay(events))
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"expected hash partitioning on user_id:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"unexpected global range sort:\n$plan")
+  }
+
+  test("star-join queries broadcast the dimension side (q3/q5)") {
+    for (q <- Seq("q3_shipping_priority", "q5_nation_volume")) {
+      val plan = planOf(AnalyticsQueries.queries(q)(spark, sf("sf0.001")))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q should broadcast dims:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q must not sort-merge at this scale:\n$plan")
+    }
+  }
+
+  test("filters push down to the parquet scan (q6)") {
+    val plan = planOf(AnalyticsQueries.queries("q6_forecast_revenue")(
+      spark, sf("sf0.001")))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), plan)
+  }
+
+  test("column pruning reaches the scan: 2-column projection reads " +
+      "2 columns (ReadSchema)") {
+    val df = EventsCdc.dedupFirst(events)
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id"))
+    assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a full sort (topk)") {
+    val plan = planOf(AnalyticsQueries.queries("topk_customers")(
+      spark, sf("sf0.001")))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("whole-stage codegen covers the hash expressions (no UDF boxing)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TextHashes.register(spark)
+    val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(expr("fnv64(text)"))
+    // `*(n)` prefixes mark whole-stage-codegen'd operators in toString
+    assert(planOf(df).contains("*(1) Project"), planOf(df))
+  }
+}

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.{ChangeEvent, ChangeEventId, Ns}
+import graft.operators.CdcPipeline
+import graft.streaming.{Ddl, StreamingCdc}
+import graft.streaming.StreamingCdc.StreamConfig
+
+/** End-to-end streaming runtime tests mirroring the reference's acceptance
+  * and fault-injection layers (test/acceptance and test/faultinjection):
+  * publish order, checkpoint resume without loss, invalidate stop,
+  * drop/rename skip, at-least-once duplicate window + consumer dedup,
+  * capped/uncapped token convergence.
+  */
+class StreamingCdcSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  private def ev(token: Int, op: String): ChangeEvent =
+    ChangeEvent(ChangeEventId(f"$token%06d"), op, None, None,
+      Some(Ns("db", "c")), Some(s"""{"_id":$token}"""),
+      if (op == "delete") None else Some(s"""{"_id":$token,"v":$token}"""),
+      None, None)
+
+  private def writeBatchFile(dir: String, events: Seq[ChangeEvent]): Unit =
+    events.toDF().coalesce(1).write.mode("append").parquet(dir)
+
+  private def cfg(name: String, root: String): StreamConfig =
+    StreamConfig(name, s"$root/in", s"$root/messages", s"$root/tokens",
+      s"$root/checkpoint", maxFilesPerTrigger = 1)
+
+  private def readMessages(c: StreamConfig): DataFrame =
+    spark.read.parquet(c.messagesDir)
+
+  test("K1+K2: publish + token commit, per-collection order " +
+      "(insert_test.go:36-53, harness.go:274-294)") {
+    val root = tmp()
+    val c = cfg("s1", root)
+    val ops = Seq("insert", "update", "replace", "delete")
+    writeBatchFile(c.inputDir, (1 to 50).map(i => ev(i, ops(i % 4))))
+    writeBatchFile(c.inputDir, (51 to 100).map(i => ev(i, ops(i % 4))))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+
+    val msgs = readMessages(c).orderBy("batch_id", "msgId").collect()
+    assert(msgs.length == 100)
+    // all 100, in token order, ids intact — the fault-injection invariant
+    val ids = msgs.map(_.getAs[String]("msgId")).toSeq
+    assert(ids == (1 to 100).map(i => f"$i%06d"))
+    val tokens = spark.read.parquet(c.tokensDir)
+    assert(tokens.count() == 2) // one commit per micro-batch
+    assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000100"))
+  }
+
+  test("C2: restart from checkpoint picks up only new events, no loss, " +
+      "no duplicates (restart_connector_test.go:30-38)") {
+    val root = tmp()
+    val c = cfg("s2", root)
+    writeBatchFile(c.inputDir, (1 to 30).map(ev(_, "insert")))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    assert(readMessages(c).count() == 30)
+
+    writeBatchFile(c.inputDir, (31 to 60).map(ev(_, "insert")))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    val ids = readMessages(c).orderBy("batch_id", "msgId")
+      .select("msgId").as[String].collect().toSeq
+    assert(ids == (1 to 60).map(i => f"$i%06d"))
+  }
+
+  test("F2: invalidate stops the stream; events before it publish, " +
+      "later batches do not (drop_test.go:32-42)") {
+    val root = tmp()
+    val c = cfg("s3", root)
+    writeBatchFile(c.inputDir, (1 to 10).map(ev(_, "insert")))
+    writeBatchFile(c.inputDir,
+      (11 to 15).map(ev(_, "insert")) :+ ev(16, "invalidate"))
+    writeBatchFile(c.inputDir, (17 to 20).map(ev(_, "insert")))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+
+    assert(StreamingCdc.wasInvalidated("s3"))
+    val ids = readMessages(c).select("msgId").as[String].collect().toSet
+    assert(ids == (1 to 15).map(i => f"$i%06d").toSet)
+  }
+
+  test("F1 streaming: drop/rename/dropDatabase are silently skipped, " +
+      "stream continues (drop_test.go:43-73, rename_test.go)") {
+    val root = tmp()
+    val c = cfg("s4", root)
+    writeBatchFile(c.inputDir,
+      Seq(ev(1, "insert"), ev(2, "drop"), ev(3, "rename"),
+        ev(4, "dropDatabase"), ev(5, "insert")))
+    writeBatchFile(c.inputDir, Seq(ev(6, "insert")))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+
+    assert(!StreamingCdc.wasInvalidated("s4"))
+    val ids = readMessages(c).select("msgId").as[String].collect().toSet
+    assert(ids == Set("000001", "000005", "000006"))
+  }
+
+  test("at-least-once: replay after lost token commit re-publishes; " +
+      "msgId dedup restores exactly-once (README.md:118-127)") {
+    val root = tmp()
+    val c = cfg("s5", root)
+    writeBatchFile(c.inputDir, (1 to 20).map(ev(_, "insert")))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+
+    // simulate a crash between publish (K1) and token commit (K2):
+    // drop the last committed token, wipe the checkpoint, re-run.
+    val tokens = spark.read.parquet(c.tokensDir)
+    val maxBatch = tokens.agg(max("batch_id")).head.getLong(0)
+    val trimmed = tokens.filter(col("batch_id") =!= maxBatch).collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(trimmed: _*), StreamingCdc.tokenSchema)
+      .coalesce(1).write.mode("overwrite").parquet(c.tokensDir)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(c.checkpointDir))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+
+    val raw = readMessages(c)
+    assert(raw.count() >= 20) // duplicate window is observable
+    val deduped = CdcPipeline.dedupByMsgId(raw.drop("batch_id"))
+    assert(deduped.count() == 20) // consumer-side dedup is exact
+    assert(deduped.select("msgId").as[String].collect().toSet ==
+      (1 to 20).map(i => f"$i%06d").toSet)
+  }
+
+  test("C1: multi-collection fan-out — independent queries, independent " +
+      "outputs (connector.go:128-174)") {
+    val rootA = tmp(); val rootB = tmp()
+    val a = cfg("fanA", rootA); val b = cfg("fanB", rootB)
+    writeBatchFile(a.inputDir, (1 to 5).map(ev(_, "insert")))
+    writeBatchFile(b.inputDir, (1 to 7).map(ev(_, "update")))
+    StreamingCdc.runAll(spark, Seq(a, b), availableNow = true)
+    assert(readMessages(a).count() == 5)
+    assert(readMessages(b).count() == 7)
+    assert(readMessages(b).select("subject").as[String].head() == "FANB.update")
+  }
+
+  test("D1: capped and uncapped token tables converge to the same " +
+      "latest token (insert_test.go:55-61; SURVEY §7 hard part 5)") {
+    val rootU = tmp(); val rootC = tmp()
+    val u = cfg("capU", rootU)
+    val cc = cfg("capC", rootC).copy(tokensCapped = true, tokensMaxRows = 2)
+    val batches = (0 until 6).map(b => (b * 10 + 1 to b * 10 + 10).map(ev(_, "insert")))
+    batches.foreach { evs =>
+      writeBatchFile(u.inputDir, evs); writeBatchFile(cc.inputDir, evs)
+    }
+    StreamingCdc.runAll(spark, Seq(u, cc), availableNow = true)
+    val lu = StreamingCdc.latestToken(spark, u.tokensDir)
+    val lc = StreamingCdc.latestToken(spark, cc.tokensDir)
+    assert(lu == lc && lu.contains("000060"))
+    assert(spark.read.parquet(cc.tokensDir).count() <= 2) // trimmed
+    assert(spark.read.parquet(u.tokensDir).count() == 6)  // full history
+  }
+
+  test("D1/S4: ensureTable is idempotent; tableExists answers both ways " +
+      "(client.go:146-175, startup_test.go:33-66)") {
+    val root = tmp()
+    val path = s"$root/t"
+    assert(!Ddl.tableExists(spark, path))
+    Ddl.ensureTable(spark, path, StreamingCdc.tokenSchema)
+    assert(Ddl.tableExists(spark, path))
+    Ddl.ensureTable(spark, path, StreamingCdc.tokenSchema) // no-op
+    assert(spark.read.parquet(path).count() == 0)
+    assert(spark.read.parquet(path).schema.fieldNames.toSeq ==
+      Seq("batch_id", "value", "n_published"))
+  }
+}

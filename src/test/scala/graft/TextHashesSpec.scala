@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextHashes, TextHashImpl}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit tests for the native hash expressions (FNV-1a, winnowing, SimHash,
+  * MinHash) — known vectors + similarity properties.
+  */
+class TextHashesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  test("fnv64 matches published FNV-1a 64 test vectors") {
+    // http://www.isthe.com/chongo/tech/comp/fnv/ reference vectors
+    assert(TextHashImpl.poly64(utf8("")) == 0xcbf29ce484222325L)
+    assert(TextHashImpl.poly64(utf8("a")) == 0xaf63dc4c8601ec8cL)
+    assert(TextHashImpl.poly64(utf8("foobar")) == 0x85944171f73967e8L)
+  }
+
+  test("expressions evaluate identically via SQL registration and codegen") {
+    TextHashes.register(spark)
+    val df = Seq("", "a", "foobar").toDF("t")
+      .select(expr("fnv64(t)").as("h")).as[Long].collect()
+    assert(df.toSeq ==
+      Seq(0xcbf29ce484222325L, 0xaf63dc4c8601ec8cL, 0x85944171f73967e8L))
+  }
+
+  test("winnow: deterministic, robust to a local edit") {
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val edited = base.replace("lazy", "hazy")
+    val a = TextHashImpl.winnow(utf8(base), 8, 4).toLongArray().toSet
+    val b = TextHashImpl.winnow(utf8(base), 8, 4).toLongArray().toSet
+    val c = TextHashImpl.winnow(utf8(edited), 8, 4).toLongArray().toSet
+    assert(a == b)
+    // local edit preserves most fingerprints (winnowing guarantee)
+    val overlap = a.intersect(c).size.toDouble / a.size
+    assert(overlap > 0.5, s"overlap $overlap")
+  }
+
+  test("simhash: similar token sets ⇒ small hamming distance") {
+    TextHashes.register(spark)
+    val rows = Seq(
+      ("a", "spark scala engine fast shuffle partition join agg"),
+      ("b", "spark scala engine fast shuffle partition join sort"), // 1 token diff
+      ("c", "completely different words entirely unrelated corpus here now"))
+      .toDF("id", "t")
+      .select(col("id"), expr("simhash64(split(t, ' '))").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(rows("a"), rows("b")) < ham(rows("a"), rows("c")))
+    assert(ham(rows("a"), rows("b")) <= 16)
+  }
+
+  test("minhash: estimated Jaccard tracks true Jaccard") {
+    val x = (1 to 40).map(i => s"tok$i")
+    val y = (11 to 50).map(i => s"tok$i") // true J = 30/50 = 0.6
+    def sig(ts: Seq[String]) = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      TextHashImpl.minhashSig(
+        new GenericArrayData(ts.map(utf8).toArray[Any]), 128).toLongArray()
+    }
+    val (sx, sy) = (sig(x), sig(y))
+    val est = sx.zip(sy).count { case (p, q) => p == q } / 128.0
+    assert(math.abs(est - 0.6) < 0.15, s"estimate $est")
+  }
+
+  test("type checking rejects wrong input types") {
+    TextHashes.register(spark)
+    val err = intercept[Exception] {
+      Seq(1).toDF("x").select(expr("fnv64(x)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("fnv64"))
+  }
+}
