@@ -53,14 +53,17 @@ object CdcPipeline {
   def withMsgId(events: DataFrame): DataFrame =
     events.withColumn("msgId", col("_id._data"))
 
-  /** P2 — serialize the whole envelope to JSON (client.go:222-225).
-    * `to_json` renders the struct; opaque document fields are already
-    * relaxed-Extended-JSON strings so they are embedded verbatim via a
-    * parsed pass-through (see ExtendedJson for typed rendering).
+  /** P2 — serialize the whole envelope to relaxed Extended JSON
+    * (client.go:222-225): `$date`/`$timestamp` wrappers for envelope
+    * times, opaque document fields embedded verbatim
+    * (graft.functions.ToExtendedJson; README.md:95-97 contract).
     */
-  def withPayload(events: DataFrame): DataFrame =
-    events.withColumn("data", to_json(struct(
-      events.columns.map(col).toIndexedSeq: _*)))
+  def withPayload(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    events.withColumn("data", ColumnBridge.column(
+      graft.functions.ToExtendedJson(ColumnBridge.expression(
+        struct(events.columns.map(col).toIndexedSeq: _*)))))
+  }
 
   /** Full transform: change-event envelope → Dataset[OutMessage].
     * This is the reference's steady-state loop as one Catalyst plan.

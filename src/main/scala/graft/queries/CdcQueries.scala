@@ -83,7 +83,28 @@ object CdcQueries {
     // per-subject publish stats — filter → route → serialize → aggregate
     "cdc_pipeline_e2e" -> ((s, dir) =>
       EventsCdc.pipelineStats(load(s, dir, "events"))
-        .orderBy(col("subject")))
+        .orderBy(col("subject"))),
+
+    // P2 — relaxed Extended JSON payloads (client.go:222-225; type
+    // wrappers per README.md:95-97): clusterTime → $timestamp{t,i},
+    // wallTime → $date ISO-millis, opaque props embedded verbatim. The
+    // envelope is built from the events analog, rendered by the native
+    // ToExtendedJson expression inside codegen.
+    "cdc_extjson_messages" -> ((s, dir) => {
+      graft.functions.ToExtendedJson.register(s)
+      EventsCdc.filterPublishable(load(s, dir, "events"))
+        .select(
+          concat(lit("EVENTS."), col("event_type")).as("subject"),
+          col("event_id").cast("string").as("msg_id"),
+          expr(
+            """to_extended_json(struct(
+                 struct(cast(event_id as string) as _data) as _id,
+                 event_type as operationType,
+                 timestamp_micros(ts div 1000) as clusterTime,
+                 timestamp_micros(ts div 1000) as wallTime,
+                 props as fullDocument))""").as("data"))
+        .orderBy(col("msg_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -145,6 +166,19 @@ object CdcQueries {
                 MAX(CAST(event_id AS VARCHAR)) AS last_msg
          FROM events
          WHERE event_type IN ('click','purchase','signup','view')
-         GROUP BY event_type ORDER BY subject"""
+         GROUP BY event_type ORDER BY subject""",
+    "cdc_extjson_messages" ->
+      """SELECT 'EVENTS.' || event_type AS subject,
+                CAST(event_id AS VARCHAR) AS msg_id,
+                '{"_id":{"_data":"' || CAST(event_id AS VARCHAR)
+                  || '"},"operationType":"' || event_type
+                  || '","clusterTime":{"$timestamp":{"t":'
+                  || CAST(FLOOR(EPOCH(ts)) AS BIGINT) || ',"i":1}}'
+                  || ',"wallTime":{"$date":"'
+                  || strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z"}'
+                  || ',"fullDocument":' || props || '}' AS data
+         FROM events
+         WHERE event_type IN ('click','purchase','signup','view')
+         ORDER BY msg_id"""
   )
 }
