@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief: training-data pipeline
+  * extensions): image/audio/video as opaque BINARY columns with typed
+  * metadata, decode/feature-extract/resize/frame-sample as per-partition
+  * batch transforms.
+  *
+  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
+  * so `decodeStub` produces a deterministic fake feature vector from the
+  * payload bytes (clearly marked below). Everything AROUND the stub is the
+  * real engine surface: the media schema, the binary column handling, the
+  * mapPartitions batch shape (one codec init per partition, streaming
+  * iterator — the Scala analog of a pandas-batched UDF), and the
+  * partition-parallel execution that a real codec would slot into.
+  *
+  * Scale: decode is embarrassingly parallel per row; the media table
+  * partitions by (kind) so each executor batch holds one modality —
+  * one codec instance per task, no shuffle until the final rollup.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      width: Int, height: Int, sampleRateHz: Int, durationMs: Long,
+      format: String)
+
+  final case class MediaRow(
+      media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, dim: Int, features: Array[Float])
+
+  /** Derive a deterministic media table from the `documents` corpus: the
+    * text bytes play the opaque payload; metadata is integer-derived from
+    * (doc_id, n_chars). Exactly reproducible in SQL for the oracle.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      expr("element_at(array('image','audio','video'), " +
+        "cast(doc_id % 3 as int) + 1)").as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        (lit(64) + (col("doc_id") % 16) * 8).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 9) * 16).cast("int").as("height"),
+        (lit(8000) + (col("doc_id") % 4) * 8000).cast("int").as("sampleRateHz"),
+        (col("n_chars") * 40).cast("long").as("durationMs"),
+        expr("element_at(array('png','wav','mp4'), " +
+          "cast(doc_id % 3 as int) + 1)").as("format")).as("meta"))
+
+  /** ======== STUB ========
+    * Deterministic fake "decode + feature extraction": FNV-64 mixes of the
+    * payload bytes, scaled into [-1, 1). A real deployment replaces ONLY
+    * this function with a codec call (e.g. JNI image decode) — signature,
+    * batching and partitioning stay identical.
+    */
+  private[operators] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
+    var h = -3750763034362895579L // FNV offset basis
+    var i = 0
+    while (i < content.length) {
+      h ^= (content(i) & 0xffL); h *= 1099511628211L; i += 1
+    }
+    val out = new Array[Float](dim)
+    var d = 0
+    var v = h
+    while (d < dim) {
+      v = graft.functions.TextHashImpl.mix64(v + d)
+      out(d) = (v >>> 11).toFloat / (1L << 53).toFloat * 2f - 1f
+      d += 1
+    }
+    out
+  }
+
+  /** Feature extraction over the media table: per-partition batch loop —
+    * codec state initializes once per partition (the expensive part for a
+    * real decoder), rows stream through as an iterator (never collected).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16)
+      : Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // [real codec would init here, once per partition]
+        rows.map { case (id, kind, bytes) =>
+          MediaFeatures(id, kind, dim, decodeStub(bytes, dim))
+        }
+      }
+  }
+
+  /** Resize declaration (STUB): metadata-only transform — a real impl
+    * rewrites pixels; the engine contract is the typed meta update.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta",
+      struct(
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.sampleRateHz").as("sampleRateHz"),
+        col("meta.durationMs").as("durationMs"),
+        col("meta.format").as("format")))
+
+  /** Frame sampling (STUB): one fake frame fingerprint per second of
+    * duration — demonstrates the 1-row → N-frames explode shape a real
+    * frame sampler produces.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(meta.durationMs / $everyMs as int)), " +
+            "f -> xxhash64(content, f))"))
+          .as(Seq("frame_no", "frame_fingerprint")))
+
+  /** Corpus rollup per modality — the monitoring query a 100 TB media
+    * ingest runs; integer arithmetic only, oracle-exact.
+    */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.groupBy(col("kind")).agg(
+      count(lit(1)).as("n_media"),
+      sum(length(col("content"))).as("sum_bytes"),
+      sum(col("meta.durationMs")).as("sum_duration_ms"),
+      max(col("meta.width")).as("max_width"))
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import Tables._
+
+/** Multimodal-column queries over the media table derived from `documents`
+  * (graft.operators.Multimodal). The decode step is stubbed (no codecs in
+  * this container); schema/partitioning/rollup are the real surface.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Per-modality ingest rollup — integer arithmetic, oracle-exact.
+    "mm_media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(
+        Multimodal.fromDocuments(load(s, dir, "documents")))
+        .orderBy(col("kind"))),
+
+    // Typed metadata projection — binary payload size vs declared meta.
+    "mm_media_catalog" -> ((s, dir) =>
+      Multimodal.fromDocuments(load(s, dir, "documents"))
+        .select(col("media_id"), col("kind"),
+          length(col("content")).cast("bigint").as("payload_bytes"),
+          col("meta.width").cast("bigint").as("width"),
+          col("meta.height").cast("bigint").as("height"),
+          col("meta.durationMs").as("duration_ms"),
+          col("meta.format").as("format"))
+        .orderBy(col("media_id"))),
+
+    // Stubbed decode → feature vectors (engine-specific hashes ⇒
+    // rows-only check); the mapPartitions batch shape is the product path.
+    "mm_features_sample" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(load(s, dir, "documents"))
+      Multimodal.extractFeatures(s, media, dim = 16).toDF()
+        .select(col("media_id"), col("kind"), col("dim"),
+          expr("round(cast(element_at(features, 1) as double), 6)")
+            .as("f0"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Frame sampling: 1 video → N frame fingerprints (rows-only).
+    "mm_frame_samples" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(load(s, dir, "documents")))
+        .groupBy(col("media_id")).agg(
+          count(lit(1)).as("n_frames"),
+          expr("count(distinct frame_fingerprint)").as("n_distinct"))
+        .orderBy(col("media_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_media_stats" ->
+      """SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+                COUNT(*) AS n_media,
+                SUM(octet_length(encode(text))) AS sum_bytes,
+                SUM(n_chars * 40) AS sum_duration_ms,
+                MAX(CAST(64 + (doc_id % 16) * 8 AS INT)) AS max_width
+         FROM documents GROUP BY 1 ORDER BY kind""",
+    "mm_media_catalog" ->
+      """SELECT doc_id AS media_id,
+                (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+                CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+                CAST(64 + (doc_id % 16) * 8 AS BIGINT) AS width,
+                CAST(64 + (doc_id % 9) * 16 AS BIGINT) AS height,
+                CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+                (['png','wav','mp4'])[CAST(doc_id % 3 AS INT) + 1] AS format
+         FROM documents ORDER BY media_id"""
+    // mm_features_sample / mm_frame_samples: stubbed decode hashes are
+    // engine-specific — rows-only; determinism pinned by MultimodalSpec.
+  )
+}

@@ -71,6 +71,12 @@ object StreamingCdc {
   /** F2 state: query name → invalidate seen (stop requested). */
   private val invalidated = new ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** K4 — per-collection published-message counter (post-filter, the
+    * reference's nats_messages_published_total semantics,
+    * prometheus.go:94-119). Read by Observability.
+    */
+  val publishedTotal = new ConcurrentHashMap[String, java.lang.Long]()
+
   def wasInvalidated(name: String): Boolean =
     invalidated.getOrDefault(name, false)
 
@@ -97,6 +103,17 @@ object StreamingCdc {
     // C2/C3 replay: skip batches whose token commit already landed.
     if (committedBatches(spark, cfg.tokensDir).contains(batchId)) return
 
+    // Cache the micro-batch: several actions follow (invalidate probe,
+    // publish, token stats) and an uncached batch would re-execute the
+    // source scan per action (also double-counting source metrics).
+    batch.persist()
+    try processCachedBatch(cfg, batch, batchId)
+    finally batch.unpersist()
+  }
+
+  private def processCachedBatch(
+      cfg: StreamConfig, batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
     val sawInvalidate = CdcPipeline.containsInvalidate(batch)
     val effective =
       if (sawInvalidate) CdcPipeline.truncateAtInvalidate(batch) else batch
@@ -123,6 +140,8 @@ object StreamingCdc {
         tokenSchema)
       committed.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
       if (cfg.tokensCapped) trimTokens(spark, cfg)
+      publishedTotal.merge(cfg.name, stats.getLong(1),
+        (a, b) => a + b) // K4 counter
     } finally msgs.unpersist()
 
     if (sawInvalidate) invalidated.put(cfg.name, true) // F2: stop requested

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.{ChangeEvent, ChangeEventId, Ns}
+import graft.streaming.{Observability, StreamingCdc}
+import graft.streaming.StreamingCdc.StreamConfig
+
+/** K3/K4 — metrics listener + health contract
+  * (observability_test.go:35-63, prometheus.go:16-129).
+  */
+class ObservabilitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(i: Int): ChangeEvent =
+    ChangeEvent(ChangeEventId(f"$i%06d"), "insert", None, None,
+      Some(Ns("db", "c")), Some(s"""{"_id":$i}"""),
+      Some(s"""{"_id":$i}"""), None, None)
+
+  test("K4: listener accumulates batches/events; prometheus exposition " +
+      "carries the reference's family names") {
+    val root = Files.createTempDirectory("graft-obs").toString
+    val c = StreamConfig("obs1", s"$root/in", s"$root/messages",
+      s"$root/tokens", s"$root/ckpt", maxFilesPerTrigger = 1)
+    (1 to 3).foreach { b =>
+      ((b - 1) * 10 + 1 to b * 10).map(ev).toDF()
+        .coalesce(1).write.mode("append").parquet(c.inputDir)
+    }
+    val listener = Observability.attach(spark)
+    try {
+      StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+      val s = listener.snapshot("obs1")
+      assert(s.eventsPublished == 30)
+      assert(s.batches >= 3) // 3 data batches (+ possibly an empty commit)
+      assert(s.durationBucketCounts.last == s.batches) // +Inf cumulative
+      val text = listener.renderPrometheus()
+      assert(text.contains(
+        "connector_change_event_processing_duration_seconds_bucket"))
+      assert(text.contains("""collection="obs1""""))
+      assert(text.contains("nats_messages_published_total"))
+      val mf = Observability.metricsFrame(spark, listener)
+      assert(mf.filter(mf("collection") === "obs1").head()
+        .getAs[Long]("events_published") == 30)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("K3: healthz JSON matches the reference contract, incl. the " +
+      "hard-coded overall UP (health.go:23-26)") {
+    val h = Observability.HealthResponse("UP", Map(
+      "mongo" -> Observability.ComponentStatus("UP"),
+      "nats" -> Observability.ComponentStatus("DOWN")))
+    assert(Observability.healthJson(h) ==
+      """{"status":"UP","components":{"mongo":{"status":"UP"},"nats":{"status":"DOWN"}}}""")
+  }
+
+  test("K3: live queries appear as UP components") {
+    val root = Files.createTempDirectory("graft-obs2").toString
+    val c = StreamConfig("obs2", s"$root/in", s"$root/messages",
+      s"$root/tokens", s"$root/ckpt")
+    (1 to 5).map(ev).toDF().coalesce(1).write.mode("append").parquet(c.inputDir)
+    val q = StreamingCdc.start(spark, c)
+    try {
+      q.processAllAvailable()
+      val h = Observability.healthCheck(spark)
+      assert(h.status == "UP")
+      assert(h.components.get("obs2").exists(_.status == "UP"))
+    } finally q.stop()
+  }
+}
