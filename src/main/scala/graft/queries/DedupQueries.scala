@@ -60,22 +60,34 @@ object DedupQueries {
         .select(col("doc_id"), col("n_dups"))
         .orderBy(col("doc_id"))),
 
-    // n-gram Jaccard near-dup pairs via inverted-index join on shingles
-    // (df-capped). jaccard = |A∩B| / (|A|+|B|-|A∩B|) over the surviving
-    // shingle sets — exact integer counts, single IEEE division.
+    // n-gram Jaccard near-dup pairs via the inverted index, bucket-collect
+    // form: ONE shuffle groups postings per shingle (df-cap filters hot
+    // shingles there), candidate pairs are generated map-side from each
+    // bucket's sorted doc list (≤ cap²/2 per bucket), then one aggregation
+    // counts intersections. jaccard = |A∩B| / (|A|+|B|-|A∩B|) over the
+    // surviving shingle sets — exact integer counts, single IEEE division.
+    // vs. the naive self-join: no duplicate scan of the posting list, no
+    // second wide shuffle of the exploded table.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val ex = load(s, dir, "documents")
         .select(col("doc_id"), explode(expr(shingles)).as("s"))
-      val rare = ex.groupBy(col("s"))
-        .agg(count(lit(1)).as("sdf")).filter(col("sdf") <= DfCap)
-        .select("s")
-      val e2 = ex.join(rare, "s").select(col("doc_id"), col("s"))
-      val sizes = e2.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val a = e2.toDF("doc_a", "s_a")
-      val b = e2.toDF("doc_b", "s_b")
-      a.join(b, col("s_a") === col("s_b") && col("doc_a") < col("doc_b"))
+      val buckets = ex.groupBy(col("s"))
+        .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
+        .filter(size(col("ds")) <= DfCap)
+      val sizes = buckets
+        .select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val pairs = buckets.select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+             transform(slice(ds, i + 2, size(ds) - i - 1),
+                       b -> struct(a as doc_a, b as doc_b))))"""))
+        .as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter"))
+      // sizes is one row per doc: small here (AQE broadcasts it), a keyed
+      // shuffle join at 100 TB — both correct, so leave the choice to AQE.
+      pairs
         .join(sizes.toDF("doc_a", "na"), "doc_a")
         .join(sizes.toDF("doc_b", "nb"), "doc_b")
         .withColumn("jaccard",
@@ -87,24 +99,34 @@ object DedupQueries {
 
     // MinHash-LSH near-dup candidates: 32-permutation signature, 8 bands of
     // 4 — candidate pairs share ≥1 band; estimated Jaccard = matching
-    // signature positions / 32. Engine-specific hashes ⇒ rows-only check.
+    // signature positions / 32. Bucket-collect form: signatures are
+    // computed ONCE (the naive banded self-join re-evaluated the MinHash
+    // on both sides and shuffled full signatures twice), buckets group on
+    // compact (band, bkey) longs, pairs + estimates come from each
+    // bucket's list. Engine-specific hashes ⇒ rows-only check.
     "dedup_minhash_pairs" -> ((s, dir) => {
       TextHashes.register(s)
-      val sig = load(s, dir, "documents")
-        .select(col("doc_id"),
-          expr(s"minhash_sig($shingles, 32)").as("sig"))
-      val bands = sig.select(col("doc_id"), col("sig"),
-        posexplode(expr(
-          "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
-          .as(Seq("band", "bkey")))
-      val a = bands.toDF("doc_a", "sig_a", "band", "bkey")
-      val b = bands.toDF("doc_b", "sig_b", "band", "bkey")
-      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), p -> p))")
-            .cast("double") / 32.0).as("est_jaccard"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(max(col("est_jaccard")).as("est_jaccard"))
+      val bands = load(s, dir, "documents")
+        .select(col("doc_id"), expr(s"minhash_sig($shingles, 32)").as("sig"))
+        .select(col("doc_id"), col("sig"),
+          posexplode(expr(
+            "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+            .as(Seq("band", "bkey")))
+      bands.groupBy(col("band"), col("bkey"))
+        .agg(expr("array_sort(collect_list(struct(doc_id, sig)), " +
+          "(l, r) -> case when l.doc_id < r.doc_id then -1 " +
+          "when l.doc_id > r.doc_id then 1 else 0 end)").as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+               transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+                 struct(a.doc_id as doc_a, b.doc_id as doc_b,
+                        cast(size(filter(zip_with(a.sig, b.sig,
+                               (x, y) -> x = y), p -> p)) as double) / 32.0
+                          as est))))"""))
+          .as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(max(col("p.est")).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
