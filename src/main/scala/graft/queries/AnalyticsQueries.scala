@@ -113,6 +113,20 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Event-time tumbling windows via Spark's window() — the idiomatic
+    // Structured-Streaming aggregation shape, batch form. Window start
+    // rendered as a string so both engines compare exactly.
+    "events_hourly_window" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy(
+          window(timestamp_micros(expr("ts div 1000")), "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))),
+
     // Event-time bucketing (tumbling day windows, batch form): count+sum per
     // day per type. `ts` arrives as raw nanos (nanosAsLong read of the
     // parquet TIMESTAMP(NANOS) column) — integer-divide to micros, then
@@ -179,6 +193,11 @@ object AnalyticsQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
          FROM events ORDER BY event_id""",
+    "events_hourly_window" ->
+      """SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                event_type, COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "events_daily_rollup" ->
       """SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
                 COUNT(*) AS n,

@@ -43,6 +43,17 @@ object DedupQueries {
   private val DfCap = 50
   private val JaccardMin = 0.5
 
+  /** Double-precision cosine of the pair struct's ea/eb embeddings —
+    * deterministic left-to-right fold (see SimilarityQueries).
+    */
+  private val cosAB =
+    """aggregate(zip_with(p.ea, p.eb, (x, y) -> cast(x as double) * cast(y as double)),
+                 cast(0 as double), (acc, v) -> acc + v)
+       / (sqrt(aggregate(p.ea, cast(0 as double),
+            (acc, x) -> acc + cast(x as double) * cast(x as double)))
+          * sqrt(aggregate(p.eb, cast(0 as double),
+            (acc, x) -> acc + cast(x as double) * cast(x as double))))"""
+
   val queries: Map[String, Q] = Map(
     // Exact dedup groups: one row per distinct content hash with the
     // surviving (minimum) doc_id and the duplicate count.
@@ -131,6 +142,52 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Embedding exact dedup: bit-identical vectors collapse to one keeper.
+    // Groups directly on the vector value — at scale, group on a 128-bit
+    // content hash of the vector bytes instead; same plan shape.
+    "dedup_embedding_exact" -> ((s, dir) =>
+      load(s, dir, "embeddings")
+        .groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id"))),
+
+    // Embedding-cosine near-dup: LSH-bucketed candidates (16-plane buckets
+    // computed per-row in codegen), exact double cosine ≥ threshold within
+    // buckets — never an all-pairs cross join. Approximate-by-bucketing ⇒
+    // rows-only check; recall pinned by DedupSimilaritySpec.
+    "dedup_embedding_near" -> ((s, dir) => {
+      val bucketExpr =
+        """aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
+             acc + IF(aggregate(transform(embedding, (x, i) ->
+                        cast(x as double)
+                          * cast((j * 2654435761 + (i + 1) * 2246822519) % 251 % 7 - 3
+                                 as double)),
+                      cast(0 as double), (a, v) -> a + v) > 0,
+               shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
+      val b = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          posexplode(expr(s"transform(sequence(0, 3), t -> " +
+            s"shiftrightunsigned(($bucketExpr), t * 4) & 15)"))
+            .as(Seq("table_id", "bucket")))
+      val cands = b.groupBy(col("table_id"), col("bucket"))
+        .agg(expr("array_sort(collect_list(struct(vec_id, embedding)), " +
+          "(l, r) -> case when l.vec_id < r.vec_id then -1 " +
+          "when l.vec_id > r.vec_id then 1 else 0 end)").as("vs"))
+        .filter(size(col("vs")) > 1)
+        .select(explode(expr(
+          """flatten(transform(vs, (a, i) ->
+               transform(slice(vs, i + 2, size(vs) - i - 1), b ->
+                 struct(a.vec_id as vec_a, b.vec_id as vec_b,
+                        a.embedding as ea, b.embedding as eb))))"""))
+          .as("p"))
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+          round(expr(cosAB), 6).as("cos"))
+        .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
+      cands.filter(col("cos") >= 0.45)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // SimHash near-dup candidates: 64-bit SimHash, 4 bands of 16 bits —
     // pairs sharing a band, kept iff Hamming distance ≤ 6. Rows-only check.
     "dedup_simhash_pairs" -> ((s, dir) => {
@@ -167,6 +224,9 @@ object DedupQueries {
     "dedup_exact_keep" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_embedding_exact" ->
+      """SELECT MIN(vec_id) AS keep_id, COUNT(*) AS n_dups
+         FROM embeddings GROUP BY embedding ORDER BY keep_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH ex AS (
             SELECT doc_id, unnest($duckShingles) AS s FROM documents),

@@ -63,6 +63,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-ish regex tokenization (word / number / other classes) — the
+    // subword-precursor token accounting a training pipeline budgets with
+    "text_bpe_tokens" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        expr("cast(size(regexp_extract_all(text, '[A-Za-z]+', 0)) as bigint)")
+          .as("n_word"),
+        expr("cast(size(regexp_extract_all(text, '[0-9]+', 0)) as bigint)")
+          .as("n_num"),
+        expr("cast(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) as bigint)")
+          .as("n_other"))
+        .orderBy(col("doc_id"))),
+
     // Corpus rollup by (source, lang) — ingestion-monitoring shape
     "text_corpus_stats" -> ((s, dir) =>
       load(s, dir, "documents").groupBy(col("source"), col("lang")).agg(
@@ -123,6 +136,12 @@ object TextQueries {
                      WHEN s_fr > 0 THEN 'fr'
                      ELSE 'und' END AS lang_pred
          FROM s ORDER BY doc_id""",
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word,
+                CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+                CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_other
+         FROM documents ORDER BY doc_id""",
     "text_corpus_stats" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -49,7 +49,12 @@ object StreamingCdc {
       streamName: Option[String] = None, // P5 default: upper(name)
       tokensCapped: Boolean = false,     // D1 capped-collection analog
       tokensMaxRows: Int = 1024,
-      maxFilesPerTrigger: Int = 8) {
+      maxFilesPerTrigger: Int = 8,
+      // D2 — collMod changeStreamPreAndPostImages (client.go:166-173):
+      // when disabled, pre-images are unavailable and
+      // fullDocumentBeforeChange publishes as absent (update_test.go:52-56
+      // version gate).
+      preAndPostImages: Boolean = true) {
     def resolvedStreamName: String =
       streamName.getOrElse(Model.defaultStreamName(name))
   }
@@ -115,8 +120,13 @@ object StreamingCdc {
       cfg: StreamConfig, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val sawInvalidate = CdcPipeline.containsInvalidate(batch)
-    val effective =
+    val truncated =
       if (sawInvalidate) CdcPipeline.truncateAtInvalidate(batch) else batch
+    // D2 — pre/post images disabled ⇒ the source never delivers pre-images.
+    val effective =
+      if (cfg.preAndPostImages) truncated
+      else truncated.withColumn("fullDocumentBeforeChange",
+        lit(null).cast("string"))
 
     val msgs = CdcPipeline
       .toMessages(spark, cfg.resolvedStreamName)(effective)

@@ -49,6 +49,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"recall@5 $recall")
   }
 
+  test("embedding-cosine near-dup: bucketed candidates find the top " +
+      "exact pairs") {
+    import spark.implicits._
+    // exact pairs ≥ 0.45 via brute force (test-side only — quadratic)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.toDF("va", "ea"); val b = emb.toDF("vb", "eb")
+    val cosExpr =
+      """aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
+                   cast(0 as double), (acc, v) -> acc + v)
+         / (sqrt(aggregate(ea, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))
+            * sqrt(aggregate(eb, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))))"""
+    val exact = a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("cos", expr(cosExpr)).filter(col("cos") >= 0.45)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val cand = DedupQueries.queries("dedup_embedding_near")(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(cand.subsetOf(exact)) // precision 1.0: every pair re-checked
+    val recall = exact.intersect(cand).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall of ${exact.size}")
+  }
+
   test("exact dedup groups partition the corpus") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val groups = DedupQueries.queries("dedup_exact_groups")(spark, dir)
