@@ -1,0 +1,282 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.Model
+
+/** S1 — the change-stream source as a genuine DataSource V2
+  * `MicroBatchStream` (SURVEY.md §7 step 4): streaming offsets ARE resume
+  * tokens (`_id._data`, internal/mongo/client.go:268-270), so checkpoint
+  * recovery replays exactly the reference's SetResumeAfter(token) contract
+  * (client.go:206-209) — `Offset` ⇔ token, C2 for free.
+  *
+  * Improvements over the reference, per SURVEY §4:
+  *  - the publishable-op filter (F1) PUSHES DOWN into the source
+  *    (`SupportsPushDownFilters` accepts In/EqualTo on operationType);
+  *    the reference evaluated it client-side with an empty server
+  *    pipeline (client.go:211,231-237)
+  *  - files whose parquet footer token range falls entirely at-or-before
+  *    the start offset are pruned without opening them (min/max stats on
+  *    `_id._data`) — the directory plays the oplog, stats play the oplog
+  *    index
+  *
+  * Usage: `spark.readStream.format("graft.sources.ChangeStreamSource")
+  * .load(dir)` (batch read supported too).
+  */
+class ChangeStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Model.changeEventSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangeStreamTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class ChangeStreamTable(path: String) extends Table with SupportsRead {
+  require(path != null, "path option is required")
+  override def name(): String = s"changestream($path)"
+  override def schema(): StructType = Model.changeEventSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChangeStreamScanBuilder(path)
+}
+
+final class ChangeStreamScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  private var opFilter: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  /** F1 pushdown: operationType In/EqualTo are evaluated in the reader. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case In("operationType", _) => true
+      case EqualTo("operationType", _) => true
+      case _ => false
+    }
+    pushed = accepted
+    opFilter = accepted.foldLeft(Option.empty[Set[String]]) {
+      case (acc, In(_, vs)) =>
+        val s = vs.map(String.valueOf).toSet
+        Some(acc.fold(s)(_.intersect(s)))
+      case (acc, EqualTo(_, v)) =>
+        val s = Set(String.valueOf(v))
+        Some(acc.fold(s)(_.intersect(s)))
+      case (acc, _) => acc
+    }
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ChangeStreamScan(path, opFilter)
+}
+
+final class ChangeStreamScan(path: String, opFilter: Option[Set[String]])
+  extends Scan {
+  override def readSchema(): StructType = Model.changeEventSchema
+  override def description(): String =
+    s"changestream($path) pushedOps=${opFilter.map(_.mkString(",")).getOrElse("*")}"
+  override def toBatch: Batch = new ChangeStreamBatch(path, opFilter)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangeStreamMicroBatch(path, opFilter)
+}
+
+/** Offset = resume token (empty string ⇒ from the beginning). */
+final case class TokenOffset(token: String) extends Offset {
+  override def json(): String =
+    s"""{"token":${TokenOffset.quote(token)}}"""
+}
+object TokenOffset {
+  def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  def fromJson(json: String): TokenOffset = {
+    // {"token":"..."} — minimal parse, tokens are hex-ish strings
+    val m = """\{"token":"(.*)"\}""".r
+    json match {
+      case m(t) => TokenOffset(t.replace("\\\"", "\"").replace("\\\\", "\\"))
+      case _ => throw new IllegalArgumentException(s"bad offset json: $json")
+    }
+  }
+}
+
+object ChangeStreamFiles {
+  final case class FileRange(path: String, minToken: String, maxToken: String)
+
+  /** Footer-stat scan of the directory: one (min,max) token range per
+    * file. Stats are cached by (path, length, modTime).
+    */
+  private val statCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileRange]()
+
+  def listRanges(dir: String, conf: Configuration): Seq[FileRange] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val files: Seq[FileStatus] = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    files.flatMap { f =>
+      val key = s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+      Option(statCache.get(key)).orElse {
+        val r = readRange(f.getPath, conf)
+        r.foreach(statCache.put(key, _))
+        r
+      }
+    }.sortBy(r => (r.minToken, r.path))
+  }
+
+  private def readRange(file: Path, conf: Configuration): Option[FileRange] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      if (blocks.isEmpty) return None // empty sentinel from Ddl.ensureTable
+      val stats = blocks.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == "_id._data")
+          .map(_.getStatistics)
+      }.filter(s => s != null && s.hasNonNullValue)
+      if (stats.isEmpty) None
+      else Some(FileRange(file.toString,
+        stats.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8).min,
+        stats.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8).max))
+    } finally reader.close()
+  }
+}
+
+final class ChangeStreamMicroBatch(path: String, opFilter: Option[Set[String]])
+  extends MicroBatchStream {
+  private val conf = new Configuration()
+
+  override def initialOffset(): Offset = TokenOffset("")
+
+  override def latestOffset(): Offset = {
+    val ranges = ChangeStreamFiles.listRanges(path, conf)
+    if (ranges.isEmpty) TokenOffset("")
+    else TokenOffset(ranges.map(_.maxToken).max)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    TokenOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TokenOffset].token
+    val e = end.asInstanceOf[TokenOffset].token
+    ChangeStreamFiles.listRanges(path, conf)
+      // oplog-index pruning: token order is lexicographic; a file whose
+      // max token ≤ start holds nothing new, one whose min > end is ahead
+      .filter(r => r.maxToken > s && (e.isEmpty || r.minToken <= e))
+      .map(r => ChangeStreamPartition(r.path, s, e, opFilter)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeStreamReaderFactory()
+  override def commit(end: Offset): Unit = () // checkpoint is the ledger
+  override def stop(): Unit = ()
+}
+
+final class ChangeStreamBatch(path: String, opFilter: Option[Set[String]])
+  extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    ChangeStreamFiles.listRanges(path, new Configuration())
+      .map(r => ChangeStreamPartition(r.path, "", "", opFilter)
+        : InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeStreamReaderFactory()
+}
+
+final case class ChangeStreamPartition(
+    file: String, startToken: String, endToken: String,
+    opFilter: Option[Set[String]]) extends InputPartition
+
+final class ChangeStreamReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ChangeStreamReader(p.asInstanceOf[ChangeStreamPartition])
+}
+
+/** Row-at-a-time envelope reader (the per-event cursor of the reference's
+  * watch loop, client.go:217): parquet Group API → InternalRow, applying
+  * the token range and the pushed op filter.
+  */
+final class ChangeStreamReader(p: ChangeStreamPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new GroupReadSupport(), new Path(p.file)).build()
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val row = convert(g)
+      if (row != null) { current = row; return true }
+      g = reader.read()
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+
+  private def str(g: Group, field: String): UTF8String =
+    if (g.getType.containsField(field) &&
+        g.getFieldRepetitionCount(field) > 0)
+      UTF8String.fromString(g.getString(field, 0))
+    else null
+
+  private def ts(g: Group, field: String): Any =
+    if (g.getType.containsField(field) &&
+        g.getFieldRepetitionCount(field) > 0)
+      java.lang.Long.valueOf(g.getLong(field, 0)) // Spark writes micros
+    else null
+
+  private def nested(g: Group, field: String, subfields: String*): InternalRow =
+    if (g.getType.containsField(field) &&
+        g.getFieldRepetitionCount(field) > 0) {
+      val sub = g.getGroup(field, 0)
+      new GenericInternalRow(
+        subfields.map(f => str(sub, f): Any).toArray)
+    } else null
+
+  /** null ⇒ filtered out (token range or pushed op filter). */
+  private def convert(g: Group): InternalRow = {
+    val idGroup = g.getGroup("_id", 0)
+    val token = idGroup.getString("_data", 0)
+    if (token <= p.startToken) return null
+    if (p.endToken.nonEmpty && token > p.endToken) return null
+    val op = g.getString("operationType", 0)
+    if (p.opFilter.exists(!_.contains(op))) return null
+    new GenericInternalRow(Array[Any](
+      new GenericInternalRow(Array[Any](UTF8String.fromString(token))),
+      UTF8String.fromString(op),
+      ts(g, "clusterTime"),
+      ts(g, "wallTime"),
+      nested(g, "ns", "db", "coll"),
+      str(g, "documentKey"),
+      str(g, "fullDocument"),
+      str(g, "fullDocumentBeforeChange"),
+      str(g, "updateDescription")))
+  }
+}

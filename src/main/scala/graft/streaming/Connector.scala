@@ -31,7 +31,8 @@ object Connector {
       tokensCapped = c.tokensCollCapped,
       // capped size-in-bytes → row-retention analog: ~64 bytes per token row
       tokensMaxRows = math.max(1, (c.tokensCollSizeInBytes / 64L).toInt),
-      preAndPostImages = c.changeStreamPreAndPostImages)
+      preAndPostImages = c.changeStreamPreAndPostImages,
+      sourceFormat = "changestream") // the real S1 source (token offsets)
 
   /** `Run()` (connector.go:125-186): provision + fan out + await. */
   def run(spark: SparkSession, cfg: ConnectorConfig, dataRoot: String,

@@ -54,7 +54,12 @@ object StreamingCdc {
       // when disabled, pre-images are unavailable and
       // fullDocumentBeforeChange publishes as absent (update_test.go:52-56
       // version gate).
-      preAndPostImages: Boolean = true) {
+      preAndPostImages: Boolean = true,
+      // S1 source: "changestream" = the DSv2 MicroBatchStream with
+      // resume-token offsets + F1 pushdown (graft.sources); "parquet" =
+      // the plain file source (offsets = file positions, micro-batches
+      // shaped by maxFilesPerTrigger).
+      sourceFormat: String = "parquet") {
     def resolvedStreamName: String =
       streamName.getOrElse(Model.defaultStreamName(name))
   }
@@ -180,10 +185,16 @@ object StreamingCdc {
     Ddl.ensureTable(spark, cfg.messagesDir, messagesSchema)
     Ddl.ensureTable(spark, cfg.tokensDir, tokenSchema)
     invalidated.remove(cfg.name)
-    val src = spark.readStream
-      .schema(Model.changeEventSchema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .parquet(cfg.inputDir)
+    val src =
+      if (cfg.sourceFormat == "changestream")
+        spark.readStream
+          .format(classOf[graft.sources.ChangeStreamSource].getName)
+          .load(cfg.inputDir)
+      else
+        spark.readStream
+          .schema(Model.changeEventSchema)
+          .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+          .parquet(cfg.inputDir)
     val w = src.writeStream
       .queryName(cfg.name)
       .option("checkpointLocation", cfg.checkpointDir)

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.{ChangeEvent, ChangeEventId, Ns}
+
+/** DSv2 change-stream source (S1): token offsets, footer-stat pruning,
+  * F1 pushdown, checkpoint resume at the token boundary (C2 via Offset ⇔
+  * resume token, client.go:206-209).
+  */
+class ChangeStreamSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = classOf[graft.sources.ChangeStreamSource].getName
+
+  private def ev(i: Int, op: String): ChangeEvent =
+    ChangeEvent(ChangeEventId(f"$i%06d"), op, None, None,
+      Some(Ns("db", "c")), Some(s"""{"_id":$i}"""),
+      if (op == "delete") None else Some(s"""{"_id":$i}"""), None, None)
+
+  private def write(dir: String, events: Seq[ChangeEvent]): Unit =
+    events.toDF().coalesce(1).write.mode("append").parquet(dir)
+
+  test("batch read returns the envelope rows") {
+    val dir = Files.createTempDirectory("css").toString + "/in"
+    write(dir, (1 to 20).map(ev(_, "insert")))
+    val got = spark.read.format(fmt).load(dir)
+    assert(got.count() == 20)
+    assert(got.select("_id._data").as[String].collect().sorted.head == "000001")
+    assert(got.schema.fieldNames.contains("fullDocument"))
+  }
+
+  test("F1 pushdown: operationType filter reaches the source scan") {
+    val dir = Files.createTempDirectory("css").toString + "/in"
+    write(dir, Seq(ev(1, "insert"), ev(2, "drop"), ev(3, "update"),
+      ev(4, "invalidate")))
+    val df = spark.read.format(fmt).load(dir)
+      .filter(col("operationType").isin("insert", "update", "replace", "delete"))
+    assert(df.select("_id._data").as[String].collect().toSet ==
+      Set("000001", "000003"))
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pushedOps="), scanDesc)
+    assert(scanDesc.contains("insert"), scanDesc)
+  }
+
+  test("streaming: offsets are resume tokens; restart resumes past " +
+      "committed tokens; late files with old tokens are not re-read") {
+    val root = Files.createTempDirectory("css").toString
+    val dir = s"$root/in"
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    write(dir, (1 to 10).map(ev(_, "insert")))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format(fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 10)
+
+    // offset json carries the token
+    val offsetFile = new java.io.File(s"$ckpt/offsets").listFiles().maxBy(_.getName)
+    val content = new String(java.nio.file.Files.readAllBytes(offsetFile.toPath))
+    assert(content.contains("\"token\":\"000010\""), content)
+
+    write(dir, (11 to 15).map(ev(_, "insert")))
+    runOnce()
+    val ids = spark.read.parquet(out).select("_id._data").as[String]
+      .collect().sorted
+    assert(ids.length == 15 && ids.last == "000015") // no dupes, no loss
+  }
+
+  test("footer-stat pruning: partitions skip files entirely at-or-before " +
+      "the start token") {
+    val dir = Files.createTempDirectory("css").toString + "/in"
+    write(dir, (1 to 5).map(ev(_, "insert")))   // file A: tokens 1-5
+    write(dir, (6 to 9).map(ev(_, "insert")))   // file B: tokens 6-9
+    val mb = new graft.sources.ChangeStreamMicroBatch(dir, None)
+    val parts = mb.planInputPartitions(
+      graft.sources.TokenOffset("000005"), graft.sources.TokenOffset("000009"))
+    assert(parts.length == 1, s"expected file A pruned, got ${parts.length}")
+  }
+
+  test("end-to-end through StreamingCdc with sourceFormat=changestream") {
+    val root = Files.createTempDirectory("css").toString
+    val c = graft.streaming.StreamingCdc.StreamConfig(
+      "css-e2e", s"$root/in", s"$root/messages", s"$root/tokens",
+      s"$root/ckpt", sourceFormat = "changestream")
+    write(c.inputDir, (1 to 12).map(i =>
+      ev(i, if (i % 4 == 0) "drop" else "insert")))
+    graft.streaming.StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    val msgs = spark.read.parquet(c.messagesDir)
+    assert(msgs.count() == 9) // 3 drops filtered
+    assert(graft.streaming.StreamingCdc.latestToken(spark, c.tokensDir)
+      .contains("000011"))
+  }
+}
