@@ -43,8 +43,54 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // Streaming-slice throughput (reference floor: >=10 ev/s sustained,
+    // harness.go:284): envelope-ize the events table, run the full
+    // source -> filter -> route -> publish -> commit pipeline through the
+    // DSv2 change-stream source, report events/sec. Setup (envelope write)
+    // is excluded from the timed window.
+    val streamingJson =
+      try {
+        import org.apache.spark.sql.functions._
+        val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+        val n = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(
+            struct(lpad(col("event_id").cast("string"), 12, "0").as("_data"))
+              .as("_id"),
+            // event types -> publishable op types ('error' -> 'drop':
+            // silently skipped, stream continues)
+            expr("""CASE event_type WHEN 'click' THEN 'insert'
+                    WHEN 'purchase' THEN 'update'
+                    WHEN 'signup' THEN 'replace'
+                    WHEN 'view' THEN 'delete'
+                    ELSE 'drop' END""").as("operationType"),
+            timestamp_micros(expr("ts div 1000")).as("clusterTime"),
+            timestamp_micros(expr("ts div 1000")).as("wallTime"),
+            struct(lit("bench").as("db"), lit("events").as("coll")).as("ns"),
+            col("props").as("documentKey"),
+            col("props").as("fullDocument"),
+            lit(null).cast("string").as("fullDocumentBeforeChange"),
+            lit(null).cast("string").as("updateDescription"))
+          .write.mode("overwrite").parquet(s"$root/in")
+        val cnt = spark.read.parquet(s"$root/in").count()
+        val cfgS = graft.streaming.StreamingCdc.StreamConfig(
+          "bench", s"$root/in", s"$root/messages", s"$root/tokens",
+          s"$root/ckpt", sourceFormat = "changestream")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingCdc.runAll(spark, Seq(cfgS),
+          availableNow = true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val published = spark.read.parquet(s"$root/messages").count()
+        s"""{"events":$cnt,"published":$published,"sec":$sec,"events_per_sec":${cnt / sec}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming FAILED: $e")
+          failed ::= "streaming_e2e"
+          """{"error":true}"""
+      }
+
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

@@ -152,26 +152,35 @@ object DedupQueries {
         .select(col("keep_id"), col("n_dups"))
         .orderBy(col("keep_id"))),
 
-    // Embedding-cosine near-dup: LSH-bucketed candidates (16-plane buckets
-    // computed per-row in codegen), exact double cosine ≥ threshold within
-    // buckets — never an all-pairs cross join. Approximate-by-bucketing ⇒
-    // rows-only check; recall pinned by DedupSimilaritySpec.
+    // Embedding-cosine near-dup: LSH-bucketed candidates — 6 hash tables
+    // of 6 independent hyperplanes each (64 buckets/table; collision prob
+    // ~(1-θ/π)^6 per table keeps recall while bounding bucket occupancy),
+    // exact double cosine ≥ threshold within buckets — never an all-pairs
+    // cross join. Vectors are L2-normalized ONCE before bucketing so each
+    // candidate pair costs one dot product, not a dot + two norms.
+    // Approximate-by-bucketing ⇒ rows-only check; precision 1.0 + recall
+    // pinned by DedupSimilaritySpec.
     "dedup_embedding_near" -> ((s, dir) => {
-      val bucketExpr =
-        """aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
-             acc + IF(aggregate(transform(embedding, (x, i) ->
-                        cast(x as double)
-                          * cast((j * 2654435761 + (i + 1) * 2246822519) % 251 % 7 - 3
-                                 as double)),
-                      cast(0 as double), (a, v) -> a + v) > 0,
-               shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"""
       val b = load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          posexplode(expr(s"transform(sequence(0, 3), t -> " +
-            s"shiftrightunsigned(($bucketExpr), t * 4) & 15)"))
+        .select(col("vec_id"),
+          expr(
+            """transform(embedding, x -> cast(x as double)
+                 / sqrt(aggregate(embedding, cast(0 as double),
+                     (a, v) -> a + cast(v as double) * cast(v as double))))""")
+            .as("ne"))
+        .select(col("vec_id"), col("ne"),
+          posexplode(expr(
+            """transform(sequence(0, 5), t ->
+                 aggregate(sequence(0, 5), cast(0 as bigint), (acc, j) ->
+                   acc + IF(aggregate(transform(ne, (x, i) ->
+                              x * cast(((t * 6 + j) * 2654435761
+                                        + (i + 1) * 2246822519) % 251 % 7 - 3
+                                       as double)),
+                            cast(0 as double), (a, v) -> a + v) > 0,
+                     shiftleft(cast(1 as bigint), j), cast(0 as bigint))))"""))
             .as(Seq("table_id", "bucket")))
       val cands = b.groupBy(col("table_id"), col("bucket"))
-        .agg(expr("array_sort(collect_list(struct(vec_id, embedding)), " +
+        .agg(expr("array_sort(collect_list(struct(vec_id, ne)), " +
           "(l, r) -> case when l.vec_id < r.vec_id then -1 " +
           "when l.vec_id > r.vec_id then 1 else 0 end)").as("vs"))
         .filter(size(col("vs")) > 1)
@@ -179,10 +188,11 @@ object DedupQueries {
           """flatten(transform(vs, (a, i) ->
                transform(slice(vs, i + 2, size(vs) - i - 1), b ->
                  struct(a.vec_id as vec_a, b.vec_id as vec_b,
-                        a.embedding as ea, b.embedding as eb))))"""))
+                        aggregate(zip_with(a.ne, b.ne, (x, y) -> x * y),
+                          cast(0 as double), (acc, v) -> acc + v) as cos))))"""))
           .as("p"))
         .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-          round(expr(cosAB), 6).as("cos"))
+          round(col("p.cos"), 6).as("cos"))
         .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
       cands.filter(col("cos") >= 0.45)
         .orderBy(col("vec_a"), col("vec_b"))

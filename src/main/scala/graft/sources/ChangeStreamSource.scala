@@ -246,11 +246,41 @@ final class ChangeStreamReader(p: ChangeStreamPartition)
       UTF8String.fromString(g.getString(field, 0))
     else null
 
-  private def ts(g: Group, field: String): Any =
-    if (g.getType.containsField(field) &&
-        g.getFieldRepetitionCount(field) > 0)
-      java.lang.Long.valueOf(g.getLong(field, 0)) // Spark writes micros
-    else null
+  /** Timestamp → epoch micros, handling all parquet physical encodings
+    * Spark may write: INT96 (julian day + nanos-of-day, the legacy
+    * default), INT64 TIMESTAMP(MICROS) and TIMESTAMP(MILLIS).
+    */
+  private def ts(g: Group, field: String): Any = {
+    if (!g.getType.containsField(field) ||
+        g.getFieldRepetitionCount(field) == 0) return null
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val pt = g.getType.getType(field).asPrimitiveType()
+    pt.getPrimitiveTypeName match {
+      case INT96 =>
+        val bytes = g.getInt96(field, 0).getBytes // little-endian
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        java.lang.Long.valueOf(
+          (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L)
+      case INT64 =>
+        val v = g.getLong(field, 0)
+        pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            java.lang.Long.valueOf(v * 1000L)
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+            java.lang.Long.valueOf(v / 1000L)
+          case _ => java.lang.Long.valueOf(v) // micros
+        }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"timestamp field $field has unsupported physical type $other")
+    }
+  }
 
   private def nested(g: Group, field: String, subfields: String*): InternalRow =
     if (g.getType.containsField(field) &&

@@ -214,6 +214,11 @@ object StreamingCdc {
       while (queries.values.exists(_.isActive)) {
         queries.foreach { case (name, q) =>
           if (q.isActive && wasInvalidated(name)) q.stop() // F2 → C4
+          // errgroup semantics (connector.go:128-174): the first hard
+          // failure cancels every sibling query.
+          if (q.exception.nonEmpty) queries.values.foreach { s =>
+            if (s.isActive) s.stop()
+          }
         }
         Thread.sleep(pollMs)
       }

@@ -157,6 +157,23 @@ class StreamingCdcSpec extends SparkSuite {
     assert(spark.read.parquet(u.tokensDir).count() == 6)  // full history
   }
 
+  test("C1/C3: first hard failure cancels every sibling and surfaces " +
+      "(errgroup semantics, connector.go:128-174)") {
+    val rootGood = tmp(); val rootBad = tmp()
+    val good = cfg("errA", rootGood)
+    val bad = cfg("errB", rootBad)
+    writeBatchFile(good.inputDir, (1 to 5).map(ev(_, "insert")))
+    // corrupt input: a non-parquet file where the source expects parquet
+    new java.io.File(bad.inputDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${bad.inputDir}/junk.parquet"), "not parquet")
+    val err = intercept[Exception] {
+      StreamingCdc.runAll(spark, Seq(good, bad), availableNow = true)
+    }
+    assert(err != null)
+    assert(spark.streams.active.isEmpty) // all siblings stopped (C4)
+  }
+
   test("D1/S4: ensureTable is idempotent; tableExists answers both ways " +
       "(client.go:146-175, startup_test.go:33-66)") {
     val root = tmp()
