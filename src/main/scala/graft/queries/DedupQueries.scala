@@ -198,6 +198,30 @@ object DedupQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Winnowing near-dup candidates (Schleimer et al. fingerprints): docs
+    // sharing ≥ MinShared selected k-gram fingerprints. The winnowed
+    // signature is ~|text|/w hashes, so the inverted index is w× smaller
+    // than the full shingle index — the cheap first-pass at 100 TB.
+    // Engine-specific hashes ⇒ rows-only check.
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      TextHashes.register(s)
+      val fp = load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("winnow_fingerprint(text)")).as("f"))
+      fp.groupBy(col("f"))
+        .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
+        .filter(size(col("ds")).between(2, DfCap))
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+               transform(slice(ds, i + 2, size(ds) - i - 1),
+                         b -> struct(a as doc_a, b as doc_b))))"""))
+          .as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).cast("long").as("shared_fp"))
+        .filter(col("shared_fp") >= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SimHash near-dup candidates: 64-bit SimHash, 4 bands of 16 bits —
     // pairs sharing a band, kept iff Hamming distance ≤ 6. Rows-only check.
     "dedup_simhash_pairs" -> ((s, dir) => {

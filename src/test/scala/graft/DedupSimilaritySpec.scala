@@ -77,6 +77,19 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.15, s"recall $recall of ${exact.size}")
   }
 
+  test("winnowing candidates recover the high-Jaccard pairs") {
+    val exact = DedupQueries.queries("dedup_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = DedupQueries.queries("dedup_winnow_pairs")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(cand).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; missed ${exact.diff(cand)}")
+  }
+
   test("exact dedup groups partition the corpus") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val groups = DedupQueries.queries("dedup_exact_groups")(spark, dir)
