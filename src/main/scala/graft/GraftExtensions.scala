@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions injection point — the idiomatic deployment of
+  * the engine's native function library:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)` when building the session
+  * programmatically). Registers the codegen'd Catalyst expressions so
+  * `spark.sql("SELECT fnv64(text) ...")` works in any session without
+  * calling TextHashes.register by hand.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("fnv64"),
+      info("fnv64", "fnv64(str) - FNV-1a 64-bit fingerprint"),
+      (es: Seq[Expression]) => Fnv64(es.head)))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint",
+        "winnow_fingerprint(str) - winnowed rolling-hash signature"),
+      (es: Seq[Expression]) => WinnowFingerprint(es.head, 8, 4)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("to_extended_json"),
+      info("to_extended_json",
+        "to_extended_json(struct) - relaxed MongoDB Extended JSON"),
+      (es: Seq[Expression]) => ToExtendedJson(es.head)))
+  }
+}

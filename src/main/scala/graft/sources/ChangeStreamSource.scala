@@ -60,10 +60,12 @@ final class ChangeStreamTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangeStreamScanBuilder(path)
+    new ChangeStreamScanBuilder(path,
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
 }
 
-final class ChangeStreamScanBuilder(path: String)
+final class ChangeStreamScanBuilder(path: String,
+    maxRowsPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters {
 
   private var opFilter: Option[Set[String]] = None
@@ -90,17 +92,19 @@ final class ChangeStreamScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ChangeStreamScan(path, opFilter)
+  override def build(): Scan =
+    new ChangeStreamScan(path, opFilter, maxRowsPerTrigger)
 }
 
-final class ChangeStreamScan(path: String, opFilter: Option[Set[String]])
+final class ChangeStreamScan(path: String, opFilter: Option[Set[String]],
+    maxRowsPerTrigger: Option[Long] = None)
   extends Scan {
   override def readSchema(): StructType = Model.changeEventSchema
   override def description(): String =
     s"changestream($path) pushedOps=${opFilter.map(_.mkString(",")).getOrElse("*")}"
   override def toBatch: Batch = new ChangeStreamBatch(path, opFilter)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeStreamMicroBatch(path, opFilter)
+    new ChangeStreamMicroBatch(path, opFilter, maxRowsPerTrigger)
 }
 
 /** Offset = resume token (empty string ⇒ from the beginning). */
@@ -122,7 +126,8 @@ object TokenOffset {
 }
 
 object ChangeStreamFiles {
-  final case class FileRange(path: String, minToken: String, maxToken: String)
+  final case class FileRange(
+      path: String, minToken: String, maxToken: String, rows: Long)
 
   /** Footer-stat scan of the directory: one (min,max) token range per
     * file. Stats are cached by (path, length, modTime).
@@ -161,14 +166,27 @@ object ChangeStreamFiles {
         stats.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
           .toStringUsingUTF8).min,
         stats.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
-          .toStringUsingUTF8).max))
+          .toStringUsingUTF8).max,
+        blocks.map(_.getRowCount).sum))
     } finally reader.close()
   }
 }
 
-final class ChangeStreamMicroBatch(path: String, opFilter: Option[Set[String]])
-  extends MicroBatchStream {
+final class ChangeStreamMicroBatch(path: String, opFilter: Option[Set[String]],
+    maxRowsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private val conf = new Configuration()
+
+  /** Trigger.AvailableNow: freeze the target at query start; paced
+    * triggers drain up to it, then the query terminates.
+    */
+  @volatile private var availableNowBound: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound =
+      Some(latestOffset().asInstanceOf[TokenOffset].token)
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def initialOffset(): Offset = TokenOffset("")
 
@@ -176,6 +194,38 @@ final class ChangeStreamMicroBatch(path: String, opFilter: Option[Set[String]])
     val ranges = ChangeStreamFiles.listRanges(path, conf)
     if (ranges.isEmpty) TokenOffset("")
     else TokenOffset(ranges.map(_.maxToken).max)
+  }
+
+  /** Backpressure (the reference paces one event per publish round-trip,
+    * client.go:217-257; the micro-batch analog is a row budget per
+    * trigger): admit whole files in token order until the budget is hit.
+    */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxRowsPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxRows(n))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[TokenOffset].token
+    val pending = ChangeStreamFiles.listRanges(path, conf)
+      .filter(_.maxToken > s)
+      .filter(r => availableNowBound.forall(b => r.minToken <= b))
+    if (pending.isEmpty) return start
+    limit match {
+      case mr: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        var budget = mr.maxRows()
+        var end = ""
+        for (r <- pending if budget > 0 || end.isEmpty) {
+          end = if (end.isEmpty || r.maxToken > end) r.maxToken else end
+          budget -= r.rows
+        }
+        TokenOffset(end)
+      case _ => TokenOffset(pending.map(_.maxToken).max)
+    }
   }
 
   override def deserializeOffset(json: String): Offset =

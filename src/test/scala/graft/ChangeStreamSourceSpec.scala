@@ -86,6 +86,28 @@ class ChangeStreamSourceSpec extends SparkSuite {
     assert(parts.length == 1, s"expected file A pruned, got ${parts.length}")
   }
 
+  test("admission control: maxRowsPerTrigger paces batches by footer " +
+      "row counts (the micro-batch backpressure knob)") {
+    val root = Files.createTempDirectory("css").toString
+    val dir = s"$root/in"
+    (0 until 4).foreach { b =>
+      write(dir, (b * 10 + 1 to b * 10 + 10).map(ev(_, "insert")))
+    }
+    var batches = 0
+    val q = spark.readStream.format(fmt)
+      .option("maxRowsPerTrigger", "10")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.count() > 0) batches += 1 // each trigger admits ~1 file
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches == 4, s"expected 4 paced batches, got $batches")
+  }
+
   test("end-to-end through StreamingCdc with sourceFormat=changestream") {
     val root = Files.createTempDirectory("css").toString
     val c = graft.streaming.StreamingCdc.StreamConfig(
