@@ -216,11 +216,4 @@ object TextHashes {
       es => MinHashSig(es.head,
         es(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
-
-  def fnv64(sqlFragment: String): Column =
-    org.apache.spark.sql.functions.expr(s"fnv64($sqlFragment)")
-  def winnowFingerprint(sqlFragment: String): Column =
-    org.apache.spark.sql.functions.expr(s"winnow_fingerprint($sqlFragment)")
-  def simhash64(sqlFragment: String): Column =
-    org.apache.spark.sql.functions.expr(s"simhash64($sqlFragment)")
 }

@@ -31,6 +31,10 @@ final case class ChangeEvent(
     updateDescription: Option[String]
 )
 
+/** One committed token row (internal/mongo/client.go:268-270) — the
+  * streaming runtime's tokens table (StreamingCdc.tokenSchema) extends
+  * this with the batch id and publish count.
+  */
 final case class ResumeToken(_id: String, value: String)
 
 final case class OutMessage(subject: String, msgId: String, data: String)
@@ -59,13 +63,6 @@ object Model {
     StructField("fullDocument", StringType, nullable = true),
     StructField("fullDocumentBeforeChange", StringType, nullable = true),
     StructField("updateDescription", StringType, nullable = true)
-  ))
-
-  /** Sink-message schema — internal/nats/client.go:36-40. */
-  val outMessageSchema: StructType = StructType(Seq(
-    StructField("subject", StringType, nullable = false),
-    StructField("msgId", StringType, nullable = false),
-    StructField("data", StringType, nullable = false)
   ))
 
   /** Default stream name derivation — pkg/connector/connector.go:337. */

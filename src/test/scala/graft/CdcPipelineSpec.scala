@@ -31,7 +31,9 @@ class CdcPipelineSpec extends SparkSuite {
       "(client.go:33-38; drop_test.go/rename_test.go publish nothing)") {
     val kept = CdcPipeline.filterPublishable(allOps.toDF())
       .select("operationType").as[String].collect().toSet
-    assert(kept == Set("insert", "update", "replace", "delete"))
+    assert(kept == Model.PublishableOps.toSet)
+    assert(Model.SkippedOps.toSet.intersect(kept).isEmpty)
+    assert(!kept.contains(Model.InvalidateOp))
   }
 
   test("P1-P4: toMessages shapes subject/msgId/data (insert_test.go:36-53)") {
