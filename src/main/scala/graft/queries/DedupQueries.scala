@@ -80,6 +80,12 @@ object DedupQueries {
     // vs. the naive self-join: no duplicate scan of the posting list, no
     // second wide shuffle of the exploded table.
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // Design note (A/B-measured): deriving per-doc set sizes by
+      // re-aggregating the exploded POSTINGS (cheap longs) and joining
+      // beats carrying sizes through the pair explosion — any projection
+      // that references the shingle expression after the Generate
+      // recomputes the whole array per emitted row (O(shingles²)/doc).
+      // One scan feeds the postings; sizes re-aggregate those longs.
       val ex = load(s, dir, "documents")
         .select(col("doc_id"), explode(expr(shingles)).as("s"))
       val buckets = ex.groupBy(col("s"))
@@ -124,9 +130,7 @@ object DedupQueries {
             "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
             .as(Seq("band", "bkey")))
       bands.groupBy(col("band"), col("bkey"))
-        .agg(expr("array_sort(collect_list(struct(doc_id, sig)), " +
-          "(l, r) -> case when l.doc_id < r.doc_id then -1 " +
-          "when l.doc_id > r.doc_id then 1 else 0 end)").as("ds"))
+        .agg(expr("sort_array(collect_list(struct(doc_id, sig)))").as("ds"))
         .filter(size(col("ds")) > 1)
         .select(explode(expr(
           """flatten(transform(ds, (a, i) ->
@@ -180,9 +184,7 @@ object DedupQueries {
                      shiftleft(cast(1 as bigint), j), cast(0 as bigint))))"""))
             .as(Seq("table_id", "bucket")))
       val cands = b.groupBy(col("table_id"), col("bucket"))
-        .agg(expr("array_sort(collect_list(struct(vec_id, ne)), " +
-          "(l, r) -> case when l.vec_id < r.vec_id then -1 " +
-          "when l.vec_id > r.vec_id then 1 else 0 end)").as("vs"))
+        .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
         .filter(size(col("vs")) > 1)
         .select(explode(expr(
           """flatten(transform(vs, (a, i) ->
