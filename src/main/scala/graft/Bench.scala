@@ -26,17 +26,22 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
     var failed = List.empty[String]
+    // Two timed runs per query, best-of (this box is multi-tenant noisy;
+    // min-of-2 measures the engine, not a neighbor's compile job).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val outcome =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.toString.take(200)) }
-      val sec = (System.nanoTime() - t0) / 1e9
-      outcome.foreach { err =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: $err")
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val outcome =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.toString.take(200)) }
+        ((System.nanoTime() - t0) / 1e9, outcome)
       }
-      (name, sec, outcome.isEmpty)
+      val err = runs.flatMap(_._2).headOption
+      err.foreach { e =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
+      (name, runs.map(_._1).min, err.isEmpty)
     }
     val qs = results
       .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
