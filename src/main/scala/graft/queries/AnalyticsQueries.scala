@@ -113,6 +113,21 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Gap-based sessionization via Spark's session_window() — the
+    // Structured-Streaming session primitive, batch form: a session ends
+    // after 1 day of user inactivity. The oracle rebuilds the same
+    // islands with LAG + running sum. Start is rendered as a string for
+    // engine-exact compare.
+    "events_session_windows" -> ((s, dir) =>
+      load(s, dir, "events")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("t"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Event-time tumbling windows via Spark's window() — the idiomatic
     // Structured-Streaming aggregation shape, batch form. Window start
     // rendered as a string so both engines compare exactly.
@@ -193,6 +208,23 @@ object AnalyticsQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
          FROM events ORDER BY event_id""",
+    "events_session_windows" ->
+      """WITH m AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 1 DAY THEN 1 ELSE 0 END AS brk
+           FROM events),
+         g AS (
+           SELECT user_id, ts, value,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "events_hourly_window" ->
       """SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                 event_type, COUNT(*) AS n,

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.functions.{TextHashImpl, ToExtendedJson}
+
+/** Property-based pins for the hash/serialization primitives — these run
+  * on plain JVM values (no SparkSession), so they cover the full input
+  * space cheaply.
+  */
+object HashProperties extends Properties("graft.hashes") {
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  property("fnv64 is deterministic and sensitive to any char change") =
+    forAll { (s: String, i: Int) =>
+      val base = TextHashImpl.poly64(utf8(s))
+      val same = TextHashImpl.poly64(utf8(s))
+      val changed =
+        if (s.isEmpty) TextHashImpl.poly64(utf8(s + "x"))
+        else {
+          val k = math.floorMod(i, s.length)
+          val c = if (s.charAt(k) == 'a') 'b' else 'a'
+          TextHashImpl.poly64(utf8(s.updated(k, c)))
+        }
+      base == same && base != changed
+    }
+
+  property("escape emits valid JSON that round-trips any string") =
+    forAll { (s: String) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val parsed = mapper.readTree("\"" + ToExtendedJson.escape(s) + "\"")
+      parsed.asText() == s
+    }
+
+  private val tokenSet: Gen[Set[String]] =
+    Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier).map(_.toSet))
+
+  property("minhash similarity estimate tracks true Jaccard within 0.25") =
+    forAll(tokenSet, tokenSet) { (a, b) =>
+      def sig(ts: Set[String]) = TextHashImpl.minhashSig(
+        new GenericArrayData(ts.toSeq.map(utf8).toArray[Any]), 128)
+        .toLongArray()
+      val trueJ =
+        if (a.union(b).isEmpty) 1.0
+        else a.intersect(b).size.toDouble / a.union(b).size
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 128.0
+      Prop(math.abs(est - trueJ) < 0.25) :|
+        s"trueJ=$trueJ est=$est"
+    }
+
+  property("minhash is order-insensitive over the token multiset") =
+    forAll(tokenSet) { ts =>
+      val fwd = TextHashImpl.minhashSig(
+        new GenericArrayData(ts.toSeq.map(utf8).toArray[Any]), 32).toLongArray()
+      val rev = TextHashImpl.minhashSig(
+        new GenericArrayData(ts.toSeq.reverse.map(utf8).toArray[Any]), 32)
+        .toLongArray()
+      fwd.sameElements(rev)
+    }
+
+  property("simhash of identical token arrays is equal; hamming to a " +
+      "disjoint vocabulary is large") =
+    forAll(tokenSet) { ts =>
+      def sh(xs: Seq[String]) = TextHashImpl.simhash(
+        new GenericArrayData(xs.map(utf8).toArray[Any]))
+      val a = sh(ts.toSeq)
+      val b = sh(ts.toSeq)
+      val other = sh(ts.toSeq.map(_ + "_completely_different_suffix"))
+      a == b && (ts.isEmpty ||
+        java.lang.Long.bitCount(a ^ other) > 0)
+    }
+
+  property("winnow fingerprints are a subset of all k-gram hashes and " +
+      "stable under repetition") =
+    forAll(Gen.alphaStr.suchThat(_.length >= 8)) { s =>
+      val w1 = TextHashImpl.winnow(utf8(s), 8, 4).toLongArray().toSet
+      val w2 = TextHashImpl.winnow(utf8(s), 8, 4).toLongArray().toSet
+      val all = (0 to s.length - 8)
+        .map(i => TextHashImpl.poly64(utf8(s.substring(i, i + 8)))).toSet
+      w1 == w2 && w1.subsetOf(all) && w1.nonEmpty
+    }
+}
