@@ -86,6 +86,57 @@ object SimilarityQueries {
           .as("bucket"))
         .orderBy(col("vec_id"))),
 
+    // ANN, IVF variant: label-centroids act as the coarse quantizer
+    // (k-means cells in a real deployment); every corpus vector is
+    // assigned to its nearest centroid, queries probe the nprobe=3
+    // nearest cells and exact-rank only those candidates. At 100 TB the
+    // corpus is PARTITIONED BY cell, so a probe reads 3/10 of the data —
+    // the scan pruning is the point of IVF. Rows-only (approximate);
+    // recall pinned by SimilaritySpec.
+    "sim_knn_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = load(s, dir, "embeddings")
+      // coarse quantizer: per-label mean vector (exact, tiny: 10 rows)
+      val cents = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy(col("label"), col("p"))
+        .agg(avg(col("x").cast("double")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
+          .as("ce"))
+        .select(col("label").as("cell"), col("ce"))
+      // assign corpus vectors to their nearest cell (broadcast centroids)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cell"))
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cents))
+        .withColumn("cos_c", expr(cosExpr("embedding", "ce")))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      // queries probe their nprobe nearest cells
+      val wProbe = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_c").desc, col("cell"))
+      val probes = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .join(broadcast(cents))
+        .withColumn("cos_c", expr(cosExpr("qe", "ce")))
+        .withColumn("rk", row_number().over(wProbe))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("qe"), col("cell"))
+      // exact re-rank inside the probed cells only
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      assigned.toDF("nid", "ne", "cell")
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cos", round(expr(cosExpr("qe", "ne")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("nid"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN: LSH-bucketed candidate retrieval + exact cosine re-rank. 4 hash
     // tables of 6 planes each (64 buckets/table — enough selectivity to
     // prune, enough bucket occupancy to retrieve); candidates share a table

@@ -36,17 +36,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.7, s"recall $recall; missed ${exact.diff(cand)}")
   }
 
+  private def knnPairs(name: String) =
+    SimilarityQueries.queries(name)(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("LSH ANN recall@5 vs brute force") {
-    def pairs(name: String) =
-      SimilarityQueries.queries(name)(spark, dir)
-        .select("qid", "nid").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = pairs("sim_knn_brute")
-    val ann = pairs("sim_knn_lsh")
+    val brute = knnPairs("sim_knn_brute")
+    val ann = knnPairs("sim_knn_lsh")
     val recall = brute.intersect(ann).size.toDouble / brute.size
-    // 4 tables × 8 planes on 64-dim data — partial recall is expected;
+    // 4 tables × 6 planes on 64-dim data — partial recall is expected;
     // the bound pins that bucketing actually retrieves near neighbors.
     assert(recall >= 0.2, s"recall@5 $recall")
+  }
+
+  test("IVF ANN recall@5 vs brute force (nprobe=3 of 10 cells)") {
+    val brute = knnPairs("sim_knn_brute")
+    val ivf = knnPairs("sim_knn_ivf")
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // label cells are weak quantizers for random embeddings, but probing
+    // 3/10 cells must still beat random scan pruning (≈0.3 expected)
+    assert(recall >= 0.25, s"recall@5 $recall")
   }
 
   test("embedding-cosine near-dup: bucketed candidates find the top " +
