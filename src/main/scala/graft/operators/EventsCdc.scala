@@ -97,6 +97,18 @@ object EventsCdc {
       row_number().over(w).cast("long").as("seq"))
   }
 
+  /** Per-collection running totals + sequence numbers (event-time metrics
+    * family, A2): window shuffle on user_id only — no global sort.
+    */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events.select(col("event_id"), col("user_id"),
+      sum(col("value").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_value"),
+      row_number().over(w).cast("long").as("seq"))
+  }
+
   /** Composite steady-state pipeline folded to per-subject publish stats. */
   def pipelineStats(events: DataFrame): DataFrame =
     filterPublishable(events)

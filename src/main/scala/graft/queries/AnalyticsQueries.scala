@@ -98,20 +98,12 @@ object AnalyticsQueries {
     }),
 
     // Windowed analytics on the stream table: per-user running totals —
-    // the "metrics over time" family (A2) with event-time semantics
-    "events_sessionized_stats" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      load(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          sum(col("value").cast("decimal(18,2)")).over(w)
-            .cast("double").as("running_value"),
-          row_number().over(
-            Window.partitionBy(col("user_id")).orderBy(col("event_id")))
-            .cast("long").as("seq"))
-        .orderBy(col("event_id"))
-    }),
+    // the "metrics over time" family (A2) with event-time semantics.
+    // Product path: EventsCdc.runningTotals (user_id window shuffle only);
+    // the ORDER BY here is oracle-harness determinism.
+    "events_sessionized_stats" -> ((s, dir) =>
+      graft.operators.EventsCdc.runningTotals(load(s, dir, "events"))
+        .orderBy(col("event_id"))),
 
     // Gap-based sessionization via Spark's session_window() — the
     // Structured-Streaming session primitive, batch form: a session ends

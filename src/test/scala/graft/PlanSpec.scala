@@ -34,12 +34,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("orderedReplay shuffles only on user_id (window), never a global sort") {
-    val plan = planOf(EventsCdc.orderedReplay(events))
-    assert(plan.contains("hashpartitioning(user_id"),
-      s"expected hash partitioning on user_id:\n$plan")
-    assert(!plan.contains("rangepartitioning"),
-      s"unexpected global range sort:\n$plan")
+  test("orderedReplay/runningTotals shuffle only on user_id (window), " +
+      "never a global sort") {
+    for (df <- Seq(EventsCdc.orderedReplay(events),
+        EventsCdc.runningTotals(events))) {
+      val plan = planOf(df)
+      assert(plan.contains("hashpartitioning(user_id"),
+        s"expected hash partitioning on user_id:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"unexpected global range sort:\n$plan")
+    }
   }
 
   test("star-join queries broadcast the dimension side (q3/q5)") {
