@@ -85,6 +85,82 @@ object AnalyticsQueries {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))),
 
+    // TPC-H Q4 shape: order-priority count with EXISTS — left-semi join
+    // (no row multiplication, the semi side never materializes)
+    "q4_order_priority" -> ((s, dir) => {
+      val lateLines = load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q12 shape: conditional aggregation (CASE-sum) after a semi-ish
+    // join — one scan of each side, broadcast of the filtered orders keys
+    "q12_priority_lines" -> ((s, dir) => {
+      val ord = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0))
+            .cast("bigint").as("returned_lines"),
+          sum(when(col("l_returnflag") =!= "R", 1).otherwise(0))
+            .cast("bigint").as("kept_lines"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q14 shape: promo-revenue ratio — conditional DECIMAL sums,
+    // single IEEE division at the end
+    "q14_promo_effect" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(load(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (round(sum(when(col("p_type").startsWith("SMALL"),
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .otherwise(lit(0).cast("decimal(18,2)"))), 2).cast("double") /
+            round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+              .cast("double")).as("promo_ratio"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q18 shape: large-volume orders — aggregate-then-filter
+    // (HAVING) feeding a second join; the HAVING side is tiny ⇒ broadcast
+    "q18_large_orders" -> ((s, dir) => {
+      val big = load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(moneySum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      load(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          moneyCol(col("o_totalprice")).as("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey")).limit(20)
+    }),
+
+    // Anti-join shape (the NOT EXISTS family): customers who never placed
+    // a large order — the filter pushes into the anti side's scan
+    "q_customers_no_orders" -> ((s, dir) =>
+      load(s, dir, "customer")
+        .join(load(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
     // Top-k heavy hitters: customer spend, TakeOrderedAndProject (no global sort)
     "topk_customers" -> ((s, dir) => {
       val cust = load(s, dir, "customer").select("c_custkey", "c_name")
@@ -178,6 +254,52 @@ object AnalyticsQueries {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q12_priority_lines" ->
+      """SELECT o_orderpriority,
+                SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_lines,
+                SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q14_promo_effect" ->
+      """SELECT CAST(ROUND(SUM(CASE WHEN p_type LIKE 'SMALL%'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+                / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                  AS promo_ratio,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > 150)
+         SELECT o_orderkey, o_custkey,
+                CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS o_totalprice,
+                total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
     "q6_forecast_revenue" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                 COUNT(*) AS n_items

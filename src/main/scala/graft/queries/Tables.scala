@@ -31,4 +31,8 @@ object Tables {
   /** Exact mean: double(SUM(DECIMAL)) / COUNT — single IEEE division. */
   def exactAvg(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double") / count(lit(1))
+
+  /** Exact money value (non-aggregate): DECIMAL(18,2) → double. */
+  def moneyCol(c: Column): Column =
+    round(c.cast(DecimalType(18, 2)), 2).cast("double")
 }
