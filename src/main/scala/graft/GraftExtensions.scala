@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("to_extended_json",
         "to_extended_json(struct) - relaxed MongoDB Extended JSON"),
       (es: Seq[Expression]) => ToExtendedJson(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash_agg"),
+      info("simhash_agg",
+        "simhash_agg(array<string>) - group-level 64-bit SimHash aggregate"),
+      (es: Seq[Expression]) => SimHashAgg(es.head)))
   }
 }

@@ -85,6 +85,20 @@ object TextQueries {
         max(col("n_chars")).as("max_chars"))
         .orderBy(col("source"), col("lang"))),
 
+    // Corpus-slice fingerprints via the native simhash_agg
+    // TypedImperativeAggregate: one 64-bit SimHash per (source, lang)
+    // slice, votes merged associatively (map-side combine; shuffle is 64
+    // ints/group regardless of slice size). Rows-only check; group-equals-
+    // document-level equivalence pinned by SimHashAggSpec.
+    "text_corpus_fingerprint" -> ((s, dir) => {
+      graft.functions.SimHashAgg.register(s)
+      load(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(expr(s"simhash_agg($toks)").as("corpus_simhash"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Document fingerprinting via native Catalyst expressions (FNV-64 +
     // winnowing) — hash functions are engine-specific ⇒ rows-only check
     "text_fingerprint" -> ((s, dir) => {

@@ -32,6 +32,10 @@ class GraftExtensionsSpec extends SparkSuite {
       assert(row.getInt(2) == 16)
       assert(row.getInt(3) >= 1)
       assert(row.getString(4) == """{"k":"v"}""")
+      val agg = s2.sql(
+        """SELECT simhash_agg(split(t, ' ')) FROM
+           VALUES ('a b c'), ('a b d') AS v(t)""").head()
+      assert(agg.getLong(0) != 0L)
     } finally {
       // keep the shared suite session; only drop this one's state
       SparkSession.setActiveSession(spark)
