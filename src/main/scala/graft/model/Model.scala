@@ -50,11 +50,15 @@ object Model {
   /** Ops that are silently skipped (stream continues) — drop_test.go / rename_test.go. */
   val SkippedOps: Seq[String] = Seq("drop", "rename", "dropDatabase")
 
-  /** Spark schema of the change-event envelope (SURVEY.md §1.3). */
+  /** Spark schema of the change-event envelope (SURVEY.md §1.3).
+    * `_id._data`/`operationType` are the hard CONTRACT fields
+    * (client.go:219-220) but the READ schema keeps them nullable: dirty
+    * rows must drop at the publishable filter, not crash the scan.
+    */
   val changeEventSchema: StructType = StructType(Seq(
     StructField("_id", StructType(Seq(
-      StructField("_data", StringType, nullable = false))), nullable = false),
-    StructField("operationType", StringType, nullable = false),
+      StructField("_data", StringType, nullable = true))), nullable = true),
+    StructField("operationType", StringType, nullable = true),
     StructField("clusterTime", TimestampType, nullable = true),
     StructField("wallTime", TimestampType, nullable = true),
     StructField("ns", StructType(Seq(

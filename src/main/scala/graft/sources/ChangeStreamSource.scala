@@ -340,12 +340,18 @@ final class ChangeStreamReader(p: ChangeStreamPartition)
         subfields.map(f => str(sub, f): Any).toArray)
     } else null
 
-  /** null ⇒ filtered out (token range or pushed op filter). */
+  /** null ⇒ filtered out (token range, pushed op filter, or a dirty row
+    * missing the token — unorderable, uncommittable, dropped like the
+    * reference's lookup-miss would be).
+    */
   private def convert(g: Group): InternalRow = {
+    if (g.getFieldRepetitionCount("_id") == 0) return null
     val idGroup = g.getGroup("_id", 0)
+    if (idGroup.getFieldRepetitionCount("_data") == 0) return null
     val token = idGroup.getString("_data", 0)
     if (token <= p.startToken) return null
     if (p.endToken.nonEmpty && token > p.endToken) return null
+    if (g.getFieldRepetitionCount("operationType") == 0) return null
     val op = g.getString("operationType", 0)
     if (p.opFilter.exists(!_.contains(op))) return null
     new GenericInternalRow(Array[Any](

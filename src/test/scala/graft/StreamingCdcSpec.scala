@@ -174,6 +174,24 @@ class StreamingCdcSpec extends SparkSuite {
     assert(spark.streams.active.isEmpty) // all siblings stopped (C4)
   }
 
+  test("malformed events (null operationType / null token) are dropped, " +
+      "never crash the stream") {
+    val root = tmp()
+    val c = cfg("s-malformed", root)
+    import org.apache.spark.sql.Row
+    val rows = java.util.Arrays.asList(
+      Row(Row("000001"), "insert", null, null, Row("db", "c"), null,
+        """{"_id":1}""", null, null),
+      Row(Row("000002"), null, null, null, null, null, null, null, null),
+      Row(Row("000003"), "update", null, null, null, null,
+        """{"_id":3}""", null, null))
+    spark.createDataFrame(rows, graft.model.Model.changeEventSchema)
+      .coalesce(1).write.mode("append").parquet(c.inputDir)
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    val ids = readMessages(c).select("msgId").as[String].collect().toSet
+    assert(ids == Set("000001", "000003")) // null op filtered, no crash
+  }
+
   test("D1/S4: ensureTable is idempotent; tableExists answers both ways " +
       "(client.go:146-175, startup_test.go:33-66)") {
     val root = tmp()
