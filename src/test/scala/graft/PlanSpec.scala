@@ -56,6 +56,15 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("semi/anti joins plan as LeftSemi/LeftAnti (no row multiplication)") {
+    val semi = planOf(AnalyticsQueries.queries("q4_order_priority")(
+      spark, sf("sf0.001")))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = planOf(AnalyticsQueries.queries("q_customers_no_orders")(
+      spark, sf("sf0.001")))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
   test("filters push down to the parquet scan (q6)") {
     val plan = planOf(AnalyticsQueries.queries("q6_forecast_revenue")(
       spark, sf("sf0.001")))
