@@ -34,11 +34,23 @@ object Connector {
       preAndPostImages = c.changeStreamPreAndPostImages,
       sourceFormat = "changestream") // the real S1 source (token offsets)
 
-  /** `Run()` (connector.go:125-186): provision + fan out + await. */
+  /** `Run()` (connector.go:125-186): assemble observability (step 3),
+    * provision + fan out + await (steps 4-5), tear down (step 6). The
+    * HTTP surface starts when the config carries a server addr, like the
+    * reference's server goroutine (connector.go:176-178).
+    */
   def run(spark: SparkSession, cfg: ConnectorConfig, dataRoot: String,
       availableNow: Boolean = false): Unit = {
     val streams = cfg.collections.map(ConnectorConfig.validate)
       .map(toStreamConfig(dataRoot, _))
-    StreamingCdc.runAll(spark, streams, availableNow)
+    val listener = Observability.attach(spark)
+    val http = Option(cfg.serverAddr).filter(_.nonEmpty)
+      .map(a => new HttpObservability(spark, listener, a))
+    http.foreach(_.start())
+    try StreamingCdc.runAll(spark, streams, availableNow)
+    finally { // C4 teardown (connector.go:180-198)
+      http.foreach(_.stop())
+      spark.streams.removeListener(listener)
+    }
   }
 }

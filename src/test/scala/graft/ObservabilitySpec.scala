@@ -53,6 +53,35 @@ class ObservabilitySpec extends SparkSuite {
       """{"status":"UP","components":{"mongo":{"status":"UP"},"nats":{"status":"DOWN"}}}""")
   }
 
+  test("K3/K4 HTTP surface: /healthz and /metrics serve the contracts " +
+      "(server.go:34-38, observability_test.go:35-63)") {
+    import graft.streaming.HttpObservability
+    val listener = Observability.attach(spark)
+    val srv = new HttpObservability(spark, listener)
+    val port = srv.start()
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val body = new String(
+          (if (code < 400) conn.getInputStream else conn.getErrorStream)
+            .readAllBytes())
+        (code, body)
+      }
+      val (hc, hb) = get("/healthz")
+      assert(hc == 200)
+      assert(hb.startsWith("""{"status":"UP","components":{"""), hb)
+      val (mc, mb) = get("/metrics")
+      assert(mc == 200)
+      assert(mb.contains(
+        "# TYPE connector_change_event_processing_duration_seconds histogram"))
+    } finally {
+      srv.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("K3: live queries appear as UP components") {
     val root = Files.createTempDirectory("graft-obs2").toString
     val c = StreamConfig("obs2", s"$root/in", s"$root/messages",
