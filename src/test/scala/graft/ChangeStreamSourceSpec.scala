@@ -108,6 +108,25 @@ class ChangeStreamSourceSpec extends SparkSuite {
     assert(batches == 4, s"expected 4 paced batches, got $batches")
   }
 
+  test("StreamingCdc restart over the changestream source resumes at " +
+      "the committed token — no loss, no duplicates") {
+    val root = Files.createTempDirectory("css").toString
+    val c = graft.streaming.StreamingCdc.StreamConfig(
+      "css-resume", s"$root/in", s"$root/messages", s"$root/tokens",
+      s"$root/ckpt", sourceFormat = "changestream")
+    write(c.inputDir, (1 to 25).map(ev(_, "insert")))
+    graft.streaming.StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    assert(spark.read.parquet(c.messagesDir).count() == 25)
+
+    write(c.inputDir, (26 to 40).map(ev(_, "update")))
+    graft.streaming.StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    val ids = spark.read.parquet(c.messagesDir)
+      .select("msgId").as[String].collect().sorted.toSeq
+    assert(ids == (1 to 40).map(i => f"$i%06d"))
+    assert(graft.streaming.StreamingCdc.latestToken(spark, c.tokensDir)
+      .contains("000040"))
+  }
+
   test("end-to-end through StreamingCdc with sourceFormat=changestream") {
     val root = Files.createTempDirectory("css").toString
     val c = graft.streaming.StreamingCdc.StreamConfig(
