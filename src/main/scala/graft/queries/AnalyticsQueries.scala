@@ -151,6 +151,25 @@ object AnalyticsQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey")).limit(20)
     }),
 
+    // TPC-H Q17 shape: correlated aggregate threshold — revenue from
+    // lineitems below 40% of their part's average quantity. The
+    // correlated scalar subquery decorrelates to a per-part aggregate
+    // joined back; parts are the small side at any scale of lineitem.
+    "q17_small_quantity" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val avgQty = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(avgQty.toDF("p_key", "avg_qty"),
+          col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.4)
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // Anti-join shape (the NOT EXISTS family): customers who never placed
     // a large order — the filter pushes into the anti side's scan
     "q_customers_no_orders" -> ((s, dir) =>
@@ -293,6 +312,17 @@ object AnalyticsQueries {
                 total_qty
          FROM orders JOIN big ON o_orderkey = l_orderkey
          ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+    "q17_small_quantity" ->
+      """WITH a AS (
+           SELECT l_partkey AS p_key,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*) AS avg_qty
+           FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS small_qty_revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN a ON l_partkey = p_key
+         WHERE l_quantity < avg_qty * 0.4""",
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment
          FROM customer
