@@ -75,6 +75,27 @@ object HashProperties extends Properties("graft.hashes") {
         java.lang.Long.bitCount(a ^ other) > 0)
     }
 
+  property("ToExtendedJson on plain-string structs matches a reference " +
+      "JSON library byte-for-byte") =
+    forAll(Gen.listOfN(3, Gen.zip(Gen.identifier, Gen.asciiPrintableStr))) {
+      fields =>
+        // distinct field names, none in the opaque/raw set
+        val fs = fields.zipWithIndex.map { case ((k, v), i) => (s"f${i}_$k", v) }
+        val schema = org.apache.spark.sql.types.StructType(fs.map { case (k, _) =>
+          org.apache.spark.sql.types.StructField(k,
+            org.apache.spark.sql.types.StringType)
+        })
+        val row = org.apache.spark.sql.catalyst.InternalRow
+          .fromSeq(fs.map { case (_, v) => utf8(v) })
+        val rendered = graft.functions.ToExtendedJson(
+          org.apache.spark.sql.catalyst.expressions.Literal(row, schema))
+          .renderForCodegen(row).toString
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.createObjectNode()
+        fs.foreach { case (k, v) => node.put(k, v) }
+        rendered == mapper.writeValueAsString(node)
+    }
+
   property("winnow fingerprints are a subset of all k-gram hashes and " +
       "stable under repetition") =
     forAll(Gen.alphaStr.suchThat(_.length >= 8)) { s =>
