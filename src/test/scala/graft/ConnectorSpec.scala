@@ -43,6 +43,30 @@ class ConnectorSpec extends SparkSuite {
       spark, s"$root/resume-tokens/orders-tokens").contains("000008"))
   }
 
+  test("CLI lifecycle: Main.runCli drives config -> provision -> publish " +
+      "from env alone (cmd/connector/main.go analog)") {
+    val root = Files.createTempDirectory("graft-cli").toString
+    val yaml =
+      s"""connector:
+         |  server:
+         |    addr: "127.0.0.1:0"
+         |  collections:
+         |    - dbName: shop
+         |      collName: carts
+         |""".stripMargin
+    val f = Files.createTempFile("cli", ".yaml")
+    Files.writeString(f, yaml)
+    (1 to 6).map(ev(_, "insert")).toDF().coalesce(1)
+      .write.mode("append").parquet(s"$root/shop/carts/changes")
+
+    Main.runCli(
+      env = Map("CONFIG_FILE" -> f.toString, "DATA_ROOT" -> root,
+        "RUN_AVAILABLE_NOW" -> "true"),
+      sparkBuilder = () => spark)
+    val msgs = spark.read.parquet(s"$root/streams/CARTS/messages")
+    assert(msgs.count() == 6)
+  }
+
   test("D2: preAndPostImages=false suppresses fullDocumentBeforeChange " +
       "(client.go:166-173, update_test.go:52-56)") {
     val root = Files.createTempDirectory("graft-d2").toString
