@@ -19,10 +19,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // one retry: a transient executor hiccup must not zero a query's
+      // correctness entry for the round
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name failed once: $e1 — retrying")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed: $e2")
+          e2.printStackTrace()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
