@@ -283,8 +283,8 @@ object AnalyticsQueries {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q12_priority_lines" ->
       """SELECT o_orderpriority,
-                SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_lines,
-                SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_lines
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines,
+                CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'

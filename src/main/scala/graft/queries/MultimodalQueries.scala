@@ -53,8 +53,8 @@ object MultimodalQueries {
     "mm_media_stats" ->
       """SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
                 COUNT(*) AS n_media,
-                SUM(octet_length(encode(text))) AS sum_bytes,
-                SUM(n_chars * 40) AS sum_duration_ms,
+                CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+                CAST(SUM(n_chars * 40) AS BIGINT) AS sum_duration_ms,
                 MAX(CAST(64 + (doc_id % 16) * 8 AS INT)) AS max_width
          FROM documents GROUP BY 1 ORDER BY kind""",
     "mm_media_catalog" ->

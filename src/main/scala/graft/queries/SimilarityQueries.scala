@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -37,6 +38,78 @@ object SimilarityQueries {
 
   private val NQueries = 10 // vec_id < 10 are the query vectors
   private val TopK = 5
+
+  /** Collected coarse quantizer: (cell, centroid, L2 norm), sorted by cell
+    * ascending so the assignment fold's strict `>` keeps the smallest cell
+    * on ties (the ORDER BY cos DESC, cell tie-break). Tiny by construction
+    * — n_cells × dim doubles is a model artifact, not data.
+    */
+  def ivfCentroids(emb: DataFrame): Array[(Long, Seq[Double], Double)] = emb
+    .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+    .groupBy(col("label"), col("p"))
+    .agg(avg(col("x").cast("double")).as("c"))
+    .groupBy(col("label"))
+    .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
+      .as("ce"))
+    .select(col("label").cast("long").as("cell"), col("ce"))
+    .collect()
+    .map { r =>
+      val ce = r.getSeq[Double](1)
+      (r.getLong(0), ce, math.sqrt(ce.map(x => x * x).sum))
+    }
+    .sortBy(_._1)
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+  private def rowNorm(e: Column): Column =
+    sqrt(aggregate(e, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  // cos(vector, centroid-struct) against the typedlit element
+  // struct<_1: cell, _2: centroid, _3: norm>
+  private def cosToCent(e: Column, nrmE: Column)(c: Column): Column =
+    dotCol(e, c.getField("_2")) / (nrmE * c.getField("_3"))
+
+  /** Nearest-cell assignment — a per-row argmax FOLD over the centroid
+    * literal: zero joins, zero shuffle, stays in whole-stage codegen
+    * (PlanSpec pins the no-Exchange plan). The centroid table rides in the
+    * closure as an array literal (a few KB). A cross join + row_number
+    * window here would shuffle an n_cells×-expanded corpus — 1 PB at
+    * 100 TB — just to argmax n_cells values per row.
+    */
+  def ivfAssign(emb: DataFrame,
+      centArr: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    val cents = typedlit(centArr.toSeq)
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm_e", rowNorm(col("embedding")))
+      .withColumn("cell", aggregate(cents,
+        struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("best")),
+        (acc, c) => {
+          val sc = cosToCent(col("embedding"), col("nrm_e"))(c)
+          when(sc > acc.getField("best"),
+            struct(c.getField("_1").as("cell"), sc.as("best")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cell")))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Query-side probe list: each query's `nprobe` nearest cells — top-n of
+    * the same tiny scored array, still per-row (sorting an n_cells array).
+    */
+  def ivfProbes(emb: DataFrame, centArr: Array[(Long, Seq[Double], Double)],
+      nprobe: Int): DataFrame = {
+    val cents = typedlit(centArr.toSeq)
+    emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("nrm_q", rowNorm(col("qe")))
+      .select(col("qid"), col("qe"),
+        explode(slice(sort_array(transform(cents, c =>
+          struct((-cosToCent(col("qe"), col("nrm_q"))(c)).as("neg"),
+            c.getField("_1").as("cell")))), 1, nprobe))
+          .as("pr"))
+      .select(col("qid"), col("qe"), col("pr.cell").as("cell"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k — the correctness baseline. Query set
@@ -91,39 +164,23 @@ object SimilarityQueries {
     // assigned to its nearest centroid, queries probe the nprobe=3
     // nearest cells and exact-rank only those candidates. At 100 TB the
     // corpus is PARTITIONED BY cell, so a probe reads 3/10 of the data —
-    // the scan pruning is the point of IVF. Rows-only (approximate);
-    // recall pinned by SimilaritySpec.
+    // the scan pruning is the point of IVF.
+    //
+    // The quantizer is TINY by construction (n_cells × dim doubles — a
+    // model artifact, not data), so assignment is a per-row argmax FOLD
+    // over the collected centroid literal: zero joins, zero shuffle, stays
+    // in whole-stage codegen. (The previous form cross-joined every corpus
+    // vector with the broadcast centroids and ranked with a row_number
+    // window — a full shuffle of the 10×-expanded corpus just to argmax 10
+    // values per row; at 100 TB that shuffle is 1 PB.) Rows-only
+    // (approximate); recall pinned by SimilaritySpec; the no-Exchange
+    // assignment plan is pinned by PlanSpec.
     "sim_knn_ivf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = load(s, dir, "embeddings")
-      // coarse quantizer: per-label mean vector (exact, tiny: 10 rows)
-      val cents = emb
-        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
-        .groupBy(col("label"), col("p"))
-        .agg(avg(col("x").cast("double")).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
-          .as("ce"))
-        .select(col("label").as("cell"), col("ce"))
-      // assign corpus vectors to their nearest cell (broadcast centroids)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_c").desc, col("cell"))
-      val assigned = emb.select(col("vec_id"), col("embedding"))
-        .join(broadcast(cents))
-        .withColumn("cos_c", expr(cosExpr("embedding", "ce")))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      // queries probe their nprobe nearest cells
-      val wProbe = Window.partitionBy(col("qid"))
-        .orderBy(col("cos_c").desc, col("cell"))
-      val probes = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .join(broadcast(cents))
-        .withColumn("cos_c", expr(cosExpr("qe", "ce")))
-        .withColumn("rk", row_number().over(wProbe))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("qe"), col("cell"))
+      val cents = ivfCentroids(emb)
+      val assigned = ivfAssign(emb, cents)
+      val probes = ivfProbes(emb, cents, nprobe = 3)
       // exact re-rank inside the probed cells only
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid"))
@@ -160,12 +217,19 @@ object SimilarityQueries {
       val q = sigs.filter(col("vec_id") < NQueries)
         .toDF("qid", "qe", "table_id", "bucket")
       val c = sigs.toDF("nid", "ne", "table_id", "bucket")
+      // Score BEFORE deduplicating: a pair colliding in k of the 4 tables
+      // computes the (codegen'd, map-side) dot product k times, but the
+      // dedup exchange then carries only (qid, nid, cos) — 24 bytes — with
+      // map-side partial agg, instead of shuffling 2×64 floats per
+      // candidate through a distinct. max(cos) is exact (the duplicates
+      // are identical).
       val cands = c.join(broadcast(q), Seq("table_id", "bucket"))
         .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("qe"), col("nid"), col("ne")).distinct()
+        .withColumn("cos", round(expr(cosExpr("qe", "ne")), 6))
+        .groupBy(col("qid"), col("nid")).agg(max(col("cos")).as("cos"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid"))
-      cands.withColumn("cos", round(expr(cosExpr("qe", "ne")), 6))
+      cands
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("rank"), col("nid"), col("cos"))

@@ -105,4 +105,54 @@ class DedupSimilaritySpec extends SparkSuite {
     val groups = DedupQueries.queries("dedup_exact_groups")(spark, dir)
     assert(groups.agg(sum("n_dups")).head.getLong(0) == docs.count())
   }
+
+  test("degenerate corpus (1.2k identical docs): candidate generation " +
+      "stays bounded, small buckets still pair") {
+    // The INPUT of a dedup pipeline is duplicate-heavy by definition: every
+    // copy of a boilerplate doc lands in the same band bucket in every
+    // band/table. The bucket caps must drop that monster bucket (its pairs
+    // belong to exact dedup, which handles them in linear time) while the
+    // genuinely-near pair in its own small bucket is still found.
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-degenerate").toString
+    val boiler = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua")
+    // the small-bucket pair is an exact duplicate: deterministically lands
+    // in a 2-doc bucket in EVERY band (near-recall rates are pinned by the
+    // other tests; this one pins the cap's drop/keep boundary)
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (0L until 1200L).map(i => (i, boiler)) ++
+      Seq((2000L, small), (2001L, small))
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val base = Array.fill(64)(0.01f)
+    val clusterVec = base.updated(0, 1.0f)
+    val nearA = base.updated(32, 1.0f)
+    val nearB = base.updated(32, 1.0f).updated(33, 0.2f)
+    val vecs = (0L until 1200L).map(i => (i, clusterVec.toSeq, 0)) ++
+      Seq((2000L, nearA.toSeq, 1), (2001L, nearB.toSeq, 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    try {
+      for (q <- Seq("dedup_minhash_pairs", "dedup_simhash_pairs")) {
+        val pairs = DedupQueries.queries(q)(spark, tmp)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        // no quadratic explode of the 1200-doc cluster...
+        assert(!pairs.exists(p => p._1 < 1200 && p._2 < 1200),
+          s"$q emitted cluster pairs — over-full bucket not dropped")
+        // ...but the near-dup pair in its own bucket is still found
+        assert(pairs.contains((2000L, 2001L)), s"$q lost the small bucket")
+      }
+      val embPairs = DedupQueries.queries("dedup_embedding_near")(spark, tmp)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(!embPairs.exists(p => p._1 < 1200 && p._2 < 1200),
+        "embedding near-dup emitted cluster pairs")
+      assert(embPairs.contains((2000L, 2001L)),
+        "embedding near-dup lost the small-bucket pair")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }

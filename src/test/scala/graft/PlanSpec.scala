@@ -96,4 +96,15 @@ class PlanSpec extends SparkSuite {
     // `*(n)` prefixes mark whole-stage-codegen'd operators in toString
     assert(planOf(df).contains("*(1) Project"), planOf(df))
   }
+
+  test("IVF cell assignment is a per-row fold: no Exchange, no join") {
+    import graft.queries.SimilarityQueries
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val cents = SimilarityQueries.ivfCentroids(emb)
+    val plan = planOf(SimilarityQueries.ivfAssign(emb, cents))
+    assert(!plan.contains("Exchange"),
+      s"IVF assignment must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"),
+      s"IVF assignment must not join the centroid table:\n$plan")
+  }
 }
