@@ -36,8 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => TextHashes.minHashSigBuilder(es)))
     ext.injectFunction((FunctionIdentifier("to_extended_json"),
       info("to_extended_json",
         "to_extended_json(struct) - relaxed MongoDB Extended JSON"),

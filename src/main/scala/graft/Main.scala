@@ -36,6 +36,7 @@ object Main {
   private def defaultSession(): SparkSession =
     SparkSession.builder()
       .appName("graft-connector")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
 

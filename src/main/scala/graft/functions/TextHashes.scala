@@ -204,6 +204,23 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
 object TextHashes {
   import org.apache.spark.sql.SparkSession
 
+  /** Validated builder for `minhash_sig(arr, k)`: k must be a foldable
+    * integral literal (it sizes the signature at plan time). Without the
+    * checks, one argument threw IndexOutOfBounds and a non-literal k threw
+    * NPE/ClassCast from inside the registry instead of a usable error.
+    */
+  def minHashSigBuilder(es: Seq[Expression]): Expression = {
+    def bad(why: String) = throw new IllegalArgumentException(
+      s"minhash_sig(array<string>, k): $why; usage: minhash_sig(tokens, 32) " +
+        "where k is an integer literal")
+    if (es.length != 2) bad(s"expected 2 arguments, got ${es.length}")
+    if (!es(1).foldable) bad("k must be a literal (foldable) expression")
+    es(1).eval() match {
+      case n: java.lang.Number => MinHashSig(es.head, n.intValue())
+      case other => bad(s"k must be integral, got $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // Spark 4.1.2 validates the source tag: must be "built-in".
@@ -213,7 +230,6 @@ object TextHashes {
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      minHashSigBuilder, "built-in")
   }
 }

@@ -128,7 +128,6 @@ object DedupQueries {
     // compact (band, bkey) longs, pairs + estimates come from each
     // bucket's list. Engine-specific hashes ⇒ rows-only check.
     "dedup_minhash_pairs" -> ((s, dir) => {
-      TextHashes.register(s)
       val bands = load(s, dir, "documents")
         .select(col("doc_id"), expr(s"minhash_sig($shingles, 32)").as("sig"))
         .select(col("doc_id"), col("sig"),
@@ -222,7 +221,6 @@ object DedupQueries {
     // than the full shingle index — the cheap first-pass at 100 TB.
     // Engine-specific hashes ⇒ rows-only check.
     "dedup_winnow_pairs" -> ((s, dir) => {
-      TextHashes.register(s)
       val fp = load(s, dir, "documents")
         .select(col("doc_id"),
           explode(expr("winnow_fingerprint(text)")).as("f"))
@@ -252,7 +250,6 @@ object DedupQueries {
     // exploded quadratically; its pairs are recovered by the other 3
     // bands. Rows-only check; recall pinned in DedupSimilaritySpec.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      TextHashes.register(s)
       val bands = load(s, dir, "documents")
         .select(col("doc_id"), expr(s"simhash64($toks)").as("sh"))
         .select(col("doc_id"), col("sh"),

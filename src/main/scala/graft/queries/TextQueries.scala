@@ -102,7 +102,6 @@ object TextQueries {
     // Document fingerprinting via native Catalyst expressions (FNV-64 +
     // winnowing) — hash functions are engine-specific ⇒ rows-only check
     "text_fingerprint" -> ((s, dir) => {
-      TextHashes.register(s)
       load(s, dir, "documents").select(
         col("doc_id"),
         expr("fnv64(text)").as("fp64"),

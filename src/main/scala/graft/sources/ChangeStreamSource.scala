@@ -130,10 +130,14 @@ object ChangeStreamFiles {
       path: String, minToken: String, maxToken: String, rows: Long)
 
   /** Footer-stat scan of the directory: one (min,max) token range per
-    * file. Stats are cached by (path, length, modTime).
+    * file. Cached by path with (length, modTime) as a validity stamp — a
+    * rewritten/compacted file REPLACES its entry instead of adding a new
+    * permanent one, and entries for deleted files are pruned per listing,
+    * so a long-running driver's cache stays bounded by the live file set.
     */
+  private final case class CachedRange(len: Long, modTime: Long, range: FileRange)
   private val statCache =
-    new java.util.concurrent.ConcurrentHashMap[String, FileRange]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedRange]()
 
   def listRanges(dir: String, conf: Configuration): Seq[FileRange] = {
     val p = new Path(dir)
@@ -141,13 +145,23 @@ object ChangeStreamFiles {
     if (!fs.exists(p)) return Seq.empty
     val files: Seq[FileStatus] = fs.listStatus(p).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val live = files.map(_.getPath.toString).toSet
+    val dirPrefix = fs.makeQualified(p).toString + "/"
+    statCache.keySet.removeIf(k =>
+      k.startsWith(dirPrefix) && !live.contains(k))
     files.flatMap { f =>
-      val key = s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
-      Option(statCache.get(key)).orElse {
-        val r = readRange(f.getPath, conf)
-        r.foreach(statCache.put(key, _))
-        r
-      }
+      val key = f.getPath.toString
+      Option(statCache.get(key))
+        .collect {
+          case c if c.len == f.getLen &&
+            c.modTime == f.getModificationTime => c.range
+        }
+        .orElse {
+          val r = readRange(f.getPath, conf)
+          r.foreach(r0 => statCache.put(key,
+            CachedRange(f.getLen, f.getModificationTime, r0)))
+          r
+        }
     }.sortBy(r => (r.minToken, r.path))
   }
 
@@ -215,17 +229,22 @@ final class ChangeStreamMicroBatch(path: String, opFilter: Option[Set[String]],
       .filter(_.maxToken > s)
       .filter(r => availableNowBound.forall(b => r.minToken <= b))
     if (pending.isEmpty) return start
-    limit match {
+    val end = limit match {
       case mr: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         var budget = mr.maxRows()
-        var end = ""
-        for (r <- pending if budget > 0 || end.isEmpty) {
-          end = if (end.isEmpty || r.maxToken > end) r.maxToken else end
+        var e = ""
+        for (r <- pending if budget > 0 || e.isEmpty) {
+          e = if (e.isEmpty || r.maxToken > e) r.maxToken else e
           budget -= r.rows
         }
-        TokenOffset(end)
-      case _ => TokenOffset(pending.map(_.maxToken).max)
+        e
+      case _ => pending.map(_.maxToken).max
     }
+    // AvailableNow must not overshoot the bound frozen at query start:
+    // admitted files are whole, so a file's maxToken can exceed it (rows
+    // written after start). Clamp — the per-row endToken check in
+    // ChangeStreamReader makes the clamped range exact.
+    TokenOffset(availableNowBound.filter(_ < end).getOrElse(end))
   }
 
   override def deserializeOffset(json: String): Offset =

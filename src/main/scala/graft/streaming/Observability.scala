@@ -28,6 +28,72 @@ object Observability {
   val DurationBuckets: Seq[Double] =
     Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
 
+  /** K4 — storage-command metrics, the engine analog of the reference's
+    * MongoDB command monitor (internal/mongo/client.go:83-126 feeding
+    * prometheus.go:44-90): every storage "command" the runtime issues
+    * (batch scan, messages append, tokens append/read) increments
+    * started/succeeded/failed counters and a duration histogram, labeled
+    * {database, command} exactly like the reference. Plus the per-subject
+    * publish-duration histogram (nats_message_duration_seconds,
+    * prometheus.go:112-119, timed at internal/nats/client.go:121-127) —
+    * at batch granularity, observed once per subject present in the batch.
+    */
+  object CommandMetrics {
+    import java.util.concurrent.atomic.{AtomicLongArray, DoubleAdder, LongAdder}
+
+    final case class Key(database: String, command: String)
+
+    /** Cumulative-bucket histogram (prometheus exposition semantics). */
+    final class Histo {
+      val buckets = new AtomicLongArray(DurationBuckets.length + 1)
+      val sum = new DoubleAdder
+      val count = new LongAdder
+      def observe(sec: Double): Unit = {
+        var i = 0
+        while (i < DurationBuckets.length) {
+          if (sec <= DurationBuckets(i)) buckets.incrementAndGet(i)
+          i += 1
+        }
+        buckets.incrementAndGet(DurationBuckets.length) // +Inf
+        sum.add(sec)
+        count.increment()
+      }
+    }
+
+    private[streaming] val started = new ConcurrentHashMap[Key, LongAdder]
+    private[streaming] val succeeded = new ConcurrentHashMap[Key, LongAdder]
+    private[streaming] val failed = new ConcurrentHashMap[Key, LongAdder]
+    private[streaming] val durations = new ConcurrentHashMap[Key, Histo]
+    private[streaming] val natsDurations = new ConcurrentHashMap[String, Histo]
+
+    /** Time one storage command — the CommandStarted/Succeeded/Failed
+      * monitor events. Duration is observed on success AND failure, like
+      * ObserveMongoCmdSucceeded/Failed (prometheus.go:76-90).
+      */
+    def time[T](database: String, command: String)(f: => T): T = {
+      val k = Key(database, command)
+      started.computeIfAbsent(k, _ => new LongAdder).increment()
+      val t0 = System.nanoTime()
+      try {
+        val r = f
+        succeeded.computeIfAbsent(k, _ => new LongAdder).increment()
+        durations.computeIfAbsent(k, _ => new Histo)
+          .observe((System.nanoTime() - t0) / 1e9)
+        r
+      } catch {
+        case e: Throwable =>
+          failed.computeIfAbsent(k, _ => new LongAdder).increment()
+          durations.computeIfAbsent(k, _ => new Histo)
+            .observe((System.nanoTime() - t0) / 1e9)
+          throw e
+      }
+    }
+
+    /** Per-subject publish duration (nats_message_duration_seconds). */
+    def observePublish(subject: String, sec: Double): Unit =
+      natsDurations.computeIfAbsent(subject, _ => new Histo).observe(sec)
+  }
+
   final case class QueryStats(
       collection: String,
       batches: Long,
@@ -45,11 +111,18 @@ object Observability {
   /** K4 — collects per-query progress into the metric registry. */
   final class MetricsListener extends StreamingQueryListener {
     private val stats = new ConcurrentHashMap[String, QueryStats]()
+    // id → name: QueryTerminatedEvent carries only the id, but stats are
+    // keyed by name — without this map, failure counts would land under a
+    // key nothing reads and report 0 forever.
+    private val idToName = new ConcurrentHashMap[String, String]()
 
-    override def onQueryStarted(e: QueryStartedEvent): Unit =
-      stats.putIfAbsent(e.name,
-        QueryStats(e.name, 0L, 0L, 0L,
+    override def onQueryStarted(e: QueryStartedEvent): Unit = {
+      val name = Option(e.name).getOrElse(e.id.toString) // unnamed-safe
+      idToName.put(e.id.toString, name)
+      stats.putIfAbsent(name,
+        QueryStats(name, 0L, 0L, 0L,
           Seq.fill(DurationBuckets.length + 1)(0L), 0.0))
+    }
 
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val p = e.progress
@@ -74,7 +147,8 @@ object Observability {
 
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
       e.exception.foreach { _ =>
-        stats.computeIfPresent(e.id.toString,
+        val name = idToName.getOrDefault(e.id.toString, e.id.toString)
+        stats.computeIfPresent(name,
           (_, s) => s.copy(failures = s.failures + 1))
       }
 
@@ -96,7 +170,55 @@ object Observability {
         sb ++= s"""nats_messages_published_total{collection="${s.collection}"} ${s.eventsPublished}""" + "\n"
         sb ++= s"""nats_messages_failed_total{collection="${s.collection}"} ${s.failures}""" + "\n"
       }
+      renderCommandMetrics(sb)
       sb.result()
+    }
+
+    /** mongodb_command_* + nats_message_duration_seconds families
+      * (prometheus.go:44-90, :112-119) from the CommandMetrics registry.
+      */
+    private def renderCommandMetrics(sb: StringBuilder): Unit = {
+      import CommandMetrics._
+      val le = DurationBuckets.map(_.toString) :+ "+Inf"
+      def lbl(k: Key) = s"""database="${k.database}",command="${k.command}""""
+      def counters(fam: String, help: String,
+          m: ConcurrentHashMap[Key, java.util.concurrent.atomic.LongAdder]): Unit =
+        if (!m.isEmpty) {
+          sb ++= s"# HELP $fam $help\n# TYPE $fam counter\n"
+          m.asScala.toSeq.sortBy(e => (e._1.database, e._1.command)).foreach {
+            case (k, v) => sb ++= s"$fam{${lbl(k)}} ${v.sum()}" + "\n"
+          }
+        }
+      counters("mongodb_commands_started_total",
+        "Total number of started commands.", started)
+      counters("mongodb_commands_succeeded_total",
+        "Total number of succeeded commands.", succeeded)
+      counters("mongodb_commands_failed_total",
+        "Total number of failed commands.", failed)
+      if (!durations.isEmpty) {
+        sb ++= "# HELP mongodb_command_duration_seconds Duration of " +
+          "commands in seconds.\n" +
+          "# TYPE mongodb_command_duration_seconds histogram\n"
+        durations.asScala.toSeq.sortBy(e => (e._1.database, e._1.command))
+          .foreach { case (k, h) =>
+            le.zipWithIndex.foreach { case (b, i) =>
+              sb ++= s"""mongodb_command_duration_seconds_bucket{${lbl(k)},le="$b"} ${h.buckets.get(i)}""" + "\n"
+            }
+            sb ++= s"mongodb_command_duration_seconds_sum{${lbl(k)}} ${h.sum.sum()}\n"
+            sb ++= s"mongodb_command_duration_seconds_count{${lbl(k)}} ${h.count.sum()}\n"
+          }
+      }
+      if (!natsDurations.isEmpty) {
+        sb ++= "# HELP nats_message_duration_seconds Duration of messages " +
+          "in seconds.\n# TYPE nats_message_duration_seconds histogram\n"
+        natsDurations.asScala.toSeq.sortBy(_._1).foreach { case (subj, h) =>
+          le.zipWithIndex.foreach { case (b, i) =>
+            sb ++= s"""nats_message_duration_seconds_bucket{subject="$subj",le="$b"} ${h.buckets.get(i)}""" + "\n"
+          }
+          sb ++= s"""nats_message_duration_seconds_sum{subject="$subj"} ${h.sum.sum()}""" + "\n"
+          sb ++= s"""nats_message_duration_seconds_count{subject="$subj"} ${h.count.sum()}""" + "\n"
+        }
+      }
     }
   }
 

@@ -90,6 +90,16 @@ object StreamingCdc {
   def wasInvalidated(name: String): Boolean =
     invalidated.getOrDefault(name, false)
 
+  /** Fault-injection seam (the test/faultinjection layer's analog,
+    * restart_mongo_test.go / restart_nats_test.go): invoked between
+    * publish (K1) and token commit (K2) — the at-least-once window.
+    * Throwing here simulates a storage blip after the publish landed but
+    * before the commit point; replay must re-publish (observable
+    * duplicates) and converge. No-op in production.
+    */
+  @volatile private[graft]
+  var faultpoint: (String, Long) => Unit = (_, _) => ()
+
   /** S2 — latest committed token: max_by over the tokens table. */
   def latestToken(spark: SparkSession, tokensDir: String): Option[String] = {
     val t = spark.read.parquet(tokensDir)
@@ -97,10 +107,27 @@ object StreamingCdc {
     else Option(t.agg(expr("max_by(value, batch_id)")).head.getString(0))
   }
 
-  /** Committed batch ids — the idempotence ledger for replay skips. */
-  private def committedBatches(spark: SparkSession, tokensDir: String): Set[Long] =
-    spark.read.parquet(tokensDir).select("batch_id")
-      .collect().map(_.getLong(0)).toSet
+  /** Committed batch ids — the idempotence ledger for replay skips.
+    *
+    * Seeded from the tokens table ONCE per run (start() drops the cache
+    * entry), then maintained in memory: the ledger is append-only from
+    * this process, so re-reading and collecting the whole table every
+    * micro-batch would be O(ledger) driver work per trigger — quadratic
+    * over an uncapped stream's lifetime. Trimming only removes OLD ids
+    * from disk; the in-memory superset stays correct for membership.
+    */
+  private val ledgerCache =
+    new ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
+
+  private def committedBatches(
+      spark: SparkSession, cfg: StreamConfig): java.util.Set[java.lang.Long] =
+    ledgerCache.computeIfAbsent(cfg.tokensDir, _ =>
+      Observability.CommandMetrics.time(cfg.name, "tokens_read") {
+        val s = ConcurrentHashMap.newKeySet[java.lang.Long]()
+        spark.read.parquet(cfg.tokensDir).select("batch_id")
+          .collect().foreach(r => s.add(r.getLong(0)))
+        s
+      })
 
   /** One micro-batch: truncate at invalidate (F2), publish (K1), then
     * commit the token (K2). Mirrors the reference's per-event loop
@@ -111,7 +138,7 @@ object StreamingCdc {
     val spark = batch.sparkSession
     if (wasInvalidated(cfg.name)) return
     // C2/C3 replay: skip batches whose token commit already landed.
-    if (committedBatches(spark, cfg.tokensDir).contains(batchId)) return
+    if (committedBatches(spark, cfg).contains(batchId)) return
 
     // Cache the micro-batch: several actions follow (invalidate probe,
     // publish, token stats) and an uncached batch would re-execute the
@@ -124,7 +151,11 @@ object StreamingCdc {
   private def processCachedBatch(
       cfg: StreamConfig, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val sawInvalidate = CdcPipeline.containsInvalidate(batch)
+    import Observability.CommandMetrics
+    // first action on the cached batch — the source-scan "command"
+    val sawInvalidate = CommandMetrics.time(cfg.name, "scan") {
+      CdcPipeline.containsInvalidate(batch)
+    }
     val truncated =
       if (sawInvalidate) CdcPipeline.truncateAtInvalidate(batch) else batch
     // D2 — pre/post images disabled ⇒ the source never delivers pre-images.
@@ -145,7 +176,18 @@ object StreamingCdc {
     try {
       // K1 — publish. Crash after this but before the token append ⇒ the
       // replayed batch re-publishes: the reference's duplicate window.
-      msgs.write.mode("append").parquet(cfg.messagesDir)
+      val t0 = System.nanoTime()
+      CommandMetrics.time(cfg.name, "messages_append") {
+        msgs.write.mode("append").parquet(cfg.messagesDir)
+      }
+      // nats_message_duration_seconds analog at batch granularity: the
+      // publish duration, observed once per subject present in the batch
+      // (subjects per collection are bounded by the operation-type set).
+      val pubSec = (System.nanoTime() - t0) / 1e9
+      msgs.select(col("subject")).distinct().collect()
+        .foreach(r => CommandMetrics.observePublish(r.getString(0), pubSec))
+
+      faultpoint(cfg.name, batchId)
 
       // K2 — token commit point (one pass over the cached batch).
       val stats = msgs.agg(max(col("msgId")), count(lit(1))).head
@@ -153,7 +195,10 @@ object StreamingCdc {
         java.util.List.of[org.apache.spark.sql.Row](
           org.apache.spark.sql.Row(batchId, stats.getString(0), stats.getLong(1))),
         tokenSchema)
-      committed.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
+      CommandMetrics.time(cfg.name, "tokens_append") {
+        committed.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
+      }
+      committedBatches(spark, cfg).add(batchId)
       if (cfg.tokensCapped) trimTokens(spark, cfg)
       publishedTotal.merge(cfg.name, stats.getLong(1),
         (a, b) => a + b) // K4 counter
@@ -165,15 +210,29 @@ object StreamingCdc {
   /** D1 capped-collection analog: keep only the newest tokensMaxRows rows.
     * Both capped and uncapped converge to the same latestToken answer
     * (mirrors the dual-run acceptance tests, insert_test.go:55-61).
+    *
+    * Crash-safe compaction (the tokens table is the COMMIT POINT — an
+    * `overwrite` here could lose the ledger if the process dies between
+    * delete and write): append the kept rows as a NEW file first, only
+    * then delete the pre-existing files. A crash in between leaves the
+    * kept rows duplicated next to the old files — `latestToken`
+    * (max_by) and the ledger (set membership) are insensitive to
+    * duplicates, and the next trim converges the row count.
     */
-  private def trimTokens(spark: SparkSession, cfg: StreamConfig): Unit = {
+  private[graft] def trimTokens(spark: SparkSession, cfg: StreamConfig): Unit = {
     val t = spark.read.parquet(cfg.tokensDir)
     if (t.count() > cfg.tokensMaxRows) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(cfg.tokensDir)
+      val fs = dir.getFileSystem(hconf)
+      val oldFiles = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("part-"))
       val keep = t.orderBy(col("batch_id").desc).limit(cfg.tokensMaxRows)
         .collect()
       val kept = spark.createDataFrame(
         java.util.Arrays.asList(keep: _*), tokenSchema)
-      kept.coalesce(1).write.mode("overwrite").parquet(cfg.tokensDir)
+      kept.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
+      oldFiles.foreach(p => fs.delete(p, false))
     }
   }
 
@@ -185,6 +244,9 @@ object StreamingCdc {
     Ddl.ensureTable(spark, cfg.messagesDir, messagesSchema)
     Ddl.ensureTable(spark, cfg.tokensDir, tokenSchema)
     invalidated.remove(cfg.name)
+    // Re-seed the ledger cache from disk at (re)start: another process may
+    // have committed since, and tests recreate dirs at the same path.
+    ledgerCache.remove(cfg.tokensDir)
     val src =
       if (cfg.sourceFormat == "changestream")
         spark.readStream

@@ -38,9 +38,48 @@ class ObservabilitySpec extends SparkSuite {
         "connector_change_event_processing_duration_seconds_bucket"))
       assert(text.contains("""collection="obs1""""))
       assert(text.contains("nats_messages_published_total"))
+      // storage-command families (prometheus.go:44-90 parity): every
+      // command the runtime issued appears under {database, command}
+      assert(text.contains(
+        """mongodb_commands_started_total{database="obs1",command="messages_append"}"""))
+      assert(text.contains(
+        """mongodb_commands_succeeded_total{database="obs1",command="tokens_append"}"""))
+      assert(text.contains(
+        """mongodb_command_duration_seconds_bucket{database="obs1",command="scan",le="+Inf"}"""))
+      assert(text.contains(
+        """mongodb_command_duration_seconds_count{database="obs1",command="tokens_read"}"""))
+      // per-subject publish-duration histogram (prometheus.go:112-119)
+      assert(text.contains(
+        """nats_message_duration_seconds_bucket{subject="OBS1.insert",le="+Inf"}"""))
+      assert(text.contains(
+        """nats_message_duration_seconds_count{subject="OBS1.insert"}"""))
       val mf = Observability.metricsFrame(spark, listener)
       assert(mf.filter(mf("collection") === "obs1").head()
         .getAs[Long]("events_published") == 30)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("K4: a failed query increments nats_messages_failed_total under " +
+      "its NAME (terminated events carry only the id)") {
+    val root = Files.createTempDirectory("graft-obs-fail").toString
+    val c = StreamConfig("obsfail", s"$root/in", s"$root/messages",
+      s"$root/tokens", s"$root/ckpt")
+    new java.io.File(s"$root/in").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$root/in/junk.parquet"), "not parquet")
+    val listener = Observability.attach(spark)
+    try {
+      intercept[Exception] {
+        StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+      }
+      // the listener bus delivers terminated events asynchronously
+      val want = """nats_messages_failed_total{collection="obsfail"} 1"""
+      var tries = 0
+      while (tries < 100 && !listener.renderPrometheus().contains(want)) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(listener.renderPrometheus().contains(want),
+        listener.renderPrometheus())
     } finally spark.streams.removeListener(listener)
   }
 

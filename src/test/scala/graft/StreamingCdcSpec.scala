@@ -192,6 +192,66 @@ class StreamingCdcSpec extends SparkSuite {
     assert(ids == Set("000001", "000003")) // null op filtered, no crash
   }
 
+  test("fault injection: transient failure between publish and token " +
+      "commit — replay re-publishes, dedup restores the 100-event " +
+      "invariant (restart_mongo/nats_test.go:30-38 analog)") {
+    val root = tmp()
+    val c = cfg("s-fault", root)
+    writeBatchFile(c.inputDir, (1 to 50).map(ev(_, "insert")))
+    writeBatchFile(c.inputDir, (51 to 100).map(ev(_, "insert")))
+    // one-shot storage blip on the SECOND batch, after its publish landed
+    val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    StreamingCdc.faultpoint = (_, batchId) =>
+      if (batchId == 1 && tripped.compareAndSet(false, true))
+        throw new java.io.IOException("injected: storage blip before commit")
+    try {
+      intercept[Exception] {
+        StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+      }
+      // batch 0 committed; batch 1 published but uncommitted
+      assert(spark.read.parquet(c.tokensDir).count() == 1)
+      assert(readMessages(c).count() == 100)
+      // recovery run: checkpoint replays batch 1 (its token never landed)
+      StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    } finally StreamingCdc.faultpoint = (_, _) => ()
+
+    val raw = readMessages(c)
+    assert(raw.count() == 150) // the duplicate window is observable
+    val deduped = CdcPipeline.dedupByMsgId(raw.drop("batch_id"))
+    assert(deduped.count() == 100)
+    assert(deduped.select("msgId").as[String].collect().toSet ==
+      (1 to 100).map(i => f"$i%06d").toSet)
+    assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000100"))
+  }
+
+  test("D1: a trim interrupted before old-file deletion still recovers " +
+      "latestToken and converges on the next trim") {
+    val root = tmp()
+    val c = cfg("s-trim", root).copy(tokensCapped = true, tokensMaxRows = 2)
+    // full 6-batch ledger, one file per commit (as the runtime writes it)
+    (0 until 6).foreach { b =>
+      spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(b.toLong, f"${(b + 1) * 10}%06d", 10L)),
+        StreamingCdc.tokenSchema)
+        .coalesce(1).write.mode("append").parquet(c.tokensDir)
+    }
+    // simulate the crash window: compacted (kept) rows were appended but
+    // the old files were NOT yet deleted — rows are duplicated
+    val keep = spark.read.parquet(c.tokensDir)
+      .orderBy(col("batch_id").desc).limit(2).collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(keep: _*), StreamingCdc.tokenSchema)
+      .coalesce(1).write.mode("append").parquet(c.tokensDir)
+    assert(spark.read.parquet(c.tokensDir).count() == 8)
+    // the commit point survives: max_by is insensitive to duplicates
+    assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000060"))
+    // the next trim converges the row count without losing the token
+    StreamingCdc.trimTokens(spark, c)
+    assert(spark.read.parquet(c.tokensDir).count() <= 2)
+    assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000060"))
+  }
+
   test("D1/S4: ensureTable is idempotent; tableExists answers both ways " +
       "(client.go:146-175, startup_test.go:33-66)") {
     val root = tmp()

@@ -73,4 +73,18 @@ class TextHashesSpec extends SparkSuite {
     }
     assert(err.getMessage.toLowerCase.contains("fnv64"))
   }
+
+  test("minhash_sig argument validation: wrong arity / non-literal k " +
+      "raise a usable error, not IndexOutOfBounds/NPE") {
+    TextHashes.register(spark)
+    val df = Seq("a b c").toDF("text")
+    val arity = intercept[Exception] {
+      df.select(expr("minhash_sig(split(text, ' '))")).collect()
+    }
+    assert(arity.getMessage.contains("minhash_sig"), arity.getMessage)
+    val nonLiteral = intercept[Exception] {
+      df.select(expr("minhash_sig(split(text, ' '), length(text))")).collect()
+    }
+    assert(nonLiteral.getMessage.contains("literal"), nonLiteral.getMessage)
+  }
 }
