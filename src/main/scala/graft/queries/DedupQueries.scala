@@ -92,8 +92,15 @@ object DedupQueries {
       // that references the shingle expression after the Generate
       // recomputes the whole array per emitted row (O(shingles²)/doc).
       // One scan feeds the postings; sizes re-aggregate those longs.
+      //
+      // Postings key = xxhash64(shingle), not the string (A/B at sf0.1:
+      // 5.3 s vs 6.8 s): the index exchange carries 8-byte longs instead
+      // of ~25-byte strings. Intersection counts are unchanged modulo
+      // 2⁻⁶⁴-scale hash collisions (the df-cap groups identically — the
+      // hash is injective on any realistic shingle vocabulary).
       val ex = load(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(shingles)).as("s"))
+        .select(col("doc_id"),
+          explode(expr(s"transform($shingles, v -> xxhash64(v))")).as("s"))
       val buckets = ex.groupBy(col("s"))
         .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
         .filter(size(col("ds")) <= DfCap)
@@ -127,6 +134,13 @@ object DedupQueries {
     // on both sides and shuffled full signatures twice), buckets group on
     // compact (band, bkey) longs, pairs + estimates come from each
     // bucket's list. Engine-specific hashes ⇒ rows-only check.
+    //
+    // A/B-measured (sf0.1, local[32], 3 runs): carrying the 32-long sig
+    // through the band exchange (this form, ~4.3 s) beats banding on ids
+    // only and re-joining sigs for the estimate (~8.1 s) — the join
+    // variant recomputes MinHashSig on both join sides (lambda subtrees
+    // never ReuseExchange), and that CPU dwarfs the signature bytes saved
+    // from the shuffle at any SF where compute ∝ shuffle volume.
     "dedup_minhash_pairs" -> ((s, dir) => {
       val bands = load(s, dir, "documents")
         .select(col("doc_id"), expr(s"minhash_sig($shingles, 32)").as("sig"))

@@ -86,6 +86,43 @@ class ChangeStreamSourceSpec extends SparkSuite {
     assert(parts.length == 1, s"expected file A pruned, got ${parts.length}")
   }
 
+  test("AvailableNow bound: files written after query start are not " +
+      "admitted past the frozen bound (end offset clamped)") {
+    val dir = Files.createTempDirectory("css").toString + "/in"
+    write(dir, (1 to 5).map(ev(_, "insert")))
+    val mb = new graft.sources.ChangeStreamMicroBatch(dir, None)
+    mb.prepareForTriggerAvailableNow() // bound frozen at 000005
+    // rows land AFTER query start, in a file overlapping the bound
+    write(dir, (6 to 9).map(ev(_, "insert")))
+    val end = mb.latestOffset(graft.sources.TokenOffset(""),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(end.asInstanceOf[graft.sources.TokenOffset].token == "000005",
+      s"end offset must clamp to the frozen bound, got $end")
+  }
+
+  test("footer-stat cache: a rewritten file replaces its entry (fresh " +
+      "stats, no unbounded growth)") {
+    val root = Files.createTempDirectory("css").toString
+    val dir = s"$root/in"
+    write(dir, (1 to 5).map(ev(_, "insert")))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val before = graft.sources.ChangeStreamFiles.listRanges(dir, conf)
+    assert(before.map(_.maxToken).max == "000005")
+    // rewrite the directory in place (compaction analog): same path set,
+    // different contents — the cache must serve the NEW stats
+    val tmp = s"$root/rewrite"
+    (11 to 19).map(ev(_, "insert")).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
+    val after = graft.sources.ChangeStreamFiles.listRanges(dir, conf)
+    assert(after.map(_.maxToken).max == "000019",
+      s"stale cached stats served after rewrite: $after")
+  }
+
   test("admission control: maxRowsPerTrigger paces batches by footer " +
       "row counts (the micro-batch backpressure knob)") {
     val root = Files.createTempDirectory("css").toString
