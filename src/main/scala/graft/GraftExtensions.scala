@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig",
         "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
       (es: Seq[Expression]) => TextHashes.minHashSigBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(array<float|double>, nTables, nPlanes) - " +
+          "random-hyperplane LSH bucket per hash table"),
+      (es: Seq[Expression]) => VectorLsh.builder(es)))
     ext.injectFunction((FunctionIdentifier("to_extended_json"),
       info("to_extended_json",
         "to_extended_json(struct) - relaxed MongoDB Extended JSON"),

@@ -231,5 +231,7 @@ object TextHashes {
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       minHashSigBuilder, "built-in")
+    reg.createOrReplaceTempFunction("lsh_buckets",
+      VectorLsh.builder, "built-in")
   }
 }

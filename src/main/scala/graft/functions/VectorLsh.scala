@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Random-hyperplane LSH bucket signatures as a native codegen'd
+  * expression.
+  *
+  * Replaces the nested higher-order-function formulation used by the
+  * similarity/dedup queries: Spark's HigherOrderFunction expressions are
+  * CodegenFallback (interpreted, per-row lambda dispatch), so computing
+  * nTables × nPlanes × dim weighted projections through `aggregate`/
+  * `transform` costs boxed lambda calls per element. This expression is a
+  * tight primitive loop inside whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the HOF form (pinned by FunctionsSpec):
+  * plane p = t·nPlanes + j uses integer weights
+  * w(p, d) = ((p·2654435761 + d·2246822519) % 251) % 7 − 3 (multiplicative
+  * mixing — decorrelated planes; d is 1-based), projection = Σ x_d·w(p,d)
+  * accumulated left-to-right in double, bucket_t = Σ_j [proj > 0]·2^j.
+  */
+object VectorLshImpl {
+  def lshBuckets(arr: ArrayData, isFloat: Boolean,
+      nTables: Int, nPlanes: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val p = (t * nPlanes + j).toLong
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          val w = (p * 2654435761L + (i + 1).toLong * 2246822519L) % 251L % 7L - 3L
+          s += x * w.toDouble
+          i += 1
+        }
+        if (s > 0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** lsh_buckets(array<float|double>, nTables, nPlanes) → array<bigint>
+  * of one bucket id per hash table.
+  */
+case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int)
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets expects array<float> or array<double>, " +
+        s"got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorLshImpl.lshBuckets(v.asInstanceOf[ArrayData], isFloat,
+      nTables, nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorLshImpl.lshBuckets($c, $isFloat, $nTables, $nPlanes)")
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+}
+
+object VectorLsh {
+  /** Validated builder for lsh_buckets(arr, nTables, nPlanes). */
+  def builder(es: Seq[Expression]): Expression = {
+    def bad(why: String) = throw new IllegalArgumentException(
+      s"lsh_buckets(array<float|double>, nTables, nPlanes): $why; " +
+        "usage: lsh_buckets(embedding, 6, 6) with integer literals")
+    if (es.length != 3) bad(s"expected 3 arguments, got ${es.length}")
+    val ints = es.drop(1).map { e =>
+      if (!e.foldable) bad("nTables/nPlanes must be literals")
+      e.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case other => bad(s"expected integer literal, got $other"); 0
+      }
+    }
+    if (ints.exists(_ <= 0) || ints(1) > 63) bad(
+      s"nTables/nPlanes must be positive (nPlanes <= 63), got $ints")
+    LshBuckets(es.head, ints(0), ints(1))
+  }
+}

