@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "lsh_buckets(array<float|double>, nTables, nPlanes) - " +
           "random-hyperplane LSH bucket per hash table"),
       (es: Seq[Expression]) => VectorLsh.builder(es)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product over embedding arrays"),
+      (es: Seq[Expression]) => VectorOps.dotBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("vec_cos"),
+      info("vec_cos", "vec_cos(a, b) - cosine similarity over embeddings"),
+      (es: Seq[Expression]) => VectorOps.cosBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("vec_normalize"),
+      info("vec_normalize", "vec_normalize(a) - L2-normalize an embedding"),
+      (es: Seq[Expression]) => VectorOps.normalizeBuilder(es)))
     ext.injectFunction((FunctionIdentifier("to_extended_json"),
       info("to_extended_json",
         "to_extended_json(struct) - relaxed MongoDB Extended JSON"),

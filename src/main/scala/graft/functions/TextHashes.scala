@@ -233,5 +233,11 @@ object TextHashes {
       minHashSigBuilder, "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",
       VectorLsh.builder, "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      VectorOps.dotBuilder, "built-in")
+    reg.createOrReplaceTempFunction("vec_cos",
+      VectorOps.cosBuilder, "built-in")
+    reg.createOrReplaceTempFunction("vec_normalize",
+      VectorOps.normalizeBuilder, "built-in")
   }
 }

@@ -49,17 +49,6 @@ object DedupQueries {
   private val VecBucketCap = 200
   private val JaccardMin = 0.5
 
-  /** Double-precision cosine of the pair struct's ea/eb embeddings —
-    * deterministic left-to-right fold (see SimilarityQueries).
-    */
-  private val cosAB =
-    """aggregate(zip_with(p.ea, p.eb, (x, y) -> cast(x as double) * cast(y as double)),
-                 cast(0 as double), (acc, v) -> acc + v)
-       / (sqrt(aggregate(p.ea, cast(0 as double),
-            (acc, x) -> acc + cast(x as double) * cast(x as double)))
-          * sqrt(aggregate(p.eb, cast(0 as double),
-            (acc, x) -> acc + cast(x as double) * cast(x as double))))"""
-
   val queries: Map[String, Q] = Map(
     // Exact dedup groups: one row per distinct content hash with the
     // surviving (minimum) doc_id and the duplicate count.
@@ -190,12 +179,9 @@ object DedupQueries {
     // pinned by DedupSimilaritySpec.
     "dedup_embedding_near" -> ((s, dir) => {
       val b = load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr(
-            """transform(embedding, x -> cast(x as double)
-                 / sqrt(aggregate(embedding, cast(0 as double),
-                     (a, v) -> a + cast(v as double) * cast(v as double))))""")
-            .as("ne"))
+        // native normalize (one norm pass per row; the HOF transform
+        // re-evaluated the norm aggregate per ELEMENT in interpreted mode)
+        .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"))
         // native codegen'd LSH signatures (graft.functions.LshBuckets) —
         // bit-identical to the HOF form, ~30× faster (HOFs are
         // CodegenFallback); bucketing on ne ≡ bucketing on the raw vector
@@ -215,8 +201,7 @@ object DedupQueries {
           """flatten(transform(vs, (a, i) ->
                transform(slice(vs, i + 2, size(vs) - i - 1), b ->
                  struct(a.vec_id as vec_a, b.vec_id as vec_b,
-                        aggregate(zip_with(a.ne, b.ne, (x, y) -> x * y),
-                          cast(0 as double), (acc, v) -> acc + v) as cos))))"""))
+                        vec_dot(a.ne, b.ne) as cos))))"""))
           .as("p"))
         .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
           round(col("p.cos"), 6).as("cos"))

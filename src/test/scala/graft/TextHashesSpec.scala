@@ -101,6 +101,39 @@ class TextHashesSpec extends SparkSuite {
     assert(err.getMessage.contains("lsh_buckets"), err.getMessage)
   }
 
+  test("vec_cos / vec_dot / vec_normalize: bit-identical to the HOF " +
+      "formulations") {
+    TextHashes.register(spark)
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val joined = c.join(broadcast(q), col("qid") =!= col("nid"))
+    val cosHof =
+      """aggregate(zip_with(qe, ne, (x, y) -> cast(x as double) * cast(y as double)),
+           cast(0 as double), (acc, v) -> acc + v)
+         / (sqrt(aggregate(qe, cast(0 as double),
+              (acc, x) -> acc + cast(x as double) * cast(x as double)))
+            * sqrt(aggregate(ne, cast(0 as double),
+              (acc, x) -> acc + cast(x as double) * cast(x as double))))"""
+    assert(joined.withColumn("a", expr(cosHof))
+      .withColumn("b", expr("vec_cos(qe, ne)"))
+      .filter(col("a") =!= col("b")).count() == 0)
+    val nrmHof =
+      """transform(ne, x -> cast(x as double)
+           / sqrt(aggregate(ne, cast(0 as double),
+               (a, v) -> a + cast(v as double) * cast(v as double))))"""
+    assert(c.withColumn("a", expr(nrmHof))
+      .withColumn("b", expr("vec_normalize(ne)"))
+      .filter(col("a") =!= col("b")).count() == 0)
+    val dotHof =
+      """aggregate(zip_with(qe, ne, (x, y) -> cast(x as double) * cast(y as double)),
+           cast(0 as double), (acc, v) -> acc + v)"""
+    assert(joined.withColumn("a", expr(dotHof))
+      .withColumn("b", expr("vec_dot(qe, ne)"))
+      .filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("minhash_sig argument validation: wrong arity / non-literal k " +
       "raise a usable error, not IndexOutOfBounds/NPE") {
     TextHashes.register(spark)
