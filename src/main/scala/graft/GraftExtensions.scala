@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig",
         "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
       (es: Seq[Expression]) => TextHashes.minHashSigBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(tokens, k) - distinct k-gram shingle hashes"),
+      (es: Seq[Expression]) => TextHashes.shingleHashesBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("minhash_ngrams"),
+      info("minhash_ngrams",
+        "minhash_ngrams(tokens, ngram, k) - fused shingle MinHash signature"),
+      (es: Seq[Expression]) => TextHashes.minHashNgramsBuilder(es)))
     ext.injectFunction((FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",
         "lsh_buckets(array<float|double>, nTables, nPlanes) - " +

