@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig",
         "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
       (es: Seq[Expression]) => TextHashes.minHashSigBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("ordered_pairs"),
+      info("ordered_pairs",
+        "ordered_pairs(array<long>) - all i<j candidate pairs"),
+      (es: Seq[Expression]) => OrderedPairs(es.head)))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
         "shingle_hashes(tokens, k) - distinct k-gram shingle hashes"),

@@ -159,6 +159,25 @@ object TextHashImpl {
     new GenericArrayData(sig)
   }
 
+  /** All i<j pairs of a long array as struct rows (see OrderedPairs). */
+  def orderedPairs(ds: ArrayData): ArrayData = {
+    val n = ds.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ds.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(a, ds.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = tokens.numElements()
@@ -290,6 +309,28 @@ case class MinHashNgrams(child: Expression, ngram: Int, k: Int)
     copy(child = c)
 }
 
+/** ordered_pairs(array<long>): all i<j pairs of a (sorted) bucket list —
+  * the candidate-pair explode source. Native because the HOF form
+  * (`flatten(transform(ds, (a,i) -> transform(slice(...), ...)))`)
+  * interprets a boxed lambda per emitted pair, and candidate generation
+  * emits orders of magnitude more pairs than survive the score filter.
+  */
+case class OrderedPairs(child: Expression) extends UnaryExpression
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.orderedPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.orderedPairs($c)")
+  override protected def withNewChildInternal(c: Expression): OrderedPairs =
+    copy(c)
+}
+
 /** minhash_sig(array<string>, k): k-permutation MinHash signature. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     with GraftTypedUnary {
@@ -365,6 +406,8 @@ object TextHashes {
       minHashSigBuilder, "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       shingleHashesBuilder, "built-in")
+    reg.createOrReplaceTempFunction("ordered_pairs",
+      es => OrderedPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_ngrams",
       minHashNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",

@@ -93,11 +93,9 @@ object DedupQueries {
       val sizes = buckets
         .select(explode(col("ds")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val pairs = buckets.select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-             transform(slice(ds, i + 2, size(ds) - i - 1),
-                       b -> struct(a as doc_a, b as doc_b))))"""))
-        .as("p"))
+      // ordered_pairs is native (the HOF pair lambda interprets a boxed
+      // call per emitted pair; ~1.1M pairs at sf0.1 — A/B 2.2 s → 1.6 s)
+      val pairs = buckets.select(explode(expr("ordered_pairs(ds)")).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter"))
@@ -222,11 +220,7 @@ object DedupQueries {
       fp.groupBy(col("f"))
         .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
         .filter(size(col("ds")).between(2, DfCap))
-        .select(explode(expr(
-          """flatten(transform(ds, (a, i) ->
-               transform(slice(ds, i + 2, size(ds) - i - 1),
-                         b -> struct(a as doc_a, b as doc_b))))"""))
-          .as("p"))
+        .select(explode(expr("ordered_pairs(ds)")).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).cast("long").as("shared_fp"))
         // measured at sf0.01: ≥24 shared fingerprints keeps 0.96 recall of
