@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig",
         "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
       (es: Seq[Expression]) => TextHashes.minHashSigBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("sig_match"),
+      info("sig_match",
+        "sig_match(sig_a, sig_b) - matching-position count of signatures"),
+      (es: Seq[Expression]) => SigMatch(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("ordered_pairs"),
       info("ordered_pairs",
         "ordered_pairs(array<long>) - all i<j candidate pairs"),

@@ -159,6 +159,18 @@ object TextHashImpl {
     new GenericArrayData(sig)
   }
 
+  /** Count of positions where two signatures agree (MinHash estimate
+    * numerator) — one native call instead of an interpreted
+    * size(filter(zip_with(...))) per candidate pair.
+    */
+  def sigMatch(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
   /** All i<j pairs of a long array as struct rows (see OrderedPairs). */
   def orderedPairs(ds: ArrayData): ArrayData = {
     val n = ds.numElements()
@@ -309,6 +321,26 @@ case class MinHashNgrams(child: Expression, ngram: Int, k: Int)
     copy(child = c)
 }
 
+/** sig_match(array<long>, array<long>): matching-position count. */
+case class SigMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e =>
+        DataTypeUtilsShim.sameType(e.dataType, ArrayType(LongType))))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_match expects two array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.sigMatch(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashImpl.sigMatch($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SigMatch = copy(l, r)
+}
+
 /** ordered_pairs(array<long>): all i<j pairs of a (sorted) bucket list —
   * the candidate-pair explode source. Native because the HOF form
   * (`flatten(transform(ds, (a,i) -> transform(slice(...), ...)))`)
@@ -408,6 +440,8 @@ object TextHashes {
       shingleHashesBuilder, "built-in")
     reg.createOrReplaceTempFunction("ordered_pairs",
       es => OrderedPairs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sig_match",
+      es => SigMatch(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_ngrams",
       minHashNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",

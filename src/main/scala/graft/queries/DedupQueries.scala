@@ -147,8 +147,7 @@ object DedupQueries {
           """flatten(transform(ds, (a, i) ->
                transform(slice(ds, i + 2, size(ds) - i - 1), b ->
                  struct(a.doc_id as doc_a, b.doc_id as doc_b,
-                        cast(size(filter(zip_with(a.sig, b.sig,
-                               (x, y) -> x = y), p -> p)) as double) / 32.0
+                        cast(sig_match(a.sig, b.sig) as double) / 32.0
                           as est))))"""))
           .as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
