@@ -105,4 +105,77 @@ object HashProperties extends Properties("graft.hashes") {
         .map(i => TextHashImpl.poly64(utf8(s.substring(i, i + 8)))).toSet
       w1 == w2 && w1.subsetOf(all) && w1.nonEmpty
     }
+
+  private val tokenList: Gen[List[String]] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(8))))
+
+  property("shingle_hashes = FNV of each joined k-gram window, " +
+      "deduplicated; minhash_ngrams = minhash_sig over those windows") =
+    forAll(tokenList) { ts =>
+      val arr = new GenericArrayData(ts.map(utf8).toArray[Any])
+      val got = TextHashImpl.shingleHashes(arr, 3).toLongArray().toSeq
+      val windows = ts.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+      val want = windows.map(w => TextHashImpl.poly64(utf8(w))).distinct
+      val sigGot = TextHashImpl.minhashNgrams(arr, 3, 16).toLongArray()
+      val sigWant = TextHashImpl.minhashSig(
+        new GenericArrayData(windows.distinct.map(utf8).toArray[Any]), 16)
+        .toLongArray()
+      Prop(got == want && sigGot.sameElements(sigWant)) :|
+        s"got=$got want=$want"
+    }
+
+  private val longArr: Gen[Array[Long]] =
+    Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue)).map(_.toArray))
+
+  property("ordered_pairs emits exactly the i<j index pairs") =
+    forAll(longArr) { ds =>
+      val out = TextHashImpl.orderedPairs(new GenericArrayData(ds))
+      val got = (0 until out.numElements()).map { k =>
+        val r = out.getStruct(k, 2); (r.getLong(0), r.getLong(1))
+      }
+      val want = for {
+        i <- 0 until ds.length; j <- i + 1 until ds.length
+      } yield (ds(i), ds(j))
+      got == want
+    }
+
+  property("sig_match counts agreeing positions, symmetric") =
+    forAll(longArr, longArr) { (a, b) =>
+      val ga = new GenericArrayData(a); val gb = new GenericArrayData(b)
+      val n = math.min(a.length, b.length)
+      val want = (0 until n).count(i => a(i) == b(i)).toLong
+      TextHashImpl.sigMatch(ga, gb) == want &&
+        TextHashImpl.sigMatch(gb, ga) == want
+    }
+
+  private val vec: Gen[Array[Double]] =
+    Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0, 10.0)).map(_.toArray))
+
+  property("vector ops: dot is left-to-right exact, cos bounded, " +
+      "normalize yields unit norm; lsh_buckets invariant under positive " +
+      "scaling") =
+    forAll(vec) { v =>
+      import graft.functions.{VectorLshImpl, VectorOpsImpl}
+      val g = new GenericArrayData(v)
+      val dot = VectorOpsImpl.dot(g, false, g, false)
+      var want = 0.0; v.foreach(x => want += x * x)
+      val nrm = VectorOpsImpl.normalize(g, false)
+      var unit = 0.0
+      (0 until nrm.numElements()).foreach { i =>
+        val x = nrm.getDouble(i); unit += x * x
+      }
+      val cosSelf = VectorOpsImpl.cos(g, false, g, false)
+      val scaled = new GenericArrayData(v.map(_ * 3.25))
+      val sameBuckets = VectorLshImpl.lshBuckets(g, false, 4, 6)
+        .toLongArray().sameElements(
+          VectorLshImpl.lshBuckets(scaled, false, 4, 6).toLongArray())
+      val nonZero = want > 1e-12 // degenerate all-zero vector excluded
+      Prop(!nonZero || (dot == want && math.abs(unit - 1.0) < 1e-9 &&
+        math.abs(cosSelf - 1.0) < 1e-12 && sameBuckets)) :|
+        s"dot=$dot want=$want unit=$unit cos=$cosSelf"
+    }
 }
