@@ -36,6 +36,20 @@ class GraftExtensionsSpec extends SparkSuite {
         """SELECT simhash_agg(split(t, ' ')) FROM
            VALUES ('a b c'), ('a b d') AS v(t)""").head()
       assert(agg.getLong(0) != 0L)
+      // the round-3 native kernels resolve through the same injection
+      val k = s2.sql(
+        """SELECT size(shingle_hashes(array('a','b','c','d'), 3)) AS sh,
+                  size(minhash_ngrams(array('a','b','c'), 3, 8)) AS mn,
+                  size(ordered_pairs(array(1L, 2L, 3L))) AS op,
+                  sig_match(array(1L, 2L), array(1L, 9L)) AS sm,
+                  size(lsh_buckets(array(1.0D, -2.0D), 4, 6)) AS lb,
+                  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
+                  vec_cos(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS vc,
+                  size(vec_normalize(array(3.0D, 4.0D))) AS vn""").head()
+      assert(k.getInt(0) == 2 && k.getInt(1) == 8 && k.getInt(2) == 3)
+      assert(k.getLong(3) == 1L && k.getInt(4) == 4)
+      assert(k.getDouble(5) == 11.0 && k.getDouble(6) == 1.0)
+      assert(k.getInt(7) == 2)
     } finally {
       // keep the shared suite session; only drop this one's state
       SparkSession.setActiveSession(spark)
