@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sig_match",
         "sig_match(sig_a, sig_b) - matching-position count of signatures"),
       (es: Seq[Expression]) => SigMatch(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("struct_pairs"),
+      info("struct_pairs",
+        "struct_pairs(array<struct>) - all i<j pairs as struct<a, b>"),
+      (es: Seq[Expression]) => StructPairs(es.head)))
     ext.injectFunction((FunctionIdentifier("ordered_pairs"),
       info("ordered_pairs",
         "ordered_pairs(array<long>) - all i<j candidate pairs"),

@@ -171,6 +171,26 @@ object TextHashImpl {
     c
   }
 
+  /** All i<j pairs of a struct array as nested (a, b) rows — see
+    * StructPairs. Element rows are copied once each (getStruct may return
+    * a view into the backing buffer); pairing reuses the copies.
+    */
+  def structPairs(ds: ArrayData, numFields: Int): ArrayData = {
+    val n = ds.numElements()
+    val rows = new Array[InternalRow](n)
+    var i = 0
+    while (i < n) { rows(i) = ds.getStruct(i, numFields).copy(); i += 1 }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out(k) = InternalRow(rows(i), rows(j)); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All i<j pairs of a long array as struct rows (see OrderedPairs). */
   def orderedPairs(ds: ArrayData): ArrayData = {
     val n = ds.numElements()
@@ -363,6 +383,32 @@ case class OrderedPairs(child: Expression) extends UnaryExpression
     copy(c)
 }
 
+/** struct_pairs(array<struct>): all i<j pairs as struct<a, b> — the
+  * candidate-pair source for payload-carrying buckets (signature, simhash,
+  * normalized vector). Together with the native pair metrics (sig_match,
+  * bit_count/xor, vec_dot) this removes the last interpreted lambda from
+  * the near-dup pair paths.
+  */
+case class StructPairs(child: Expression) extends UnaryExpression {
+  private def elemType: StructType = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StructType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"struct_pairs expects array<struct<...>>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", elemType, nullable = false),
+    StructField("b", elemType, nullable = false))), containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.structPairs(v.asInstanceOf[ArrayData], elemType.length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashImpl.structPairs($c, ${elemType.length})")
+  override protected def withNewChildInternal(c: Expression): StructPairs =
+    copy(c)
+}
+
 /** minhash_sig(array<string>, k): k-permutation MinHash signature. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     with GraftTypedUnary {
@@ -442,6 +488,8 @@ object TextHashes {
       es => OrderedPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("sig_match",
       es => SigMatch(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("struct_pairs",
+      es => StructPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_ngrams",
       minHashNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",

@@ -143,15 +143,14 @@ object DedupQueries {
       bands.groupBy(col("band"), col("bkey"))
         .agg(expr("sort_array(collect_list(struct(doc_id, sig)))").as("ds"))
         .filter(size(col("ds")).between(2, DfCap))
-        .select(explode(expr(
-          """flatten(transform(ds, (a, i) ->
-               transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-                 struct(a.doc_id as doc_a, b.doc_id as doc_b,
-                        cast(sig_match(a.sig, b.sig) as double) / 32.0
-                          as est))))"""))
-          .as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .agg(max(col("p.est")).as("est_jaccard"))
+        // struct_pairs + sig_match: the whole pair path is native (no
+        // interpreted lambda per pair)
+        .select(explode(expr("struct_pairs(ds)")).as("p"))
+        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+          (expr("sig_match(p.a.sig, p.b.sig)").cast("double") / 32.0)
+            .as("est"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("est")).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -194,14 +193,10 @@ object DedupQueries {
       val cands = b.groupBy(col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
         .filter(size(col("vs")).between(2, VecBucketCap))
-        .select(explode(expr(
-          """flatten(transform(vs, (a, i) ->
-               transform(slice(vs, i + 2, size(vs) - i - 1), b ->
-                 struct(a.vec_id as vec_a, b.vec_id as vec_b,
-                        vec_dot(a.ne, b.ne) as cos))))"""))
-          .as("p"))
-        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-          round(col("p.cos"), 6).as("cos"))
+        // struct_pairs + vec_dot: fully native pair path
+        .select(explode(expr("struct_pairs(vs)")).as("p"))
+        .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
+          round(expr("vec_dot(p.a.ne, p.b.ne)"), 6).as("cos"))
         .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
       cands.filter(col("cos") >= 0.45)
         .orderBy(col("vec_a"), col("vec_b"))
@@ -247,14 +242,12 @@ object DedupQueries {
       bands.groupBy(col("band"), col("bkey"))
         .agg(expr("sort_array(collect_list(struct(doc_id, sh)))").as("ds"))
         .filter(size(col("ds")).between(2, DfCap))
-        .select(explode(expr(
-          """flatten(transform(ds, (a, i) ->
-               transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-                 struct(a.doc_id as doc_a, b.doc_id as doc_b,
-                        cast(bit_count(a.sh ^ b.sh) as bigint) as hamming))))"""))
-          .as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .agg(min(col("p.hamming")).as("hamming"))
+        // struct_pairs + native xor/bit_count: no interpreted lambda
+        .select(explode(expr("struct_pairs(ds)")).as("p"))
+        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+          expr("cast(bit_count(p.a.sh ^ p.b.sh) as bigint)").as("hamming"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("hamming")).as("hamming"))
         .filter(col("hamming") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
     })
