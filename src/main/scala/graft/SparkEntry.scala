@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ AnalyticsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ AnalyticsQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ MultimodalQueries.oracle
+      SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
+      TemporalQueries.oracle
 }

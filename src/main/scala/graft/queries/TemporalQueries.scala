@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, RangeJoin}
+import Tables._
+
+/** Temporal-join + order-statistic queries over the `events` table —
+  * enrichment primitives a training-data/event pipeline needs that Spark
+  * has no built-in operator for (as-of join, bounded-range join) plus exact
+  * percentiles. Each is oracle-checked: the as-of query is compared against
+  * DuckDB's *native* `ASOF JOIN` — two independent implementations (Spark
+  * union+window vs DuckDB's specialized join) agreeing bit-exactly.
+  *
+  * `ts` arrives as raw nanos (nanosAsLong read of parquet TIMESTAMP(NANOS));
+  * all window arithmetic is integer micros — exact on both engines.
+  */
+object TemporalQueries {
+
+  val queries: Map[String, Q] = Map(
+    // As-of join: every event enriched with the latest at-or-before
+    // purchase by the same user (value + how long ago in micros). Single
+    // shuffle on user_id, zero join — see operators/Temporal.scala.
+    // Markers are pre-reduced to one per (user, ts) by max event_id so
+    // tie-breaks are deterministic on both engines.
+    "events_asof_purchase" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .withColumn("tus", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tus"))
+        .agg(expr("max_by(value, event_id)").as("purchase_value"))
+        .withColumn("purchase_tus", col("tus"))
+      AsOf.join(ev, purchases, key = "user_id", ts = "tus")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("asof.purchase_value").as("last_purchase_value"),
+          (col("tus") - col("asof.purchase_tus")).cast("long")
+            .as("micros_since_purchase"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Bounded range join: for each purchase, the error events by the same
+    // user in the hour strictly before it. Banded equi-join (2× fan-out
+    // bound), never a θ-join — see operators/Temporal.scala. Inner
+    // semantics: purchases with a clean preceding hour don't appear.
+    "events_range_errors" -> ((s, dir) => {
+      val ev = load(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("tus").as("etus"), col("value").as("err_value"))
+      RangeJoin.aggWithin(purchases, errors, key = "user_id",
+          lts = "tus", rts = "etus", widthMicros = 3600L * 1000000L,
+          groupCols = Seq("event_id"),
+          aggs = Seq(count(lit(1)).cast("long").as("n_errors"),
+            moneySum(col("err_value")).as("sum_err_value")))
+        .orderBy(col("event_id"))
+    }),
+
+    // Exact order statistics per event type: percentile_disc is a value
+    // pass-through (zero float arithmetic → trivially bit-exact); the one
+    // continuous percentile is rounded to 6dp on both engines. Both are
+    // exact single-pass aggregates — at 100 TB swap in approx_percentile
+    // (t-digest) when error tolerance allows; the exact form is the oracle.
+    "events_value_percentiles" -> ((s, dir) => {
+      load(s, dir, "events").createOrReplaceTempView("graft_tmp_events_pct")
+      s.sql("""
+        SELECT event_type,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+               round(percentile(value, 0.9), 6) AS p90_cont
+        FROM graft_tmp_events_pct
+        GROUP BY event_type ORDER BY event_type""")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_asof_purchase" ->
+      """WITH p AS (
+           SELECT user_id, ts, max_by(value, event_id) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT e.event_id, e.event_type, e.value,
+                p.purchase_value AS last_purchase_value,
+                CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT)
+                  AS micros_since_purchase
+         FROM events e ASOF LEFT JOIN p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
+    "events_range_errors" ->
+      """SELECT p.event_id,
+                CAST(COUNT(*) AS BIGINT) AS n_errors,
+                CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS sum_err_value
+         FROM events p JOIN events e
+           ON e.user_id = p.user_id
+          AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+         WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+         GROUP BY p.event_id ORDER BY p.event_id""",
+    "events_value_percentiles" ->
+      """SELECT event_type,
+                quantile_disc(value, 0.5)  AS p50,
+                quantile_disc(value, 0.9)  AS p90,
+                quantile_disc(value, 0.99) AS p99,
+                ROUND(quantile_cont(value, 0.9), 6) AS p90_cont
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

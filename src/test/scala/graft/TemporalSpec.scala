@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, RangeJoin}
+
+/** AsOf.join and RangeJoin.aggWithin: semantics against a hand-computed
+  * truth (boundary rows included/excluded as documented), and the scale
+  * contract — as-of is one hash Exchange and NO join node; range join is a
+  * banded equi-join, never a θ-join/cartesian plan.
+  */
+class TemporalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def probes = Seq(
+    // (id, key, ts)
+    (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 250L),
+    (4L, "b", 50L), (5L, "b", 500L),
+    (6L, "c", 10L) // key with no markers at all
+  ).toDF("id", "k", "t")
+
+  private def markers = Seq(
+    // (key, ts, payload)
+    ("a", 100L, 10.0), // exact-tie with probe 1 — must be visible to it
+    ("a", 240L, 11.0),
+    ("b", 60L, 20.0) // after probe 4, before probe 5
+  ).toDF("k", "t", "v")
+
+  test("AsOf.join: latest at-or-before marker per probe; exact ties " +
+      "visible; no marker → null") {
+    val got = AsOf.join(probes, markers, key = "k", ts = "t")
+      .select($"id", $"asof.v".as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(
+      1L -> Some(10.0), // marker at exactly t=100 counts
+      2L -> Some(10.0), // 240 is after 200
+      3L -> Some(11.0),
+      4L -> None, // marker at 60 is after probe 4's t=50
+      5L -> Some(20.0),
+      6L -> None))
+  }
+
+  test("AsOf.join plan: one hash Exchange on the key, zero join nodes") {
+    val plan = AsOf.join(probes, markers, key = "k", ts = "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k"), s"expected key exchange:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.sliding("hashpartitioning".length).count(_ == "hashpartitioning") == 1,
+      s"as-of needs exactly one shuffle:\n$plan")
+  }
+
+  test("RangeJoin.aggWithin: [lts - w, lts) boundaries exact, band " +
+      "crossings included, inner semantics") {
+    // width 100: probe at t wants right rows in [t-100, t)
+    val l = Seq((1L, "a", 250L), (2L, "a", 1000L), (3L, "b", 120L))
+      .toDF("id", "k", "t")
+    val r = Seq(
+      ("a", 150L, 1.0), // == 250-100 → included (closed lower bound)
+      ("a", 249L, 2.0), // included; band 2 vs probe band 2
+      ("a", 250L, 4.0), // == lts → excluded (open upper bound)
+      ("a", 910L, 8.0), // band 9, probe 2 in band 10 — crossing included
+      ("b", 10L, 16.0), // 120-100=20 > 10 → excluded
+      ("b", 30L, 32.0) // included for probe 3 (band 0 → band 1 crossing)
+    ).toDF("k", "rt", "rv")
+    val got = RangeJoin.aggWithin(l, r, key = "k", lts = "t", rts = "rt",
+        widthMicros = 100L, groupCols = Seq("id"),
+        aggs = Seq(sum($"rv").as("s"), count(lit(1)).as("n")))
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSet
+    assert(got == Set((1L, 3.0, 2L), (2L, 8.0, 1L), (3L, 32.0, 1L)))
+  }
+
+  test("RangeJoin.aggWithin plan: banded equi-join — no cartesian/" +
+      "nested-loop, join keys include the band") {
+    val l = Seq((1L, "a", 250L)).toDF("id", "k", "t")
+    val r = Seq(("a", 150L, 1.0)).toDF("k", "rt", "rv")
+    val plan = RangeJoin.aggWithin(l, r, key = "k", lts = "t", rts = "rt",
+        widthMicros = 100L, groupCols = Seq("id"),
+        aggs = Seq(count(lit(1)).as("n")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"θ-join planned:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"θ-join planned:\n$plan")
+    assert(plan.contains("__band"), s"band key missing from join:\n$plan")
+  }
+
+  test("RangeJoin rejects identical ts names and non-positive widths") {
+    val d = Seq((1L, "a", 1L)).toDF("id", "k", "t")
+    intercept[IllegalArgumentException] {
+      RangeJoin.aggWithin(d, d, "k", "t", "t", 100L, Seq("id"), Seq(count(lit(1))))
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.aggWithin(d, d.withColumnRenamed("t", "rt"), "k", "t", "rt",
+        0L, Seq("id"), Seq(count(lit(1))))
+    }
+  }
+
+  test("AsOf.join matches a θ-join + max_by reference on real events data") {
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .withColumn("tus", expr("ts div 1000"))
+      .select($"event_id", $"user_id", $"tus", $"event_type", $"value")
+    val marks = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"tus")
+      .agg(expr("max_by(value, event_id)").as("pv"))
+    val fast = AsOf.join(ev, marks.withColumn("ptus", $"tus"),
+        key = "user_id", ts = "tus")
+      .select($"event_id", $"asof.pv".as("pv"), $"asof.ptus".as("ptus"))
+    // naive truth: θ-join + latest marker per event
+    val slow = ev.as("e").join(marks.as("m"),
+        $"e.user_id" === $"m.user_id" && $"m.tus" <= $"e.tus", "left")
+      .groupBy($"e.event_id".as("event_id"))
+      .agg(expr("max_by(struct(m.tus, m.pv), m.tus)").as("top"))
+      .select($"event_id", $"top.pv".as("pv"), $"top.tus".as("ptus"))
+    assert(fast.count() == ev.count())
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+}
