@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Temporal join operators Spark lacks as built-ins, shaped for the
   * 100 TB case.
@@ -31,22 +31,52 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object AsOf {
 
+  /** Column names the implementation claims for itself; caller frames must
+    * not use them (enforced — silent overwrite would corrupt results).
+    */
+  private val Reserved = Set("asof", "__asof_p", "__side")
+
+  /** True iff `dt` supports SQL ordering (no maps anywhere) — decides
+    * whether the payload struct can serve as a deterministic tie-break.
+    */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.fields.forall(f => orderable(f.dataType))
+    case a: ArrayType => orderable(a.elementType)
+    case _ => true
+  }
+
   /** For each `left` row, attach the latest `right` row with the same key
     * and `right.ts <= left.ts` as a struct column `asof` (null when no such
     * row exists). All non-key, non-ts right columns become the payload —
-    * pre-rename them to avoid collisions with left columns, and pre-reduce
-    * `right` to one row per (key, ts) (e.g. `max_by`) for deterministic
-    * tie-breaks.
+    * pre-rename them to avoid collisions with left columns.
+    *
+    * If `right` has several rows at the same (key, ts), the one with the
+    * largest payload struct (lexicographic field order) wins — deterministic
+    * whenever the payload type is orderable; for non-orderable payloads
+    * (maps), pre-reduce `right` to one row per (key, ts) yourself (e.g.
+    * `max_by`) — this method cannot break the tie and says so via require.
     *
     * `ts` must be the same numeric/timestamp-comparable type on both sides.
     * A right row at exactly left.ts is visible (at-or-before semantics,
     * matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`).
     */
   def join(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val lReserved = left.columns.filter(Reserved)
+    require(lReserved.isEmpty,
+      s"left columns ${lReserved.mkString(", ")} collide with reserved names " +
+        s"${Reserved.mkString("{", ", ", "}")} — rename them before AsOf.join")
+    val rReserved = right.columns.filter(Reserved)
+    require(rReserved.isEmpty,
+      s"right columns ${rReserved.mkString(", ")} collide with reserved names " +
+        s"${Reserved.mkString("{", ", ", "}")} — rename them before AsOf.join")
     val payloadCols = right.columns.filterNot(c => c == key || c == ts).toSeq
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
     val payloadType = StructType(payloadCols.map(c =>
       StructField(c, right.schema(c).dataType, nullable = true)))
+    require(orderable(payloadType),
+      "payload contains a map type, which Spark cannot order — pre-reduce " +
+        s"right to one row per ($key, $ts) and drop or restructure the map column")
 
     val leftOnly = left.columns.filterNot(c => c == key || c == ts).toSeq
     // Markers sort before probes at equal ts (side 0 < 1) so an exact-ts
@@ -60,7 +90,10 @@ object AsOf {
         Seq(struct(payloadCols.map(col): _*).as("__asof_p"),
           lit(0).as("__side")): _*)
 
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+    // Payload struct as the final sort key: equal-(ts, side) markers order
+    // deterministically, and last() then picks the largest payload. Probes'
+    // null payload is inert here — __side already separates them.
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col("__asof_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     probes.unionByName(markers)
       .withColumn("asof", last(col("__asof_p"), ignoreNulls = true).over(w))
@@ -93,6 +126,18 @@ object RangeJoin {
       groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
     require(widthMicros > 0, "window width must be positive")
     require(lts != rts, "rename one ts column — identical names make the join condition ambiguous")
+    require(aggs.nonEmpty, "aggWithin needs at least one aggregate column")
+    require(!right.columns.contains(lts),
+      s"right side must not contain the left ts column '$lts' — " +
+        "the unqualified range predicate would be ambiguous; rename it")
+    require(!left.columns.contains(rts),
+      s"left side must not contain the right ts column '$rts' — " +
+        "the unqualified range predicate would be ambiguous; rename it")
+    val internal = Seq("__band", "__rb", "__rkey")
+    val collide = (left.columns ++ right.columns).filter(internal.contains)
+    require(collide.isEmpty,
+      s"columns ${collide.distinct.mkString(", ")} collide with reserved names " +
+        s"${internal.mkString("{", ", ", "}")} — rename them before aggWithin")
     val l = left.withColumn("__band", expr(s"$lts DIV $widthMicros"))
     val r = right
       .withColumn("__rb", expr(s"$rts DIV $widthMicros"))

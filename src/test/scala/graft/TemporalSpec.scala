@@ -1,5 +1,10 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.functions._
 import graft.operators.{AsOf, RangeJoin}
 
@@ -10,6 +15,21 @@ import graft.operators.{AsOf, RangeJoin}
   */
 class TemporalSpec extends SparkSuite {
   import spark.implicits._
+
+  /** Every physical node of the FINAL plan, descending through AQE's
+    * adaptive wrapper and materialized query stages — so assertions bind to
+    * node types, not plan-string formatting (which shifts across Spark
+    * versions).
+    */
+  private def physicalNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect() // force execution so AQE settles on its final plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case s: QueryStageExec => p +: flatten(s.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    flatten(df.queryExecution.executedPlan)
+  }
 
   private def probes = Seq(
     // (id, key, ts)
@@ -39,13 +59,15 @@ class TemporalSpec extends SparkSuite {
       6L -> None))
   }
 
-  test("AsOf.join plan: one hash Exchange on the key, zero join nodes") {
-    val plan = AsOf.join(probes, markers, key = "k", ts = "t")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(k"), s"expected key exchange:\n$plan")
-    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
-    assert(plan.sliding("hashpartitioning".length).count(_ == "hashpartitioning") == 1,
-      s"as-of needs exactly one shuffle:\n$plan")
+  test("AsOf.join plan: one shuffle Exchange, zero join nodes") {
+    val nodes = physicalNodes(AsOf.join(probes, markers, key = "k", ts = "t"))
+    val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+    val joins = nodes.collect { case j: BaseJoinExec => j }
+    assert(joins.isEmpty, s"as-of must not plan a join, got: $joins")
+    assert(shuffles.size == 1,
+      s"as-of needs exactly one shuffle, got ${shuffles.size}: $shuffles")
+    assert(shuffles.head.toString.contains("hashpartitioning(k"),
+      s"the single exchange must hash-partition on the key: ${shuffles.head}")
   }
 
   test("RangeJoin.aggWithin: [lts - w, lts) boundaries exact, band " +
@@ -72,13 +94,66 @@ class TemporalSpec extends SparkSuite {
       "nested-loop, join keys include the band") {
     val l = Seq((1L, "a", 250L)).toDF("id", "k", "t")
     val r = Seq(("a", 150L, 1.0)).toDF("k", "rt", "rv")
-    val plan = RangeJoin.aggWithin(l, r, key = "k", lts = "t", rts = "rt",
-        widthMicros = 100L, groupCols = Seq("id"),
-        aggs = Seq(count(lit(1)).as("n")))
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"θ-join planned:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"θ-join planned:\n$plan")
-    assert(plan.contains("__band"), s"band key missing from join:\n$plan")
+    val nodes = physicalNodes(RangeJoin.aggWithin(l, r, key = "k", lts = "t",
+      rts = "rt", widthMicros = 100L, groupCols = Seq("id"),
+      aggs = Seq(count(lit(1)).as("n"))))
+    assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty,
+      "θ-join planned: cartesian product")
+    assert(nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "θ-join planned: broadcast nested loop")
+    val joins = nodes.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, "expected an equi-join node")
+    assert(joins.forall(_.toString.contains("__band")),
+      s"band key missing from the join: $joins")
+  }
+
+  test("AsOf.join rejects reserved-name collisions on either side") {
+    intercept[IllegalArgumentException] {
+      AsOf.join(probes.withColumn("asof", lit(1)), markers, "k", "t")
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.join(probes, markers.withColumn("__side", lit(1)), "k", "t")
+    }
+  }
+
+  test("AsOf.join: several markers at the same (key, ts) resolve " +
+      "deterministically to the largest payload") {
+    val dup = Seq(("a", 100L, 10.0), ("a", 100L, 99.0), ("a", 100L, 7.0))
+      .toDF("k", "t", "v")
+    // Repeat to catch nondeterminism that only shows up across plans/runs.
+    (1 to 3).foreach { _ =>
+      val got = AsOf.join(probes.filter($"id" === 1L), dup, "k", "t")
+        .select($"asof.v").as[Double].collect().toSeq
+      assert(got == Seq(99.0))
+    }
+  }
+
+  test("AsOf.join rejects a map-typed payload it cannot tie-break") {
+    val mapped = markers.withColumn("m", map(lit("x"), $"v")).drop("v")
+    intercept[IllegalArgumentException] {
+      AsOf.join(probes, mapped, "k", "t")
+    }
+  }
+
+  test("RangeJoin rejects ts-name shadowing across sides, internal-name " +
+      "collisions, and empty aggs") {
+    val l = Seq((1L, "a", 1L)).toDF("id", "k", "t")
+    val r = Seq(("a", 1L, 1.0)).toDF("k", "rt", "rv")
+    intercept[IllegalArgumentException] { // right side carries lts name
+      RangeJoin.aggWithin(l, r.withColumn("t", lit(1L)), "k", "t", "rt",
+        100L, Seq("id"), Seq(count(lit(1))))
+    }
+    intercept[IllegalArgumentException] { // left side carries rts name
+      RangeJoin.aggWithin(l.withColumn("rt", lit(1L)), r, "k", "t", "rt",
+        100L, Seq("id"), Seq(count(lit(1))))
+    }
+    intercept[IllegalArgumentException] { // reserved internal name
+      RangeJoin.aggWithin(l.withColumn("__band", lit(1L)), r, "k", "t", "rt",
+        100L, Seq("id"), Seq(count(lit(1))))
+    }
+    intercept[IllegalArgumentException] { // no aggregates
+      RangeJoin.aggWithin(l, r, "k", "t", "rt", 100L, Seq("id"), Seq.empty)
+    }
   }
 
   test("RangeJoin rejects identical ts names and non-positive widths") {
