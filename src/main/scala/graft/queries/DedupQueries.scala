@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextHashes
+import graft.operators.ConnectedComponents
 import Tables._
 
 /** Deduplication operators over the `documents` table — the training-data
@@ -67,49 +69,31 @@ object DedupQueries {
     // surviving shingle sets — exact integer counts, single IEEE division.
     // vs. the naive self-join: no duplicate scan of the posting list, no
     // second wide shuffle of the exploded table.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      // Design note (A/B-measured): deriving per-doc set sizes by
-      // re-aggregating the exploded POSTINGS (cheap longs) and joining
-      // beats carrying sizes through the pair explosion — any projection
-      // that references the shingle expression after the Generate
-      // recomputes the whole array per emitted row (O(shingles²)/doc).
-      // One scan feeds the postings; sizes re-aggregate those longs.
-      //
-      // Postings key = the fused shingle_hashes expression (distinct
-      // FNV-64 of each 3-token window, streamed over token bytes — no
-      // shingle strings are ever built, and the whole pass is codegen'd;
-      // the interpreted HOF shingler was 16× slower, A/B 4.0 s → 0.24 s
-      // at sf0.1). The index exchange carries 8-byte longs instead of
-      // ~25-byte strings. Intersection counts are unchanged modulo
-      // 2⁻⁶⁴-scale hash collisions (hash-equality classes = string
-      // equality on any realistic shingle vocabulary; count-equivalence
-      // pinned by TextHashesSpec).
-      val ex = load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(expr(s"shingle_hashes($toks, 3)")).as("s"))
-      val buckets = ex.groupBy(col("s"))
-        .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
-        .filter(size(col("ds")) <= DfCap)
-      val sizes = buckets
-        .select(explode(col("ds")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      // ordered_pairs is native (the HOF pair lambda interprets a boxed
-      // call per emitted pair; ~1.1M pairs at sf0.1 — A/B 2.2 s → 1.6 s)
-      val pairs = buckets.select(explode(expr("ordered_pairs(ds)")).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      // sizes is one row per doc: small here (AQE broadcasts it), a keyed
-      // shuffle join at 100 TB — both correct, so leave the choice to AQE.
-      pairs
-        .join(sizes.toDF("doc_a", "na"), "doc_a")
-        .join(sizes.toDF("doc_b", "nb"), "doc_b")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= JaccardMin)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Near-dup CLUSTERS: transitive closure of the Jaccard pairs via
+    // distributed connected components (large-star/small-star,
+    // graft.operators.ConnectedComponents) — the pairs → clusters step an
+    // actual dedup run needs (A≈B, B≈C ⇒ {A,B,C} keep one). cluster_id =
+    // min doc_id of the component; bit-exact against DuckDB's recursive-CTE
+    // closure of the identical pair set.
+    "dedup_clusters" -> ((s, dir) =>
+      ConnectedComponents
+        .run(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")),
+          "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy(col("doc_id"))),
+
+    // Per-cluster rollup: survivor (= cluster_id, the min) + how many docs
+    // collapse into it. The "what did dedup save" report.
+    "dedup_cluster_stats" -> ((s, dir) =>
+      ConnectedComponents
+        .run(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")),
+          "doc_a", "doc_b")
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("cluster_id"))),
 
     // MinHash-LSH near-dup candidates: 32-permutation signature, 8 bands of
     // 4 — candidate pairs share ≥1 band; estimated Jaccard = matching
@@ -253,11 +237,91 @@ object DedupQueries {
     })
   )
 
+  /** Exact n-gram Jaccard near-dup pairs (unordered output) — shared by
+    * dedup_ngram_jaccard (+ ORDER BY) and the cluster queries (as the edge
+    * list; sorting 1M+ pairs before a groupBy would be wasted work).
+    *
+    * Design note (A/B-measured): deriving per-doc set sizes by
+    * re-aggregating the exploded POSTINGS (cheap longs) and joining
+    * beats carrying sizes through the pair explosion — any projection
+    * that references the shingle expression after the Generate
+    * recomputes the whole array per emitted row (O(shingles²)/doc).
+    * One scan feeds the postings; sizes re-aggregate those longs.
+    *
+    * Postings key = the fused shingle_hashes expression (distinct
+    * FNV-64 of each 3-token window, streamed over token bytes — no
+    * shingle strings are ever built, and the whole pass is codegen'd;
+    * the interpreted HOF shingler was 16× slower, A/B 4.0 s → 0.24 s
+    * at sf0.1). The index exchange carries 8-byte longs instead of
+    * ~25-byte strings. Intersection counts are unchanged modulo
+    * 2⁻⁶⁴-scale hash collisions (hash-equality classes = string
+    * equality on any realistic shingle vocabulary; count-equivalence
+    * pinned by TextHashesSpec).
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val ex = load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(s"shingle_hashes($toks, 3)")).as("s"))
+    val buckets = ex.groupBy(col("s"))
+      .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
+      .filter(size(col("ds")) <= DfCap)
+    val sizes = buckets
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    // ordered_pairs is native (the HOF pair lambda interprets a boxed
+    // call per emitted pair; ~1.1M pairs at sf0.1 — A/B 2.2 s → 1.6 s)
+    val pairs = buckets.select(explode(expr("ordered_pairs(ds)")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    // sizes is one row per doc: small here (AQE broadcasts it), a keyed
+    // shuffle join at 100 TB — both correct, so leave the choice to AQE.
+    pairs
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JaccardMin)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
   private val duckShingles =
     """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
         i -> string_split(text, ' ')[i] || ' ' ||
              string_split(text, ' ')[i + 1] || ' ' ||
              string_split(text, ' ')[i + 2]))"""
+
+  /** Shared DuckDB CTE chain rebuilding the Jaccard pair set (identical to
+    * the dedup_ngram_jaccard oracle), ending in `jp(doc_a, doc_b)`, plus
+    * the recursive transitive closure down to `comp(doc_id, cluster_id)` —
+    * DuckDB's way to express what ConnectedComponents computes distributed.
+    */
+  private val duckClusterCtes =
+    s"""WITH RECURSIVE ex AS (
+          SELECT doc_id, unnest($duckShingles) AS s FROM documents),
+        rare AS (
+          SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $DfCap),
+        e2 AS (SELECT ex.* FROM ex JOIN rare USING (s)),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM e2 GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jp AS (
+          SELECT doc_a, doc_b FROM p
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter)
+                  >= $JaccardMin),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+              UNION SELECT doc_b, doc_a FROM jp),
+        n AS (SELECT DISTINCT a AS id FROM e),
+        reach(id, r) AS (
+          SELECT id, id FROM n
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+        comp AS (
+          SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_groups" ->
@@ -287,7 +351,14 @@ object DedupQueries {
           JOIN sizes na ON na.doc_id = doc_a
           JOIN sizes nb ON nb.doc_id = doc_b
           WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= $JaccardMin
-          ORDER BY doc_a, doc_b"""
+          ORDER BY doc_a, doc_b""",
+    "dedup_clusters" ->
+      s"""$duckClusterCtes
+          SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""",
+    "dedup_cluster_stats" ->
+      s"""$duckClusterCtes
+          SELECT cluster_id, COUNT(*) AS n_docs FROM comp
+          GROUP BY cluster_id ORDER BY cluster_id"""
     // dedup_minhash_pairs / dedup_simhash_pairs: engine-specific hashes —
     // rows-only check; recall pinned by ScalaTest against dedup_ngram_jaccard.
   )
