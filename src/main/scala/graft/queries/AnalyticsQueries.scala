@@ -192,6 +192,160 @@ object AnalyticsQueries {
         .orderBy(col("spend").desc, col("c_custkey")).limit(20)
     }),
 
+    // TPC-H Q7 shape: trade volume between nation pairs by year — TWO
+    // broadcast instances of the same dimension (supplier-side and
+    // customer-side nation), dim filters applied before the fact join so
+    // the lineitem⋈orders shuffle carries only the ~2/25² of rows that
+    // survive. orders-side join is unhinted: AQE picks broadcast at bench
+    // SF, shuffle at 100 TB — both correct.
+    "q7_nation_trade" -> ((s, dir) => {
+      val nats = Seq("NATION_1", "NATION_2")
+      val n1 = load(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin(nats: _*))
+      val n2 = load(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin(nats: _*))
+      val supN = load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      val custN = load(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      val ordN = load(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ordN, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape: one nation's market share inside one region's
+    // customer revenue, by order year — conditional share ratio over a
+    // 5-table star; every dimension chain (customer→nation→region,
+    // supplier→nation) collapses to a broadcast before touching facts.
+    "q8_market_share" -> ((s, dir) => {
+      val asiaNat = load(s, dir, "nation")
+        .join(broadcast(load(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nkey"))
+      val custAsia = load(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(asiaNat), col("c_nationkey") === col("c_nkey"))
+        .select("c_custkey")
+      val ordAsia = load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+      val supN = load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(load(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nkey"))
+        .select("s_suppkey", "supp_nation")
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ordAsia, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          (round(sum(when(col("supp_nation") === "NATION_5", disc)
+            .otherwise(lit(0).cast("decimal(18,2)"))), 2).cast("double") /
+            round(sum(disc), 2).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q10 shape: top returned-revenue customers for one quarter —
+    // both filters (order quarter, returnflag) push into the scans before
+    // the join; customer/nation broadcast; TakeOrderedAndProject top-20.
+    "q10_returned_items" -> ((s, dir) => {
+      val ord = load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = load(s, dir, "nation").select("n_nationkey", "n_name")
+      load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT join so
+    // zero-order customers survive with c_count 0, then a second (tiny)
+    // aggregation over the counts. count(col) ≡ COUNT(o_orderkey):
+    // non-null only.
+    "q13_order_distribution" -> ((s, dir) =>
+      load(s, dir, "customer").select("c_custkey")
+        .join(load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q19 shape: disjunctive multi-branch predicate (brand × size ×
+    // quantity bands OR'd together) — the filter references both sides, so
+    // it evaluates after the broadcast join, but each side's scan still
+    // prunes to the referenced columns only.
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(load(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q22 shape: above-average-balance customers with no RECENT
+    // orders — scalar aggregate broadcast to every row (one-row cross
+    // join), then an anti-join against the date-filtered orders (the
+    // filter pushes into the anti side's scan); rolls up by market segment.
+    "q22_missed_opportunity" -> ((s, dir) => {
+      val cust = load(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Windowed analytics on the stream table: per-user running totals —
     // the "metrics over time" family (A2) with event-time semantics.
     // Product path: EventsCdc.runningTotals (user_id window shuffle only);
@@ -345,6 +499,84 @@ object AnalyticsQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_custkey, c_name
          ORDER BY spend DESC, c_custkey LIMIT 20""",
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name <> n2.n_name
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+    "q8_market_share" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+                / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                  AS mkt_share,
+                COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1 ORDER BY o_year""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q13_order_distribution" ->
+      """WITH c AS (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         SELECT c_count, COUNT(*) AS custdist
+         FROM c GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q22_missed_opportunity" ->
+      """WITH a AS (
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*) AS avg_bal
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_mktsegment, COUNT(*) AS n_cust,
+                CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+         FROM customer, a
+         WHERE c_acctbal > a.avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "events_sessionized_stats" ->
       """SELECT event_id, user_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
