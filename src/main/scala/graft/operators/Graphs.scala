@@ -50,10 +50,15 @@ object ConnectedComponents {
     *         re-attach.
     */
   def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 30): DataFrame = {
+    // Materialize the normalized input once: round 1 references `e` three
+    // times (both large-star directions + the signature) — without this,
+    // an expensive upstream (e.g. the Jaccard pair pipeline) re-executes
+    // per reference.
     var e = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(true)
 
     var sig = signature(e)
     var it = 0
@@ -98,9 +103,14 @@ object ConnectedComponents {
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v"))
     val w = Window.partitionBy("u")
-    val withM = oriented.withColumn("m", min(col("v")).over(w))
-    withM.select(col("v").as("src"), col("m").as("dst"))
-      .union(withM.select(col("u").as("src"), col("m").as("dst")))
+    // Single pass: emit both (v→m) and (u→m) via explode — a union of two
+    // selects over the window output would run the window (and its sort)
+    // twice, once per branch.
+    oriented.withColumn("m", min(col("v")).over(w))
+      .select(explode(array(
+        struct(col("v").as("src"), col("m").as("dst")),
+        struct(col("u").as("src"), col("m").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
   }
 
