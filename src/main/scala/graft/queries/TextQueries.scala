@@ -99,6 +99,28 @@ object TextQueries {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // Token-budget shard packing: cut the corpus (doc_id order) into
+    // ~2048-token training shards via the distributed two-phase prefix sum
+    // (operators/Pack.scala) — NO single-partition window anywhere; the
+    // oracle's naive global window computes the identical integers.
+    "text_pack_shards" -> ((s, dir) =>
+      graft.operators.Pack.packShards(
+        load(s, dir, "documents")
+          .select(col("doc_id"), expr(s"cast(size($toks) as bigint)").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))),
+
+    // Document-frequency vocabulary: top-100 tokens by how many documents
+    // contain them — the vocab-building / stopword-discovery pass. Explode
+    // of per-doc DISTINCT tokens, partial-agg counts, TakeOrdered top-k.
+    "text_doc_freq" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(explode(expr(s"array_distinct($toks)")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(100)),
+
     // Document fingerprinting via native Catalyst expressions (FNV-64 +
     // winnowing) — hash functions are engine-specific ⇒ rows-only check
     "text_fingerprint" -> ((s, dir) => {
@@ -160,7 +182,24 @@ object TextQueries {
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
                 MAX(n_chars) AS max_chars
-         FROM documents GROUP BY source, lang ORDER BY source, lang"""
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    "text_pack_shards" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS run
+           FROM t)
+         SELECT doc_id, n_tokens, (run - n_tokens) // 2048 AS shard_id
+         FROM r ORDER BY doc_id""",
+    "text_doc_freq" ->
+      """SELECT token, COUNT(*) AS df
+         FROM (SELECT unnest(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+               FROM documents)
+         GROUP BY token ORDER BY df DESC, token LIMIT 100"""
     // text_fingerprint: engine-specific hashes — rows-only check
   )
 }

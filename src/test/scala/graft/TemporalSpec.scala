@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.functions._
@@ -15,21 +12,6 @@ import graft.operators.{AsOf, RangeJoin}
   */
 class TemporalSpec extends SparkSuite {
   import spark.implicits._
-
-  /** Every physical node of the FINAL plan, descending through AQE's
-    * adaptive wrapper and materialized query stages — so assertions bind to
-    * node types, not plan-string formatting (which shifts across Spark
-    * versions).
-    */
-  private def physicalNodes(df: DataFrame): Seq[SparkPlan] = {
-    df.collect() // force execution so AQE settles on its final plan
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case s: QueryStageExec => p +: flatten(s.plan)
-      case _ => p +: p.children.flatMap(flatten)
-    }
-    flatten(df.queryExecution.executedPlan)
-  }
 
   private def probes = Seq(
     // (id, key, ts)
