@@ -181,6 +181,23 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Trained coarse quantizer: spherical k-means (operators/KMeans.scala,
+    // Lloyd iterations — assignment is the zero-shuffle argmax fold, the
+    // update a k×dim-group aggregation), then the corpus-occupancy
+    // histogram per trained cell. The KMeans.Model drops directly into
+    // ivfAssign/ivfProbes when labels don't exist. Iterative float
+    // training ⇒ rows-only; cluster recovery + objective-improvement are
+    // pinned by KMeansSpec.
+    "sim_kmeans_cells" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val model = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3)
+      graft.operators.KMeans.assign(emb, "embedding", model)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("cell"))
+    }),
+
     // ANN: LSH-bucketed candidate retrieval + exact cosine re-rank. 4 hash
     // tables of 6 planes each (64 buckets/table — enough selectivity to
     // prune, enough bucket occupancy to retrieve); candidates share a table
