@@ -58,13 +58,15 @@ object ConnectedComponents {
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the signature action below
 
     var sig = signature(e)
     var it = 0
     var converged = sig._1 == 0L // empty graph is already converged
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).distinct().localCheckpoint(true)
+      // Lazy checkpoint: the signature action right below materializes it,
+      // so each round is ONE job (an eager checkpoint would run a second).
+      val next = smallStar(largeStar(e)).distinct().localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
