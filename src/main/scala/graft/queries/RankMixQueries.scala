@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Ranking + training-mix operators over the `documents` table — the
+  * retrieval/curation half of a training-data pipeline: TF-IDF term
+  * ranking, BM25 document scoring, deterministic stratified sampling, and
+  * weighted per-source rebalancing (data mixing).
+  *
+  * Scale design:
+  *  - Corpus scalars (N, total token count) are a 1-row aggregate
+  *    broadcast-cross-joined into the per-doc plan — never a driver
+  *    collect, never a shuffle of the fact side.
+  *  - The document-frequency side of TF-IDF/BM25 is vocabulary-sized
+  *    (≪ corpus); AQE broadcasts it at any realistic vocab size.
+  *  - Sampling/mixing predicates are pure per-row functions of md5(text) —
+  *    embarrassingly parallel, deterministic across engines and runs
+  *    (no RNG), and push down to a narrow (text, source, lang) scan.
+  *
+  * Oracle bit-exactness: ranking keys are ROUNDED(…, 6) doubles (both
+  * engines rank on the identical rounded value; ties broken by
+  * token/doc_id), float expressions are written with identical
+  * parenthesization both sides, and every intermediate int fits a double
+  * exactly, so the only cross-engine wiggle is `ln` (≤1 ulp) which the
+  * 6-dp rounding absorbs.
+  */
+object RankMixQueries {
+
+  private val toks = "split(text, ' ')"
+
+  /** Heavy sources get downsampled harder: first md5 hex digit < '4'
+    * (~25% keep) for src0-3, < 'c' (~75%) for the rest. */
+  private val heavySources = Seq("src0", "src1", "src2", "src3")
+
+  val queries: Map[String, Q] = Map(
+    // Top-3 TF-IDF terms per document. tf = in-doc term count, df = #docs
+    // containing the term, idf = ln(N/df). One explode, two partial aggs,
+    // a vocab-sized join, and a per-doc top-k window.
+    "text_tfidf_topk" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tf = docs
+        .select(col("doc_id"), explode(expr(toks)).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(dfreq, "token") // vocab side ≪ corpus: AQE broadcasts
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      val rk = row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token")))
+      scored.withColumn("rk", rk).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("bigint").as("rk"),
+          col("token"), col("tf").cast("bigint").as("tf"),
+          col("df").cast("bigint").as("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // BM25 (k1=1.2, b=0.75) for the two-term query {spark, vector}:
+    // top-20 documents. Per-doc term counts are a narrow map; the only
+    // exchanges are the 1-row stats broadcast and the final top-k.
+    "text_bm25" -> ((s, dir) => {
+      val base = load(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"cast(size($toks) as bigint)").as("dl"),
+        expr(s"cast(size(filter($toks, t -> t = 'spark')) as bigint)")
+          .as("tf_spark"),
+        expr(s"cast(size(filter($toks, t -> t = 'vector')) as bigint)")
+          .as("tf_vector"))
+      val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      val melted = base.select(col("doc_id"), col("dl"),
+          expr("stack(2, 'spark', tf_spark, 'vector', tf_vector) as (term, tf)"))
+        .filter(col("tf") > 0)
+      val dfx = melted.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val perTerm = melted
+        .join(broadcast(dfx), "term")
+        .crossJoin(broadcast(stats))
+        // idf * (tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avgdl)) with
+        // avgdl = (1.0*sdl)/n; parenthesization mirrored in the oracle.
+        .withColumn("s",
+          log(lit(1.0) + ((col("n").cast("double") - col("df")) + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              (lit(0.75) * col("dl")) /
+                (col("sdl").cast("double") / col("n"))))))
+      perTerm.groupBy(col("doc_id"))
+        .agg(max(col("dl")).as("dl"), round(sum(col("s")), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    }),
+
+    // Deterministic stratified sample: 10 docs per language, ranked by
+    // md5(text) — reproducible across engines/runs, no RNG. (Top-k per
+    // stratum shuffles by `lang`; with few huge strata, pre-filter on an
+    // md5 prefix to cut candidates before the window.)
+    "sample_stratified" -> ((s, dir) => {
+      val rn = row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id")))
+      load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("rn", rn).filter(col("rn") <= 10)
+        .select(col("lang"), col("doc_id"), col("rn").cast("bigint").as("rn"),
+          col("h"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // Weighted source rebalance (training-data mixing): keep a
+    // deterministic md5-rate sample, heavier sources downsampled harder.
+    // Pure per-row predicate — no shuffle except the output sort.
+    "mix_weighted_sample" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .filter(substring(md5(col("text")), 1, 1) <
+          when(col("source").isInCollection(heavySources), lit("4"))
+            .otherwise(lit("c")))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // The mix report: per-source before/after counts + realized keep rate
+    // (single IEEE division of exact ints).
+    "mix_source_rates" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(substring(md5(col("text")), 1, 1) <
+              when(col("source").isInCollection(heavySources), lit("4"))
+                .otherwise(lit("c")), 1).otherwise(0))
+            .cast("bigint").as("n_kept"))
+        .withColumn("keep_rate",
+          col("n_kept").cast("double") / col("n_docs"))
+        .orderBy(col("source")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS token
+                      FROM documents),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                     FROM tok GROUP BY doc_id, token),
+              dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+              n AS (SELECT COUNT(*) AS n FROM documents),
+              sc AS (SELECT doc_id, token, tf, df,
+                            ROUND(tf * LN((1.0*n) / df), 6) AS tfidf
+                     FROM tf JOIN dfx USING (token) CROSS JOIN n),
+              rk AS (SELECT sc.*,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token) AS rk
+                     FROM sc)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, token,
+                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "text_bm25" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl,
+                  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       t -> t = 'spark')) AS BIGINT) AS tf_spark,
+                  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       t -> t = 'vector')) AS BIGINT) AS tf_vector
+           FROM documents),
+         g AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM base),
+         m AS (SELECT doc_id, dl, 'spark' AS term, tf_spark AS tf FROM base
+               UNION ALL
+               SELECT doc_id, dl, 'vector' AS term, tf_vector AS tf FROM base),
+         mm AS (SELECT * FROM m WHERE tf > 0),
+         dfx AS (SELECT term, COUNT(*) AS df FROM mm GROUP BY term),
+         sc AS (SELECT doc_id, dl,
+                       LN(1.0 + ((1.0*n - df) + 0.5) / (df + 0.5)) *
+                       ((tf * 2.2) /
+                        (tf + 1.2 * (0.25 + (0.75 * dl) / ((1.0*sdl)/n)))) AS s
+                FROM mm JOIN dfx USING (term) CROSS JOIN g)
+         SELECT doc_id, CAST(MAX(dl) AS BIGINT) AS dl,
+                ROUND(SUM(s), 6) AS bm25
+         FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id, md5(text) AS h,
+                           ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY md5(text), doc_id) AS rn
+                    FROM documents)
+         SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn, h
+         FROM r WHERE rn <= 10 ORDER BY lang, rn""",
+    "mix_weighted_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE substr(md5(text), 1, 1) <
+               (CASE WHEN source IN ('src0','src1','src2','src3')
+                     THEN '4' ELSE 'c' END)
+         ORDER BY doc_id""",
+    "mix_source_rates" ->
+      """SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN substr(md5(text), 1, 1) <
+                     (CASE WHEN source IN ('src0','src1','src2','src3')
+                           THEN '4' ELSE 'c' END)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN substr(md5(text), 1, 1) <
+                     (CASE WHEN source IN ('src0','src1','src2','src3')
+                           THEN '4' ELSE 'c' END)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+         FROM documents GROUP BY source ORDER BY source"""
+  )
+}

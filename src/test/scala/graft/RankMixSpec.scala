@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.queries.RankMixQueries
+
+/** RankMixQueries invariants the oracle can't see: determinism across
+  * runs, sampling-contract bounds, ranking sanity, and the no-shuffle
+  * plan shape of the per-row mixing predicate.
+  */
+class RankMixSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+  private def run(name: String) = RankMixQueries.queries(name)(spark, dir)
+
+  test("tfidf: per-doc ranks are 1..k, scores non-increasing within a doc") {
+    val rows = run("text_tfidf_topk")
+      .select("doc_id", "rk", "tfidf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"doc $doc ranks not dense: ${sorted.toSeq}")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"doc $doc tfidf not non-increasing")
+    }
+  }
+
+  test("bm25: every returned doc contains a query term; scores positive, sorted") {
+    val out = run("text_bm25").collect()
+    assert(out.nonEmpty)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    val ids = out.map(_.getLong(0)).toSet
+    val withTerm = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("array_contains(split(text,' '),'spark') or " +
+        "array_contains(split(text,' '),'vector')")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm), s"docs without query terms scored: ${ids -- withTerm}")
+  }
+
+  test("stratified sample: exactly min(10, stratum size) docs per lang, stable across runs") {
+    val a = run("sample_stratified").collect().map(_.toSeq)
+    val b = run("sample_stratified").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "sample not deterministic across runs")
+    val perLang = a.groupBy(_.head).map { case (l, rs) => (l, rs.length) }
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(n == math.min(10L, counts(lang.asInstanceOf[String])),
+        s"lang $lang sampled $n of ${counts(lang.asInstanceOf[String])}")
+    }
+  }
+
+  test("weighted mix: kept set matches the report's per-source counts; heavy rate < light rate") {
+    val kept = run("mix_weighted_sample").collect()
+      .groupBy(_.getString(1)).map { case (s, rs) => (s, rs.length.toLong) }
+    val report = run("mix_source_rates").collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getDouble(3)))).toMap
+    kept.foreach { case (src, n) =>
+      assert(report(src)._1 == n, s"$src: report ${report(src)._1} != kept $n")
+    }
+    val (heavy, light) = report.partition { case (s, _) =>
+      Set("src0", "src1", "src2", "src3")(s)
+    }
+    val heavyRate = heavy.values.map(_._2).sum / heavy.size
+    val lightRate = light.values.map(_._2).sum / light.size
+    assert(heavyRate < lightRate,
+      s"heavy sources not downsampled harder: $heavyRate vs $lightRate")
+  }
+
+  test("weighted mix plan: per-row predicate, no shuffle before the output sort") {
+    val df = RankMixQueries.queries("mix_weighted_sample")(spark, dir)
+    val shuffles = physicalNodes(df).collect { case e: ShuffleExchangeExec => e }
+    // the only exchange is the range partitioning for the final orderBy
+    assert(shuffles.length <= 1, s"unexpected shuffles: $shuffles")
+  }
+}
