@@ -23,7 +23,8 @@ object SparkEntry {
     CdcQueries.queries ++ AnalyticsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      TemporalQueries.queries ++ RankMixQueries.queries
+      TemporalQueries.queries ++ RankMixQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     CdcQueries.oracle ++ AnalyticsQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
-      TemporalQueries.oracle ++ RankMixQueries.oracle
+      TemporalQueries.oracle ++ RankMixQueries.oracle ++
+      CurationQueries.oracle
 }

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Corpus-curation operators — the remaining pillars of a training-data
+  * pipeline beyond dedup/similarity/ranking: repetition quality signals
+  * (Gopher-style, adapted to word granularity), exact substring-window
+  * duplication (the "Deduplicating Training Data" suffix-window signal),
+  * benchmark decontamination (word-8-gram overlap vs a held-out eval set),
+  * a deterministic global training shuffle, int8 embedding quantization,
+  * and a per-source quality-filter funnel audit.
+  *
+  * Scale design:
+  *  - Every per-doc signal is a narrow map over (doc_id, text) — no
+  *    shuffle except the aggregate that needs one, and those group on
+  *    compact keys.
+  *  - Decontamination broadcasts the eval-set gram index (eval benchmarks
+  *    are KBs–MBs; the corpus side streams past it with zero shuffle).
+  *  - The training shuffle is a per-shard partitioned sort (md5 keys
+  *    spread uniformly), never a global ORDER BY.
+  *  - Quantization is pure per-row HOF math: embarrassingly parallel,
+  *    no exchange at all.
+  *
+  * Oracle bit-exactness follows the Tables.scala rules: counts cast to
+  * BIGINT both sides, ratios are a single IEEE division of exactly-equal
+  * inputs, float chains share identical parenthesization, md5 hex strings
+  * are engine-portable, and every query ends in a deterministic ORDER BY.
+  */
+object CurationQueries {
+
+  private val toks = "split(text, ' ')"
+
+  val queries: Map[String, Q] = Map(
+    // Word-level repetition signals per document: token count, distinct
+    // token count, type-token ratio, and the dominant token + its mass
+    // fraction (ties broken by lexicographically-smallest token). One
+    // explode, one partial-aggregated groupBy on (doc_id, token), one
+    // per-doc rollup.
+    "text_repetition" -> ((s, dir) => {
+      val wc = load(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = wc.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"))
+      val rk = row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("token")))
+      val top = wc.withColumn("rk", rk).filter(col("rk") === 1)
+        .select(col("doc_id"), col("token").as("top_word"),
+          col("cnt").as("top_cnt"))
+      perDoc.join(top, "doc_id")
+        .select(col("doc_id"),
+          col("n_words").cast("bigint").as("n_words"),
+          col("n_distinct").cast("bigint").as("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_words")).as("ttr"),
+          col("top_word"),
+          col("top_cnt").cast("bigint").as("top_cnt"),
+          (col("top_cnt").cast("double") / col("n_words"))
+            .as("top_word_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact substring-window duplication: 64-char windows at stride 32;
+    // a window seen in >1 distinct document marks verbatim cross-doc
+    // duplication (the fixed-window form of suffix-array dedup). Group
+    // keys are the window text for oracle comparability; the 100 TB form
+    // groups on xxhash64(window) — same pairs, 8-byte shuffle keys. The
+    // ≤64-doc cap bounds the hottest window (boilerplate) exactly like
+    // the near-dup candidate caps.
+    "dedup_window_pairs" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (length(text)-64) div 32)," +
+            " i -> substring(text, 1+32*i, 64))")).as("win"))
+        .groupBy(col("win"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_hits"))
+        .filter(col("n_docs").between(2, 64))
+        .select(col("win"), col("n_docs").cast("bigint").as("n_docs"),
+          col("n_hits").cast("bigint").as("n_hits"))
+        .orderBy(col("win"))),
+
+    // Benchmark decontamination: held-out eval set = doc_id % 37 == 0;
+    // count distinct word-4-grams each corpus doc shares with each eval
+    // doc (gram width is the usual tunable; 4 suits these ~100-word
+    // docs). The eval gram index is broadcast (eval sets are tiny
+    // relative to the corpus) — the corpus side never shuffles its grams.
+    "decontam_overlap" -> ((s, dir) => {
+      val grams = load(s, dir, "documents")
+        .filter(expr(s"size($toks) >= 4"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size($toks)-4)," +
+            s" i -> concat_ws(' ', slice($toks, i+1, 4)))")).as("gram"))
+        .distinct()
+      val evalGrams = grams.filter(col("doc_id") % 37 === 0)
+        .withColumnRenamed("doc_id", "eval_doc_id")
+      grams.filter(col("doc_id") % 37 =!= 0)
+        .join(broadcast(evalGrams), "gram")
+        .groupBy(col("doc_id"), col("eval_doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("doc_id"), col("eval_doc_id"),
+          col("n_shared").cast("bigint").as("n_shared"))
+        .orderBy(col("doc_id"), col("eval_doc_id"))
+    }),
+
+    // Deterministic global training shuffle: md5-keyed shard assignment +
+    // within-shard position. Reproducible across engines/runs (no RNG),
+    // and the sort is per-shard (partitioned by the row_number window) —
+    // never a single global ORDER BY at scale.
+    "mix_shuffle_order" -> ((s, dir) => {
+      val h = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+      val shard = (ascii(substring(col("h"), 1, 1)) * 31 +
+        ascii(substring(col("h"), 2, 1))) % 8
+      val pos = row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id")))
+      load(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", shard.cast("bigint"))
+        .withColumn("pos", pos.cast("bigint"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("h"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // Symmetric int8 scalar quantization of the embedding column:
+    // q_i = floor(x_i*127/amax + 0.5), amax = max |x_i|. Pure per-row
+    // HOF math — zero exchanges; summary stats (sum/min/max/#saturated)
+    // verify the elementwise kernel without emitting arrays.
+    "sim_quantize_int8" -> ((s, dir) =>
+      load(s, dir, "embeddings")
+        .withColumn("amax", expr(
+          "array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .withColumn("q", expr(
+          "transform(embedding, x -> cast(floor(" +
+            "(cast(x as double)*127.0d)/amax + 0.5d) as bigint))"))
+        .select(col("vec_id"), col("amax"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"),
+          expr("cast(size(filter(q, v -> abs(v) = 127)) as bigint)")
+            .as("n_sat"))
+        .orderBy(col("vec_id"))),
+
+    // Quality-filter funnel audit, per source: how many docs survive each
+    // rule and the conjunction. Single scan, one groupBy on a 10-value
+    // key — the plan a funnel should have.
+    "corpus_filter_funnel" -> ((s, dir) => {
+      val nWords = expr(s"size($toks)")
+      val ttr = expr(s"cast(size(array_distinct($toks)) as double)") / nWords
+      val passLen = col("n_chars").between(100, 500)
+      val passWords = nWords >= 20
+      val passTtr = ttr >= 0.5
+      val passLang = col("lang").isin("en", "de", "fr", "es")
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      load(s, dir, "documents")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          cnt(passLen).as("pass_len"),
+          cnt(passWords).as("pass_words"),
+          cnt(passTtr).as("pass_ttr"),
+          cnt(passLang).as("pass_lang"),
+          cnt(passLen && passWords && passTtr && passLang).as("pass_all"))
+        .orderBy(col("source"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH wc AS (SELECT doc_id, token, COUNT(*) AS cnt
+                     FROM (SELECT doc_id,
+                                  unnest(STRING_SPLIT(text, ' ')) AS token
+                           FROM documents)
+                     GROUP BY doc_id, token),
+              pd AS (SELECT doc_id, SUM(cnt) AS n_words,
+                            COUNT(*) AS n_distinct
+                     FROM wc GROUP BY doc_id),
+              top AS (SELECT doc_id, token AS top_word, cnt AS top_cnt
+                      FROM (SELECT wc.*,
+                                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, token) AS rk
+                            FROM wc)
+                      WHERE rk = 1)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+                top_word, CAST(top_cnt AS BIGINT) AS top_cnt,
+                CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac
+         FROM pd JOIN top USING (doc_id) ORDER BY doc_id""",
+    "dedup_window_pairs" ->
+      """WITH w AS (SELECT doc_id,
+                           substr(text, 1 + 32*i, 64) AS win
+                    FROM documents,
+                         UNNEST(RANGE(0, ((LEN(text)-64)//32) + 1)) AS u(i)
+                    WHERE LEN(text) >= 64),
+              g AS (SELECT win, COUNT(DISTINCT doc_id) AS n_docs,
+                           COUNT(*) AS n_hits
+                    FROM w GROUP BY win)
+         SELECT win, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_hits AS BIGINT) AS n_hits
+         FROM g WHERE n_docs BETWEEN 2 AND 64 ORDER BY win""",
+    "decontam_overlap" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a,
+                           LEN(STRING_SPLIT(text, ' ')) AS n
+                    FROM documents),
+              g AS (SELECT DISTINCT doc_id,
+                           array_to_string(list_slice(a, i+1, i+4), ' ')
+                             AS gram
+                    FROM t, UNNEST(RANGE(0, n - 3)) AS u(i)
+                    WHERE n >= 4)
+         SELECT c.doc_id AS doc_id, e.doc_id AS eval_doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM g c JOIN g e USING (gram)
+         WHERE c.doc_id % 37 <> 0 AND e.doc_id % 37 = 0
+         GROUP BY c.doc_id, e.doc_id
+         ORDER BY doc_id, eval_doc_id""",
+    "mix_shuffle_order" ->
+      """WITH h AS (SELECT doc_id,
+                           md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents),
+              s AS (SELECT doc_id, h,
+                           CAST((ascii(substr(h, 1, 1)) * 31 +
+                                 ascii(substr(h, 2, 1))) % 8 AS BIGINT)
+                             AS shard
+                    FROM h)
+         SELECT doc_id, shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                       ORDER BY h, doc_id) AS BIGINT) AS pos, h
+         FROM s ORDER BY shard, pos""",
+    "sim_quantize_int8" ->
+      """WITH b AS (SELECT vec_id, embedding,
+                           list_max(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE)))) AS amax
+                    FROM embeddings),
+              q AS (SELECT vec_id, amax,
+                           list_transform(embedding, x -> CAST(floor(
+                             (CAST(x AS DOUBLE)*127.0)/amax + 0.5)
+                             AS BIGINT)) AS ql
+                    FROM b)
+         SELECT vec_id, amax,
+                CAST(list_sum(ql) AS BIGINT) AS q_sum,
+                CAST(list_min(ql) AS BIGINT) AS q_min,
+                CAST(list_max(ql) AS BIGINT) AS q_max,
+                CAST(LEN(list_filter(ql, v -> abs(v) = 127)) AS BIGINT)
+                  AS n_sat
+         FROM q ORDER BY vec_id""",
+    "corpus_filter_funnel" ->
+      """WITH d AS (SELECT source, n_chars, lang,
+                           LEN(STRING_SPLIT(text, ' ')) AS n_words,
+                           CAST(LEN(list_distinct(STRING_SPLIT(text, ' ')))
+                                AS DOUBLE) /
+                             LEN(STRING_SPLIT(text, ' ')) AS ttr
+                    FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
+                              THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+                CAST(SUM(CASE WHEN n_words >= 20
+                              THEN 1 ELSE 0 END) AS BIGINT) AS pass_words,
+                CAST(SUM(CASE WHEN ttr >= 0.5
+                              THEN 1 ELSE 0 END) AS BIGINT) AS pass_ttr,
+                CAST(SUM(CASE WHEN lang IN ('en','de','fr','es')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+                CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
+                               AND n_words >= 20 AND ttr >= 0.5
+                               AND lang IN ('en','de','fr','es')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+         FROM d GROUP BY source ORDER BY source"""
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.functions._
+import graft.queries.CurationQueries
+
+/** Semantic pins for the corpus-curation operators (CurationQueries):
+  * repetition signals, substring-window duplication, decontamination,
+  * deterministic training shuffle, int8 quantization, filter funnel.
+  */
+class CurationSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+  private def q(name: String) = CurationQueries.queries(name)(spark, dir)
+
+  test("text_repetition: signals are internally consistent") {
+    val rows = q("text_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getAs[Long]("n_words")
+      val nDistinct = r.getAs[Long]("n_distinct")
+      val topCnt = r.getAs[Long]("top_cnt")
+      assert(nDistinct <= nWords && nDistinct >= 1)
+      assert(topCnt >= 1 && topCnt <= nWords - nDistinct + 1)
+      assert(math.abs(r.getAs[Double]("ttr") -
+        nDistinct.toDouble / nWords) == 0.0)
+      assert(math.abs(r.getAs[Double]("top_word_frac") -
+        topCnt.toDouble / nWords) == 0.0)
+    }
+  }
+
+  test("text_repetition: top word matches an independent recount") {
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val words = doc.getString(1).split(' ')
+    // deterministic tie-break: max count, then lexicographically smallest
+    val byCount = words.groupBy(identity).view.mapValues(_.length).toSeq
+    val maxC = byCount.map(_._2).max
+    val top = byCount.filter(_._2 == maxC).map(_._1).min
+    val got = q("text_repetition")
+      .filter(col("doc_id") === doc.getLong(0)).head()
+    assert(got.getAs[String]("top_word") == top)
+    assert(got.getAs[Long]("top_cnt") == maxC.toLong)
+  }
+
+  test("dedup_window_pairs: every window is 64 chars, shared by 2+ docs, " +
+      "and genuinely present in that many documents") {
+    val rows = q("dedup_window_pairs").collect()
+    assert(rows.nonEmpty, "sf0.001 contains verbatim duplicate docs")
+    rows.foreach { r =>
+      assert(r.getAs[String]("win").length == 64)
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_hits") >= r.getAs[Long]("n_docs"))
+    }
+    // spot-check the first window by direct substring containment
+    val win = rows.head.getAs[String]("win")
+    val present = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").contains(win)).count()
+    assert(present >= rows.head.getAs[Long]("n_docs"),
+      s"window not found via contains(): $win")
+  }
+
+  test("decontam_overlap: pairs link corpus docs to eval docs only, " +
+      "and the eval-gram side broadcasts") {
+    val df = q("decontam_overlap")
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eval_doc_id") % 37 == 0)
+      assert(r.getAs[Long]("doc_id") % 37 != 0)
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+    val broadcasts = physicalNodes(df).collect {
+      case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty,
+      "eval gram index must broadcast — corpus grams must not shuffle")
+  }
+
+  test("mix_shuffle_order: a deterministic permutation with contiguous " +
+      "per-shard positions") {
+    val rows = q("mix_shuffle_order").collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs, "shuffle must be a permutation")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.sameElements(1L to rs.length), "positions not contiguous")
+    }
+    // determinism: a second run yields the identical ordering
+    val again = q("mix_shuffle_order").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("sim_quantize_int8: quantized range is [-127,127], the max-|x| " +
+      "dim saturates, and reconstruction stays within half a step") {
+    import spark.implicits._
+    val rows = q("sim_quantize_int8").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_min") >= -127L)
+      assert(r.getAs[Long]("q_max") <= 127L)
+      assert(r.getAs[Long]("n_sat") >= 1L,
+        "the max-abs element must quantize to ±127")
+    }
+    // elementwise reconstruction bound on one vector: |x - q*amax/127|
+    // <= amax/254 + eps (half a quantization step)
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id").select("embedding").as[Seq[Float]].head()
+    val amax = v.map(x => math.abs(x.toDouble)).max
+    v.foreach { x =>
+      val qd = math.floor(x.toDouble * 127.0 / amax + 0.5)
+      assert(math.abs(x.toDouble - qd * amax / 127.0) <=
+        amax / 254.0 + 1e-12)
+    }
+  }
+
+  test("corpus_filter_funnel: conjunction never exceeds any single rule") {
+    val rows = q("corpus_filter_funnel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val all = r.getAs[Long]("pass_all")
+      Seq("pass_len", "pass_words", "pass_ttr", "pass_lang").foreach { c =>
+        assert(all <= r.getAs[Long](c), s"pass_all > $c")
+        assert(r.getAs[Long](c) <= r.getAs[Long]("n_docs"))
+      }
+    }
+  }
+}
