@@ -90,18 +90,22 @@ object CurationQueries {
     // docs). The eval gram index is broadcast (eval sets are tiny
     // relative to the corpus) — the corpus side never shuffles its grams.
     "decontam_overlap" -> ((s, dir) => {
-      val grams = load(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
         .filter(expr(s"size($toks) >= 4"))
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, size($toks)-4)," +
             s" i -> concat_ws(' ', slice($toks, i+1, 4)))")).as("gram"))
-        .distinct()
-      val evalGrams = grams.filter(col("doc_id") % 37 === 0)
-        .withColumnRenamed("doc_id", "eval_doc_id")
-      grams.filter(col("doc_id") % 37 =!= 0)
+      val docs = load(s, dir, "documents")
+      // eval side is tiny: distinct + broadcast. Corpus grams stream past
+      // the broadcast join UN-deduplicated — the semi-join shrinks them to
+      // only contaminated grams, so the dedup (countDistinct) happens on
+      // the small surviving set, never as a corpus-wide gram shuffle.
+      val evalGrams = grams(docs.filter(col("doc_id") % 37 === 0))
+        .distinct().withColumnRenamed("doc_id", "eval_doc_id")
+      grams(docs.filter(col("doc_id") % 37 =!= 0))
         .join(broadcast(evalGrams), "gram")
         .groupBy(col("doc_id"), col("eval_doc_id"))
-        .agg(count(lit(1)).as("n_shared"))
+        .agg(countDistinct(col("gram")).as("n_shared"))
         .select(col("doc_id"), col("eval_doc_id"),
           col("n_shared").cast("bigint").as("n_shared"))
         .orderBy(col("doc_id"), col("eval_doc_id"))

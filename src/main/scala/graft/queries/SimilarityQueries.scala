@@ -122,6 +122,32 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Metadata-filtered vector search (the filtered-ANN shape every
+    // production vector store needs): top-k cosine neighbors restricted
+    // to candidates sharing the query's label. The filter lands IN the
+    // join condition — candidates failing it are never scored; at 100 TB
+    // with the corpus partitioned by the filter column this becomes
+    // partition pruning before the scan.
+    "sim_knn_filtered" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("qlabel"))
+      val c = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("label"))
+      val scored = c.join(broadcast(q),
+          col("qid") =!= col("nid") && col("label") === col("qlabel"))
+        .withColumn("cos", round(expr(cosExpr("qe", "ne")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("nid"),
+          col("label").cast("long").as("label"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF coarse quantizer: per-label centroid, one row per (label, dim).
     // Single scan + posexplode + partial agg on (label, dim) — 640 groups.
     "sim_centroids" -> ((s, dir) =>
@@ -263,6 +289,37 @@ object SimilarityQueries {
             FROM scored)
           SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos
           FROM ranked WHERE rank <= $TopK ORDER BY qid, rank""",
+    "sim_knn_filtered" ->
+      s"""WITH d AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+          n AS (
+            SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM d GROUP BY vec_id),
+          l AS (SELECT vec_id, label FROM embeddings),
+          dots AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid, SUM(q.x * c.x) AS dot
+            FROM d q JOIN d c ON q.dim = c.dim
+            JOIN l lq ON lq.vec_id = q.vec_id
+            JOIN l lc ON lc.vec_id = c.vec_id
+            WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+              AND lq.label = lc.label
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT qid, nid,
+                   ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos
+            FROM dots
+            JOIN n nq ON nq.vec_id = qid
+            JOIN n nc ON nc.vec_id = nid),
+          ranked AS (
+            SELECT qid, nid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, nid) AS rank
+            FROM scored)
+          SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.nid,
+                 CAST(l.label AS BIGINT) AS label, r.cos
+          FROM ranked r JOIN l ON l.vec_id = r.nid
+          WHERE r.rank <= $TopK ORDER BY qid, rank""",
     "sim_centroids" ->
       """WITH dd AS (
            SELECT label, generate_subscripts(embedding, 1) AS d,

@@ -41,6 +41,30 @@ class DedupSimilaritySpec extends SparkSuite {
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("filtered kNN: every neighbor shares the query's label, and " +
+      "agrees with brute force where brute's neighbor already matched") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filtered = SimilarityQueries.queries("sim_knn_filtered")(spark, dir)
+      .select("qid", "nid", "label").collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach { r =>
+      assert(r.getLong(2) == emb(r.getLong(0)).toLong,
+        "neighbor label must equal query label")
+      assert(emb(r.getLong(1)).toLong == r.getLong(2))
+    }
+    // consistency: a brute top-5 neighbor with matching label must also
+    // appear in the filtered top-5 (the filter only removes candidates)
+    val brute = SimilarityQueries.queries("sim_knn_brute")(spark, dir)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (q, n) => emb(q) == emb(n) }.toSet
+    val fset = filtered.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(fset),
+      s"brute same-label pairs missing from filtered: ${brute.diff(fset)}")
+  }
+
   test("LSH ANN recall@5 vs brute force") {
     val brute = knnPairs("sim_knn_brute")
     val ann = knnPairs("sim_knn_lsh")
