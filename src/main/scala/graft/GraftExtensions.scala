@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_ngrams",
         "minhash_ngrams(tokens, ngram, k) - fused shingle MinHash signature"),
       (es: Seq[Expression]) => TextHashes.minHashNgramsBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(tokens, n) - space-joined word n-grams"),
+      (es: Seq[Expression]) => TextHashes.wordNgramsBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("char_windows"),
+      info("char_windows",
+        "char_windows(text, width, stride) - fixed-width substring windows"),
+      (es: Seq[Expression]) => TextHashes.charWindowsBuilder(es)))
     ext.injectFunction((FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",
         "lsh_buckets(array<float|double>, nTables, nPlanes) - " +

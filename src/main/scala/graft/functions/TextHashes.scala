@@ -69,6 +69,47 @@ object TextHashImpl {
     new GenericArrayData(picked.toArray)
   }
 
+  private val Space = UTF8String.fromString(" ")
+
+  /** Word n-grams of a token array, space-joined — the fused, codegen'd
+    * form of `transform(sequence(0, size(a)-n), i -> concat_ws(' ',
+    * slice(a, i+1, n)))` (whose HOFs are CodegenFallback). Returns all
+    * m-n+1 grams in order (caller dedups if needed); empty below n tokens.
+    */
+  def wordNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fixed-width character windows at the given stride — the fused form
+    * of `transform(sequence(0, (length(s)-width) div stride), i ->
+    * substring(s, 1+stride*i, width))`. Char (not byte) indexed, matching
+    * `substr` in both Spark and DuckDB; empty when the string is shorter
+    * than one window.
+    */
+  def charWindows(s: UTF8String, width: Int, stride: Int): ArrayData = {
+    val n = s.numChars()
+    if (n < width) return new GenericArrayData(Array.empty[Any])
+    val cnt = (n - width) / stride + 1
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      out(i) = s.substringSQL(1 + stride * i, width)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer (public-domain mixing function) — used to derive
     * the k independent MinHash permutations from one base FNV-64 hash.
     */
@@ -341,6 +382,34 @@ case class MinHashNgrams(child: Expression, ngram: Int, k: Int)
     copy(child = c)
 }
 
+/** word_ngrams(array<string>, n): space-joined word n-grams. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.wordNgrams(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+}
+
+/** char_windows(text, width, stride): fixed-width substring windows. */
+case class CharWindows(child: Expression, width: Int, stride: Int)
+    extends UnaryExpression with GraftTypedUnary {
+  override def expectedInputType: DataType = StringType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.charWindows(v.asInstanceOf[UTF8String], width, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.charWindows($c, $width, $stride)")
+  override protected def withNewChildInternal(c: Expression): CharWindows =
+    copy(child = c)
+}
+
 /** sig_match(array<long>, array<long>): matching-position count. */
 case class SigMatch(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -472,6 +541,20 @@ object TextHashes {
     MinHashNgrams(es.head, ng, k)
   }
 
+  def wordNgramsBuilder(es: Seq[Expression]): Expression = {
+    val Seq(n) = intLits(es, "word_ngrams", "word_ngrams(tokens, 4)", 1)
+    require(n > 0, s"word_ngrams: n must be positive, got $n")
+    WordNgrams(es.head, n)
+  }
+
+  def charWindowsBuilder(es: Seq[Expression]): Expression = {
+    val Seq(w, st) = intLits(es, "char_windows",
+      "char_windows(text, 64, 32)", 2)
+    require(w > 0 && st > 0,
+      s"char_windows: width and stride must be positive, got ($w, $st)")
+    CharWindows(es.head, w, st)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // Spark 4.1.2 validates the source tag: must be "built-in".
@@ -492,6 +575,10 @@ object TextHashes {
       es => StructPairs(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_ngrams",
       minHashNgramsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      wordNgramsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("char_windows",
+      charWindowsBuilder, "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",
       VectorLsh.builder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot",

@@ -72,10 +72,8 @@ object CurationQueries {
     // the near-dup candidate caps.
     "dedup_window_pairs" -> ((s, dir) =>
       load(s, dir, "documents")
-        .filter(length(col("text")) >= 64)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, (length(text)-64) div 32)," +
-            " i -> substring(text, 1+32*i, 64))")).as("win"))
+        .select(col("doc_id"),
+          explode(expr("char_windows(text, 64, 32)")).as("win"))
         .groupBy(col("win"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_hits"))
@@ -91,10 +89,8 @@ object CurationQueries {
     // relative to the corpus) — the corpus side never shuffles its grams.
     "decontam_overlap" -> ((s, dir) => {
       def grams(df: org.apache.spark.sql.DataFrame) = df
-        .filter(expr(s"size($toks) >= 4"))
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, size($toks)-4)," +
-            s" i -> concat_ws(' ', slice($toks, i+1, 4)))")).as("gram"))
+        .select(col("doc_id"),
+          explode(expr(s"word_ngrams($toks, 4)")).as("gram"))
       val docs = load(s, dir, "documents")
       // eval side is tiny: distinct + broadcast. Corpus grams stream past
       // the broadcast join UN-deduplicated — the semi-join shrinks them to

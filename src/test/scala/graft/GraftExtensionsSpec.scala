@@ -50,6 +50,12 @@ class GraftExtensionsSpec extends SparkSuite {
       assert(k.getLong(3) == 1L && k.getInt(4) == 4)
       assert(k.getDouble(5) == 11.0 && k.getDouble(6) == 1.0)
       assert(k.getInt(7) == 2)
+      // round-5 kernels: word n-grams + substring windows
+      val r5 = s2.sql(
+        """SELECT word_ngrams(array('a','b','c'), 2) AS wg,
+                  char_windows('abcdefgh', 4, 2) AS cw""").head()
+      assert(r5.getSeq[String](0) == Seq("a b", "b c"))
+      assert(r5.getSeq[String](1) == Seq("abcd", "cdef", "efgh"))
     } finally {
       // keep the shared suite session; only drop this one's state
       SparkSession.setActiveSession(spark)

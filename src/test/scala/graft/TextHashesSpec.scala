@@ -130,6 +130,34 @@ class TextHashesSpec extends SparkSuite {
       .head.getLong(0) == Long.MaxValue)
   }
 
+  test("word_ngrams / char_windows: bit-identical to the HOF " +
+      "formulations on real documents, empty on short inputs") {
+    TextHashes.register(spark)
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val toks = "split(text, ' ')"
+    val hofGrams =
+      s"""CASE WHEN size($toks) >= 4 THEN
+            transform(sequence(0, size($toks) - 4),
+              i -> concat_ws(' ', slice($toks, i + 1, 4)))
+          ELSE array() END"""
+    val hofWins =
+      """CASE WHEN length(text) >= 64 THEN
+           transform(sequence(0, (length(text) - 64) div 32),
+             i -> substring(text, 1 + 32*i, 64))
+         ELSE array() END"""
+    val j = docs.select(
+      expr(hofGrams).as("ga"), expr(s"word_ngrams($toks, 4)").as("gb"),
+      expr(hofWins).as("wa"), expr("char_windows(text, 64, 32)").as("wb"))
+    assert(j.filter(col("ga") =!= col("gb")).count() == 0)
+    assert(j.filter(col("wa") =!= col("wb")).count() == 0)
+    import spark.implicits._
+    val short = Seq("one two").toDF("text")
+    assert(short.select(expr("size(word_ngrams(split(text, ' '), 4))"))
+      .head.getInt(0) == 0)
+    assert(short.select(expr("size(char_windows(text, 64, 32))"))
+      .head.getInt(0) == 0)
+  }
+
   test("vec_cos / vec_dot / vec_normalize: bit-identical to the HOF " +
       "formulations") {
     TextHashes.register(spark)
