@@ -346,6 +346,83 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // TPC-H Q15 shape: top supplier(s) by 3-month revenue. The max is a
+    // 1-row aggregate broadcast back (never a global sort); ties all
+    // surface (Q15's "view + scalar max" semantics).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q21 shape (adapted: no l_receiptdate/l_commitdate in this
+    // schema, so "late" = returned, l_returnflag = 'R' — the join
+    // structure is Q21's: semi-join "another supplier in the order",
+    // anti-join "no OTHER supplier returned"). Self-joins are equi on
+    // l_orderkey — co-partitioned, never broadcast of the fact side.
+    "q21_sole_returns" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+      val fOrders = load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("o2") &&
+          col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    }),
+
+    // TPC-H Q9 shape (adapted: no partsupp table, so supply cost =
+    // 0.5 × retail price): profit by nation × order-year over parts
+    // whose name contains 'red'. Part/supplier/nation dims broadcast;
+    // lineitem→orders is the only fact-fact equi-join.
+    "q9_product_profit" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem")
+      val ord = load(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      li.join(broadcast(load(s, dir, "part")
+          .filter(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(load(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        // exact DECIMAL end-to-end: casting a COMPUTED double to decimal
+        // rounds at .005 boundaries differently across engines; with all
+        // factors cast first, every product/sum is exact on both sides
+        .agg(round(sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(12,2))) - " +
+            "CAST(p_retailprice AS DECIMAL(12,2)) * " +
+            "CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(2,1))")),
+          2).cast("double").as("profit"))
+        .select(col("n_name"), col("o_year").cast("bigint").as("o_year"),
+          col("profit"))
+        .orderBy(col("n_name"), col("o_year"))
+    }),
+
     // Windowed analytics on the stream table: per-user running totals —
     // the "metrics over time" family (A2) with event-time semantics.
     // Product path: EventsCdc.runningTotals (user_id window shuffle only);
@@ -492,6 +569,54 @@ object AnalyticsQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                    AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q21_sole_returns" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM lineitem l1
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l1.l_orderkey
+                         AND o_orderstatus = 'F')
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 10""",
+    "q9_product_profit" ->
+      """SELECT n_name,
+                CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+                CAST(ROUND(SUM(
+                  CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2))) -
+                  CAST(p_retailprice AS DECIMAL(12,2)) *
+                    CAST(l_quantity AS DECIMAL(12,2)) *
+                    CAST(0.5 AS DECIMAL(2,1))), 2) AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN orders ON o_orderkey = l_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY n_name, YEAR(o_orderdate)
+         ORDER BY n_name, o_year""",
     "topk_customers" ->
       """SELECT c_custkey, c_name,
                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS spend,
