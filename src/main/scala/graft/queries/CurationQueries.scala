@@ -144,6 +144,58 @@ object CurationQueries {
             .as("n_sat"))
         .orderBy(col("vec_id"))),
 
+    // The flagship composition: the complete curation funnel as ONE
+    // dataflow — eval split → quality gate → exact-dedup keeper (min
+    // doc_id per md5(text) among quality survivors) → decontamination
+    // (≥2 distinct 4-grams shared with any eval doc ⇒ dropped) →
+    // weighted mix sample. Per-source cumulative survivor counts.
+    // Exchanges: one md5-group (16-byte keys, partial agg), one
+    // broadcast semi-join against the eval gram index, one 10-group agg.
+    "curation_pipeline_e2e" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 37 === 0)
+      val quality = col("n_chars").between(100, 500) &&
+        (expr(s"cast(size(array_distinct($toks)) as double)") /
+          expr(s"size($toks)")) >= 0.5
+      val flagged = corpus.withColumn("q", quality)
+      // exact-dedup keeper among quality survivors
+      val keepers = flagged.filter(col("q"))
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"))
+      // contaminated = shares >= 2 distinct 4-grams with some eval doc
+      val evalGrams = evalDocs
+        .select(explode(expr(s"word_ngrams($toks, 4)")).as("gram"),
+          col("doc_id").as("eval_doc_id")).distinct()
+      val contaminated = corpus
+        .select(col("doc_id"),
+          explode(expr(s"word_ngrams($toks, 4)")).as("gram"))
+        .join(broadcast(evalGrams), "gram")
+        .groupBy(col("doc_id"), col("eval_doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select(col("doc_id")).distinct()
+      val mixKeep = substring(md5(col("text")), 1, 1) <
+        when(col("source").isInCollection(RankMixQueries.heavySources),
+          lit("4")).otherwise(lit("c"))
+      flagged
+        .join(keepers.withColumnRenamed("keep_id", "doc_id")
+          .withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
+        .join(contaminated.withColumn("is_contam", lit(true)),
+          Seq("doc_id"), "left")
+        .withColumn("k", col("q") && col("is_keeper").isNotNull)
+        .withColumn("c", col("k") && col("is_contam").isNull)
+        .withColumn("m", col("c") && mixKeep)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("k"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("c"), 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("m"), 1L).otherwise(0L)).as("n_final"))
+        .orderBy(col("source"))
+    }),
+
     // Quality-filter funnel audit, per source: how many docs survive each
     // rule and the conjunction. Single scan, one groupBy on a 10-value
     // key — the plan a funnel should have.
@@ -247,6 +299,62 @@ object CurationQueries {
                 CAST(LEN(list_filter(ql, v -> abs(v) = 127)) AS BIGINT)
                   AS n_sat
          FROM q ORDER BY vec_id""",
+    "curation_pipeline_e2e" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, source, n_chars,
+                  (n_chars BETWEEN 100 AND 500) AND
+                  (CAST(LEN(list_distinct(STRING_SPLIT(text, ' ')))
+                        AS DOUBLE) /
+                     LEN(STRING_SPLIT(text, ' ')) >= 0.5) AS q
+           FROM documents WHERE doc_id % 37 <> 0),
+         keepers AS (
+           SELECT MIN(doc_id) AS keep_id
+           FROM corpus WHERE q GROUP BY md5(text)),
+         eg AS (
+           SELECT DISTINCT doc_id AS eval_doc_id,
+                  array_to_string(list_slice(a, i+1, i+4), ' ') AS gram
+           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS a,
+                        LEN(STRING_SPLIT(text, ' ')) AS n
+                 FROM documents WHERE doc_id % 37 = 0) t,
+                UNNEST(RANGE(0, n - 3)) AS u(i)
+           WHERE n >= 4),
+         cg AS (
+           SELECT doc_id,
+                  array_to_string(list_slice(a, i+1, i+4), ' ') AS gram
+           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS a,
+                        LEN(STRING_SPLIT(text, ' ')) AS n
+                 FROM corpus) t,
+                UNNEST(RANGE(0, n - 3)) AS u(i)
+           WHERE n >= 4),
+         contam AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT c.doc_id, e.eval_doc_id
+             FROM cg c JOIN eg e USING (gram)
+             GROUP BY c.doc_id, e.eval_doc_id
+             HAVING COUNT(DISTINCT gram) >= 2)),
+         staged AS (
+           SELECT f.source, f.q,
+                  f.q AND (kp.keep_id IS NOT NULL) AS k,
+                  f.q AND (kp.keep_id IS NOT NULL) AND
+                    (ct.doc_id IS NULL) AS c,
+                  f.q AND (kp.keep_id IS NOT NULL) AND
+                    (ct.doc_id IS NULL) AND
+                    (substr(md5(f.text), 1, 1) <
+                      (CASE WHEN f.source IN ('src0','src1','src2','src3')
+                            THEN '4' ELSE 'c' END)) AS m
+           FROM corpus f
+           LEFT JOIN keepers kp ON kp.keep_id = f.doc_id
+           LEFT JOIN contam ct ON ct.doc_id = f.doc_id)
+         SELECT source, COUNT(*) AS n_raw,
+                CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quality,
+                CAST(SUM(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unique,
+                CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clean,
+                CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_final
+         FROM staged GROUP BY source ORDER BY source""",
     "corpus_filter_funnel" ->
       """WITH d AS (SELECT source, n_chars, lang,
                            LEN(STRING_SPLIT(text, ' ')) AS n_words,

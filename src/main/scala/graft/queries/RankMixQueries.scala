@@ -31,8 +31,9 @@ object RankMixQueries {
   private val toks = "split(text, ' ')"
 
   /** Heavy sources get downsampled harder: first md5 hex digit < '4'
-    * (~25% keep) for src0-3, < 'c' (~75%) for the rest. */
-  private val heavySources = Seq("src0", "src1", "src2", "src3")
+    * (~25% keep) for src0-3, < 'c' (~75%) for the rest. Shared with the
+    * end-to-end curation pipeline so the mix stage is the same rule. */
+  val heavySources: Seq[String] = Seq("src0", "src1", "src2", "src3")
 
   val queries: Map[String, Q] = Map(
     // Top-3 TF-IDF terms per document. tf = in-doc term count, df = #docs

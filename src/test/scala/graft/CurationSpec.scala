@@ -113,6 +113,21 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("curation_pipeline_e2e: stage counts are monotonically " +
+      "non-increasing and the mix stage actually removes docs somewhere") {
+    val rows = q("curation_pipeline_e2e").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chain = Seq("n_raw", "n_quality", "n_unique", "n_clean", "n_final")
+        .map(r.getAs[Long])
+      chain.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a, s"funnel not monotone: $chain") }
+    }
+    val total = rows.map(_.getAs[Long]("n_raw")).sum
+    val fin = rows.map(_.getAs[Long]("n_final")).sum
+    assert(fin < total, "pipeline should drop something end-to-end")
+  }
+
   test("corpus_filter_funnel: conjunction never exceeds any single rule") {
     val rows = q("corpus_filter_funnel").collect()
     assert(rows.nonEmpty)
