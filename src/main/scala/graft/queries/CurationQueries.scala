@@ -196,6 +196,23 @@ object CurationQueries {
         .orderBy(col("source"))
     }),
 
+    // Length distribution for batch/curriculum planning: 50-char buckets
+    // with cumulative counts. The window cumsum runs over the AGGREGATED
+    // frame (≈a dozen bucket rows), so the single-partition window is a
+    // dozen rows — never the corpus.
+    "text_length_histogram" -> ((s, dir) => {
+      val byBucket = load(s, dir, "documents")
+        .groupBy(expr("n_chars div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      byBucket
+        .withColumn("cum_docs", sum(col("n_docs")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("bucket"), (col("bucket") * 50).as("lo"),
+          col("n_docs"), col("cum_docs"))
+        .orderBy(col("bucket"))
+    }),
+
     // Quality-filter funnel audit, per source: how many docs survive each
     // rule and the conjunction. Single scan, one groupBy on a 10-value
     // key — the plan a funnel should have.
@@ -355,6 +372,14 @@ object CurationQueries {
                 CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_final
          FROM staged GROUP BY source ORDER BY source""",
+    "text_length_histogram" ->
+      """WITH b AS (SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1)
+         SELECT bucket, bucket * 50 AS lo, n_docs,
+                CAST(SUM(n_docs) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_docs
+         FROM b ORDER BY bucket""",
     "corpus_filter_funnel" ->
       """WITH d AS (SELECT source, n_chars, lang,
                            LEN(STRING_SPLIT(text, ' ')) AS n_words,

@@ -148,6 +148,31 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Cluster-quality audit (cluster-based data selection needs this):
+    // per-label vector count + mean/min cosine to the label centroid.
+    // Centroids are ROUNDED to 6dp first (canonical on both engines), so
+    // every downstream cosine starts from identical inputs; the exploded
+    // (label, dim) join is a 640-row broadcast.
+    "sim_cluster_quality" -> ((s, dir) => {
+      val d = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val cent = d.groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("c"))
+      val per = d.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg((sum(col("x") * col("c")) /
+          (sqrt(sum(col("x") * col("x"))) * sqrt(sum(col("c") * col("c")))))
+          .as("cos"))
+        .withColumn("cos", round(col("cos"), 6))
+      per.groupBy(col("label").cast("bigint").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("cos")), 6).as("avg_cos"),
+          round(min(col("cos")), 6).as("min_cos"))
+        .orderBy(col("label"))
+    }),
+
     // IVF coarse quantizer: per-label centroid, one row per (label, dim).
     // Single scan + posexplode + partial agg on (label, dim) — 640 groups.
     "sim_centroids" -> ((s, dir) =>
@@ -289,6 +314,25 @@ object SimilarityQueries {
             FROM scored)
           SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos
           FROM ranked WHERE rank <= $TopK ORDER BY qid, rank""",
+    "sim_cluster_quality" ->
+      """WITH d AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+          cent AS (
+            SELECT label, dim, ROUND(AVG(x), 6) AS c
+            FROM d GROUP BY label, dim),
+          per AS (
+            SELECT vec_id, d.label AS label,
+                   ROUND(SUM(x * c) /
+                     (SQRT(SUM(x * x)) * SQRT(SUM(c * c))), 6) AS cos
+            FROM d JOIN cent ON d.label = cent.label AND d.dim = cent.dim
+            GROUP BY vec_id, d.label)
+         SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+                ROUND(AVG(cos), 6) AS avg_cos,
+                ROUND(MIN(cos), 6) AS min_cos
+         FROM per GROUP BY label ORDER BY label""",
     "sim_knn_filtered" ->
       s"""WITH d AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

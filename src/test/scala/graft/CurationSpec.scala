@@ -128,6 +128,31 @@ class CurationSpec extends SparkSuite {
     assert(fin < total, "pipeline should drop something end-to-end")
   }
 
+  test("text_length_histogram: buckets partition the corpus and the " +
+      "cumulative column is a prefix sum") {
+    val rows = q("text_length_histogram").collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    var run = 0L
+    rows.sortBy(_.getAs[Long]("bucket")).foreach { r =>
+      run += r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("cum_docs") == run)
+    }
+  }
+
+  test("sim_cluster_quality: label clusters are coherent (centroid " +
+      "cosine high, all vectors accounted for)") {
+    val rows = graft.queries.SimilarityQueries
+      .queries("sim_cluster_quality")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_cos")
+      val min = r.getAs[Double]("min_cos")
+      assert(avg > 0.0 && avg <= 1.0 && min <= avg)
+    }
+  }
+
   test("corpus_filter_funnel: conjunction never exceeds any single rule") {
     val rows = q("corpus_filter_funnel").collect()
     assert(rows.nonEmpty)
