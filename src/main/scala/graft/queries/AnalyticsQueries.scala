@@ -423,6 +423,25 @@ object AnalyticsQueries {
         .orderBy(col("n_name"), col("o_year"))
     }),
 
+    // Stream anomaly scan: per-user z-score outliers, top-50 by |z|.
+    // The per-user stats frame is user-count-sized (broadcast); the fact
+    // side is one scan + one TakeOrdered — no shuffle of events. z is
+    // rounded to 6dp so both engines rank identical values (ties broken
+    // by event_id).
+    "events_anomalies" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val st = ev.groupBy(col("user_id")).agg(
+        avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(st), "user_id")
+        .filter(col("sd") > 0)
+        .withColumn("z", round((col("value") - col("mu")) / col("sd"), 6))
+        .withColumn("z_abs", abs(col("z")))
+        .orderBy(col("z_abs").desc, col("event_id")).limit(50)
+        .select(col("event_id"), col("user_id"), col("value"), col("z"))
+    }),
+
     // Windowed analytics on the stream table: per-user running totals —
     // the "metrics over time" family (A2) with event-time semantics.
     // Product path: EventsCdc.runningTotals (user_id window shuffle only);
@@ -569,6 +588,16 @@ object AnalyticsQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    "events_anomalies" ->
+      """WITH st AS (
+           SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+           FROM events GROUP BY user_id)
+         SELECT event_id, user_id, value,
+                ROUND((value - mu) / sd, 6) AS z
+         FROM events JOIN st USING (user_id)
+         WHERE sd > 0
+         ORDER BY ABS(ROUND((value - mu) / sd, 6)) DESC, event_id
+         LIMIT 50""",
     "q15_top_supplier" ->
       """WITH rev AS (
            SELECT l_suppkey,

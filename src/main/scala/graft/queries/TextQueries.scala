@@ -121,6 +121,18 @@ object TextQueries {
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(100)),
 
+    // The first distributed BPE-training step: adjacent character-pair
+    // frequencies across the whole corpus (the argmax pair is the merge a
+    // BPE trainer would apply). Two narrow explodes through the native
+    // char_windows kernel, one partial-agg count, TakeOrdered top-20.
+    "text_bpe_merge_pairs" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(explode(expr(toks)).as("word"))
+        .select(explode(expr("char_windows(word, 2, 1)")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)),
+
     // Document fingerprinting via native Catalyst expressions (FNV-64 +
     // winnowing) — hash functions are engine-specific ⇒ rows-only check
     "text_fingerprint" -> ((s, dir) => {
@@ -199,7 +211,15 @@ object TextQueries {
       """SELECT token, COUNT(*) AS df
          FROM (SELECT unnest(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
                FROM documents)
-         GROUP BY token ORDER BY df DESC, token LIMIT 100"""
+         GROUP BY token ORDER BY df DESC, token LIMIT 100""",
+    "text_bpe_merge_pairs" ->
+      """WITH w AS (SELECT unnest(STRING_SPLIT(text, ' ')) AS word
+                    FROM documents),
+              p AS (SELECT substr(word, i + 1, 2) AS pair
+                    FROM w, UNNEST(RANGE(0, LEN(word) - 1)) AS u(i)
+                    WHERE LEN(word) >= 2)
+         SELECT pair, COUNT(*) AS cnt
+         FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
     // text_fingerprint: engine-specific hashes — rows-only check
   )
 }
