@@ -151,6 +151,34 @@ object HashProperties extends Properties("graft.hashes") {
         TextHashImpl.sigMatch(gb, ga) == want
     }
 
+  private val words: Gen[List[String]] =
+    Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(8))))
+
+  property("word_ngrams: count = max(0, m-n+1), each gram joins n " +
+      "consecutive tokens with single spaces") =
+    forAll(words, Gen.chooseNum(1, 6)) { (ws, n) =>
+      val arr = new GenericArrayData(ws.map(utf8).toArray[Any])
+      val out = TextHashImpl.wordNgrams(arr, n)
+      val grams = (0 until out.numElements())
+        .map(i => out.getUTF8String(i).toString)
+      val want = if (ws.length < n) Nil
+        else ws.sliding(n).map(_.mkString(" ")).toList
+      Prop(grams == want) :| s"got=$grams want=$want"
+    }
+
+  property("char_windows: count = (len-w)/s+1, every window is w chars " +
+      "at stride s offsets") =
+    forAll(Gen.asciiPrintableStr, Gen.chooseNum(1, 10),
+        Gen.chooseNum(1, 10)) { (s, w, st) =>
+      val out = TextHashImpl.charWindows(utf8(s), w, st)
+      val wins = (0 until out.numElements())
+        .map(i => out.getUTF8String(i).toString)
+      val want = if (s.length < w) Nil
+        else (0 to (s.length - w) / st).map(i => s.substring(st * i, st * i + w))
+      Prop(wins == want) :| s"got=$wins want=$want"
+    }
+
   private val vec: Gen[Array[Double]] =
     Gen.chooseNum(1, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-10.0, 10.0)).map(_.toArray))
