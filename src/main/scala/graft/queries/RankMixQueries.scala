@@ -120,6 +120,38 @@ object RankMixQueries {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Corpus cardinality audit: per-source doc/token totals + exact
+    // distinct-token count. (The 100 TB form swaps the exact COUNT
+    // DISTINCT for approx_count_distinct — RankMixSpec pins the HLL
+    // estimate within 5% of this exact answer.)
+    "mix_vocab_by_source" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(expr(toks)).as("token"))
+        .groupBy(col("source")).agg(
+          countDistinct(col("doc_id")).cast("bigint").as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).cast("bigint").as("n_vocab"))
+        .orderBy(col("source"))),
+
+    // Mixture-weight allocation: each source's share of a 1M-token
+    // training budget under sqrt-scaling (heavy sources damped — the
+    // standard multilingual/multi-source mixing rule). Two tiny aggs +
+    // a 1-row broadcast; weights are ROUND(,6) so both engines rank the
+    // identical values.
+    "mix_token_budget" -> ((s, dir) => {
+      val per = load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(expr(s"cast(sum(size($toks)) as bigint)").as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      val tot = per.agg(sum(col("w")).as("sw"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("w") / col("sw"), 6).as("weight"),
+          round(lit(1000000.0) * col("w") / col("sw"), 2).as("alloc_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // The mix report: per-source before/after counts + realized keep rate
     // (single IEEE division of exact ints).
     "mix_source_rates" -> ((s, dir) =>
@@ -183,6 +215,26 @@ object RankMixQueries {
                     FROM documents)
          SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn, h
          FROM r WHERE rn <= 10 ORDER BY lang, rn""",
+    "mix_vocab_by_source" ->
+      """SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                COUNT(*) AS n_tokens,
+                CAST(COUNT(DISTINCT token) AS BIGINT) AS n_vocab
+         FROM (SELECT source, doc_id,
+                      unnest(STRING_SPLIT(text, ' ')) AS token
+               FROM documents)
+         GROUP BY source ORDER BY source""",
+    "mix_token_budget" ->
+      """WITH per AS (
+           SELECT source,
+                  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_tokens,
+                      SQRT(CAST(n_tokens AS DOUBLE)) AS w FROM per),
+         t AS (SELECT SUM(w) AS sw FROM w)
+         SELECT source, n_tokens, ROUND(w / sw, 6) AS weight,
+                ROUND((1000000.0 * w) / sw, 2) AS alloc_tokens
+         FROM w CROSS JOIN t ORDER BY source""",
     "mix_weighted_sample" ->
       """SELECT doc_id, source, lang FROM documents
          WHERE substr(md5(text), 1, 1) <

@@ -73,6 +73,40 @@ class RankMixSpec extends SparkSuite {
       s"heavy sources not downsampled harder: $heavyRate vs $lightRate")
   }
 
+  test("mix_vocab_by_source: approx_count_distinct (the 100 TB form) " +
+      "lands within 5% of the exact vocabulary count") {
+    import org.apache.spark.sql.functions._
+    val exact = RankMixQueries.queries("mix_vocab_by_source")(spark, dir)
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("n_vocab")).toMap
+    val approx = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("token")).as("est"))
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("est")).toMap
+    exact.foreach { case (src, n) =>
+      val err = math.abs(approx(src) - n).toDouble / n
+      assert(err <= 0.05, s"$src: approx ${approx(src)} vs exact $n")
+    }
+  }
+
+  test("mix_token_budget: weights sum to 1 and allocations to the budget " +
+      "(within rounding), sqrt-damping orders below raw share") {
+    val rows = RankMixQueries.queries("mix_token_budget")(spark, dir)
+      .collect()
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    val alloc = rows.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(math.abs(alloc - 1000000.0) < 1.0, s"allocs sum to $alloc")
+    // sqrt damping: the largest source's weight share is strictly below
+    // its raw token share
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val big = rows.maxBy(_.getAs[Long]("n_tokens"))
+    assert(big.getAs[Double]("weight") <
+      big.getAs[Long]("n_tokens") / total)
+  }
+
   test("weighted mix plan: per-row predicate, no shuffle before the output sort") {
     val df = RankMixQueries.queries("mix_weighted_sample")(spark, dir)
     val shuffles = physicalNodes(df).collect { case e: ShuffleExchangeExec => e }
