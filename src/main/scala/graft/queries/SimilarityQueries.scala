@@ -232,6 +232,30 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The full train→index→search loop: IVF ANN over a TRAINED spherical
+    // k-means quantizer (no labels consulted) — KMeans.Model drops into
+    // the same zero-shuffle assignment fold and probe set as sim_knn_ivf.
+    // Rows-only (iterative float training); recall@5 vs brute force is
+    // pinned in DedupSimilaritySpec.
+    "sim_knn_ivf_trained" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = load(s, dir, "embeddings")
+      val cents = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3)
+      val assigned = ivfAssign(emb, cents)
+      val probes = ivfProbes(emb, cents, nprobe = 3)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      assigned.toDF("nid", "ne", "cell")
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cos", round(expr(cosExpr("qe", "ne")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("nid"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Trained coarse quantizer: spherical k-means (operators/KMeans.scala,
     // Lloyd iterations — assignment is the zero-shuffle argmax fold, the
     // update a k×dim-group aggregation), then the corpus-occupancy

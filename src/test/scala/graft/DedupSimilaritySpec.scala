@@ -65,6 +65,15 @@ class DedupSimilaritySpec extends SparkSuite {
       s"brute same-label pairs missing from filtered: ${brute.diff(fset)}")
   }
 
+  test("trained-quantizer IVF ANN recall@5 vs brute force " +
+      "(train → index → search loop)") {
+    val brute = knnPairs("sim_knn_brute")
+    val ann = knnPairs("sim_knn_ivf_trained")
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    // nprobe=3 of 8 trained cells — same bound class as the label-cell IVF
+    assert(recall >= 0.5, s"recall@5 $recall")
+  }
+
   test("LSH ANN recall@5 vs brute force") {
     val brute = knnPairs("sim_knn_brute")
     val ann = knnPairs("sim_knn_lsh")
