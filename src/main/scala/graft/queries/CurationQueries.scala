@@ -32,6 +32,50 @@ object CurationQueries {
 
   private val toks = "split(text, ' ')"
 
+  /** The shared curation dataflow: per-corpus-doc stage flags
+    * q (quality), k (dedup keeper), c (decontaminated), m (mix-sampled) —
+    * each conjunctive with the previous stage. Consumed by
+    * `curation_pipeline_e2e` (counts) and `curation_survivors` (rows).
+    */
+  private def stagedCuration(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = load(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 37 === 0)
+    val quality = col("n_chars").between(100, 500) &&
+      (expr(s"cast(size(array_distinct($toks)) as double)") /
+        expr(s"size($toks)")) >= 0.5
+    val flagged = corpus.withColumn("q", quality)
+    // exact-dedup keeper among quality survivors
+    val keepers = flagged.filter(col("q"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+    // contaminated = shares >= 2 distinct 4-grams with some eval doc
+    val evalGrams = evalDocs
+      .select(explode(expr(s"word_ngrams($toks, 4)")).as("gram"),
+        col("doc_id").as("eval_doc_id")).distinct()
+    val contaminated = corpus
+      .select(col("doc_id"),
+        explode(expr(s"word_ngrams($toks, 4)")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"), col("eval_doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("doc_id")).distinct()
+    val mixKeep = substring(md5(col("text")), 1, 1) <
+      when(col("source").isInCollection(RankMixQueries.heavySources),
+        lit("4")).otherwise(lit("c"))
+    flagged
+      .join(keepers.withColumnRenamed("keep_id", "doc_id")
+        .withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("is_contam", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("k", col("q") && col("is_keeper").isNotNull)
+      .withColumn("c", col("k") && col("is_contam").isNull)
+      .withColumn("m", col("c") && mixKeep)
+  }
+
   val queries: Map[String, Q] = Map(
     // Word-level repetition signals per document: token count, distinct
     // token count, type-token ratio, and the dominant token + its mass
@@ -151,50 +195,24 @@ object CurationQueries {
     // weighted mix sample. Per-source cumulative survivor counts.
     // Exchanges: one md5-group (16-byte keys, partial agg), one
     // broadcast semi-join against the eval gram index, one 10-group agg.
-    "curation_pipeline_e2e" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
-      val evalDocs = docs.filter(col("doc_id") % 37 === 0)
-      val quality = col("n_chars").between(100, 500) &&
-        (expr(s"cast(size(array_distinct($toks)) as double)") /
-          expr(s"size($toks)")) >= 0.5
-      val flagged = corpus.withColumn("q", quality)
-      // exact-dedup keeper among quality survivors
-      val keepers = flagged.filter(col("q"))
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keep_id"))
-        .select(col("keep_id"))
-      // contaminated = shares >= 2 distinct 4-grams with some eval doc
-      val evalGrams = evalDocs
-        .select(explode(expr(s"word_ngrams($toks, 4)")).as("gram"),
-          col("doc_id").as("eval_doc_id")).distinct()
-      val contaminated = corpus
-        .select(col("doc_id"),
-          explode(expr(s"word_ngrams($toks, 4)")).as("gram"))
-        .join(broadcast(evalGrams), "gram")
-        .groupBy(col("doc_id"), col("eval_doc_id"))
-        .agg(countDistinct(col("gram")).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .select(col("doc_id")).distinct()
-      val mixKeep = substring(md5(col("text")), 1, 1) <
-        when(col("source").isInCollection(RankMixQueries.heavySources),
-          lit("4")).otherwise(lit("c"))
-      flagged
-        .join(keepers.withColumnRenamed("keep_id", "doc_id")
-          .withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
-        .join(contaminated.withColumn("is_contam", lit(true)),
-          Seq("doc_id"), "left")
-        .withColumn("k", col("q") && col("is_keeper").isNotNull)
-        .withColumn("c", col("k") && col("is_contam").isNull)
-        .withColumn("m", col("c") && mixKeep)
+    "curation_pipeline_e2e" -> ((s, dir) =>
+      stagedCuration(s, dir)
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_raw"),
           sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
           sum(when(col("k"), 1L).otherwise(0L)).as("n_unique"),
           sum(when(col("c"), 1L).otherwise(0L)).as("n_clean"),
           sum(when(col("m"), 1L).otherwise(0L)).as("n_final"))
-        .orderBy(col("source"))
-    }),
+        .orderBy(col("source"))),
+
+    // The pipeline's actual OUTPUT dataset: the surviving rows a trainer
+    // would consume (same staged dataflow, final-stage filter instead of
+    // the counts rollup).
+    "curation_survivors" -> ((s, dir) =>
+      stagedCuration(s, dir)
+        .filter(col("m"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // Length distribution for batch/curriculum planning: 50-char buckets
     // with cumulative counts. The window cumsum runs over the AGGREGATED
@@ -372,6 +390,48 @@ object CurationQueries {
                 CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_final
          FROM staged GROUP BY source ORDER BY source""",
+    "curation_survivors" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, source, lang, n_chars,
+                  (n_chars BETWEEN 100 AND 500) AND
+                  (CAST(LEN(list_distinct(STRING_SPLIT(text, ' ')))
+                        AS DOUBLE) /
+                     LEN(STRING_SPLIT(text, ' ')) >= 0.5) AS q
+           FROM documents WHERE doc_id % 37 <> 0),
+         keepers AS (
+           SELECT MIN(doc_id) AS keep_id
+           FROM corpus WHERE q GROUP BY md5(text)),
+         eg AS (
+           SELECT DISTINCT doc_id AS eval_doc_id,
+                  array_to_string(list_slice(a, i+1, i+4), ' ') AS gram
+           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS a,
+                        LEN(STRING_SPLIT(text, ' ')) AS n
+                 FROM documents WHERE doc_id % 37 = 0) t,
+                UNNEST(RANGE(0, n - 3)) AS u(i)
+           WHERE n >= 4),
+         cg AS (
+           SELECT doc_id,
+                  array_to_string(list_slice(a, i+1, i+4), ' ') AS gram
+           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS a,
+                        LEN(STRING_SPLIT(text, ' ')) AS n
+                 FROM corpus) t,
+                UNNEST(RANGE(0, n - 3)) AS u(i)
+           WHERE n >= 4),
+         contam AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT c.doc_id, e.eval_doc_id
+             FROM cg c JOIN eg e USING (gram)
+             GROUP BY c.doc_id, e.eval_doc_id
+             HAVING COUNT(DISTINCT gram) >= 2))
+         SELECT f.doc_id, f.source, f.lang
+         FROM corpus f
+         JOIN keepers kp ON kp.keep_id = f.doc_id
+         LEFT JOIN contam ct ON ct.doc_id = f.doc_id
+         WHERE f.q AND ct.doc_id IS NULL
+           AND substr(md5(f.text), 1, 1) <
+               (CASE WHEN f.source IN ('src0','src1','src2','src3')
+                     THEN '4' ELSE 'c' END)
+         ORDER BY f.doc_id""",
     "text_length_histogram" ->
       """WITH b AS (SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
                     FROM documents GROUP BY 1)
