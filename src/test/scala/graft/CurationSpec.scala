@@ -153,6 +153,29 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("final mile: survivors pack into token-budget shards and land as " +
+      "partitioned parquet a trainer can read back") {
+    import org.apache.spark.sql.functions._
+    val survivors = q("curation_survivors")
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), expr("size(split(text, ' '))").as("n_tokens")),
+        "doc_id")
+    val sharded = graft.operators.Pack.packShards(
+      survivors, "doc_id", "n_tokens", budget = 512L)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    sharded.write.mode("overwrite")
+      .partitionBy("shard_id").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == survivors.count(), "round-trip row count")
+    val shards = back.select("shard_id").distinct().count()
+    assert(shards >= 2, "budget should split the corpus into shards")
+    // partitioned layout on disk: one directory per shard
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(dirs.length == shards, "one partition directory per shard")
+  }
+
   test("corpus_filter_funnel: conjunction never exceeds any single rule") {
     val rows = q("corpus_filter_funnel").collect()
     assert(rows.nonEmpty)

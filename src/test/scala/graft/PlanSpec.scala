@@ -97,6 +97,18 @@ class PlanSpec extends SparkSuite {
     assert(planOf(df).contains("*(1) Project"), planOf(df))
   }
 
+  test("no registered query plans a CartesianProduct — every non-equi " +
+      "combination is a broadcast of a bounded side") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val cart = physicalNodes(df).collect { case c: CartesianProductExec => c }
+      if (cart.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct found in: ${offenders.mkString(", ")}")
+  }
+
   test("IVF cell assignment is a per-row fold: no Exchange, no join") {
     import graft.queries.SimilarityQueries
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
