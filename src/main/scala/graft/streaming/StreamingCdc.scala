@@ -104,7 +104,7 @@ object StreamingCdc {
   def latestToken(spark: SparkSession, tokensDir: String): Option[String] = {
     val t = spark.read.parquet(tokensDir)
     if (t.isEmpty) None
-    else Option(t.agg(expr("max_by(value, batch_id)")).head.getString(0))
+    else Option(t.agg(expr("max_by(value, batch_id)")).head().getString(0))
   }
 
   /** Committed batch ids — the idempotence ledger for replay skips.
@@ -190,7 +190,7 @@ object StreamingCdc {
       faultpoint(cfg.name, batchId)
 
       // K2 — token commit point (one pass over the cached batch).
-      val stats = msgs.agg(max(col("msgId")), count(lit(1))).head
+      val stats = msgs.agg(max(col("msgId")), count(lit(1))).head()
       val committed = spark.createDataFrame(
         java.util.List.of[org.apache.spark.sql.Row](
           org.apache.spark.sql.Row(batchId, stats.getString(0), stats.getLong(1))),
