@@ -391,6 +391,57 @@ object AnalyticsQueries {
         .orderBy(col("numwait").desc, col("s_name")).limit(10)
     }),
 
+    // TPC-H Q11 shape (adapted: revenue stands in for stock value —
+    // no partsupp in this schema): parts whose revenue exceeds 0.2% of
+    // the global total. The global scalar is a 1-row broadcast, the
+    // HAVING-vs-subquery comparison is a per-row filter — never a
+    // re-aggregation.
+    "q11_important_parts" -> ((s, dir) => {
+      val perPart = load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("value"))
+      val total = load(s, dir, "lineitem").agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("total"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        // relative threshold (1.5× the mean part value) — scale-stable,
+        // unlike Q11's absolute fraction which pins to one SF; exact
+        // DECIMAL total, so the comparison is bit-identical both engines
+        .filter(col("value") > (col("total") / col("n_parts")) * 1.5)
+        .join(broadcast(load(s, dir, "part").select("p_partkey", "p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q20 shape (adapted): suppliers who dominate a part's supply —
+    // quantity share of the part's total above 50%. Exact DECIMAL sums;
+    // the share is one IEEE division of identical inputs on both engines.
+    "q20_volume_share" -> ((s, dir) => {
+      val qty = load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+      val tot = qty.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("total_qty"),
+          count(lit(1)).as("n_supp"))
+      qty.join(tot, "l_partkey")
+        .withColumn("share",
+          round(col("qty").cast("double") / col("total_qty").cast("double"),
+            6))
+        // dominance ≥ 2× the equal share — scale-invariant (a fixed
+        // share threshold empties as supplier counts grow with SF)
+        .filter(col("share") * col("n_supp") > 2.0)
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("qty").cast("double").as("qty"),
+          col("total_qty").cast("double").as("total_qty"),
+          col("n_supp").cast("bigint").as("n_supp"), col("share"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+    }),
+
     // TPC-H Q9 shape (adapted: no partsupp table, so supply cost =
     // 0.5 × retail price): profit by nation × order-year over parts
     // whose name contains 'red'. Part/supplier/nation dims broadcast;
@@ -629,6 +680,43 @@ object AnalyticsQueries {
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name
          ORDER BY numwait DESC, s_name LIMIT 10""",
+    "q11_important_parts" ->
+      """WITH pp AS (
+           SELECT l_partkey,
+                  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                    AS value
+           FROM lineitem GROUP BY l_partkey),
+         t AS (
+           SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                    AS total,
+                  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+           FROM lineitem)
+         SELECT p_partkey, p_name, value
+         FROM pp CROSS JOIN t
+         JOIN part ON p_partkey = l_partkey
+         WHERE value > (total / n_parts) * 1.5
+         ORDER BY value DESC, p_partkey""",
+    "q20_volume_share" ->
+      """WITH q AS (
+           SELECT l_partkey, l_suppkey,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+         t AS (
+           SELECT l_partkey, SUM(qty) AS total_qty,
+                  COUNT(*) AS n_supp
+           FROM q GROUP BY l_partkey)
+         SELECT l_partkey, l_suppkey,
+                CAST(qty AS DOUBLE) AS qty,
+                CAST(total_qty AS DOUBLE) AS total_qty,
+                CAST(n_supp AS BIGINT) AS n_supp,
+                ROUND(CAST(qty AS DOUBLE) / CAST(total_qty AS DOUBLE), 6)
+                  AS share
+         FROM q JOIN t USING (l_partkey)
+         WHERE ROUND(CAST(qty AS DOUBLE) / CAST(total_qty AS DOUBLE), 6)
+               * n_supp > 2.0
+         ORDER BY l_partkey, l_suppkey""",
     "q9_product_profit" ->
       """SELECT n_name,
                 CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
