@@ -391,6 +391,51 @@ object AnalyticsQueries {
         .orderBy(col("numwait").desc, col("s_name")).limit(10)
     }),
 
+    // TPC-H Q2 shape (adapted: the part→supplier relation comes from
+    // lineitem, cost = s_acctbal): for each large part, the cheapest
+    // supplier — a correlated scalar min, decorrelated into a window min
+    // over the joined relation. Dims broadcast; top-20 by acctbal.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val rel = load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val sup = load(s, dir, "supplier")
+      val nat = load(s, dir, "nation")
+      val joined = rel
+        .join(broadcast(load(s, dir, "part")
+          .filter(col("p_size") >= 45).select("p_partkey", "p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_partkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"),
+          moneyCol(col("s_acctbal")).as("s_acctbal"))
+        .orderBy(col("s_acctbal"), col("p_partkey")).limit(20)
+    }),
+
+    // TPC-H Q16 shape (adapted: the NOT-IN complaint filter = suppliers
+    // with negative account balance): distinct supplier count per
+    // (brand, size band), excluded suppliers anti-joined out BEFORE the
+    // count — the Q16 decorrelation.
+    "q16_supplier_counts" -> ((s, dir) => {
+      val bad = load(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_key"))
+      load(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(bad, col("l_suppkey") === col("bad_key"), "left_anti")
+        .join(broadcast(load(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"),
+            expr("p_size div 10").as("size_band"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("size_band"))
+        .agg(countDistinct(col("l_suppkey")).cast("bigint")
+          .as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_band"))
+    }),
+
     // TPC-H Q11 shape (adapted: revenue stands in for stock value —
     // no partsupp in this schema): parts whose revenue exceeds 0.2% of
     // the global total. The global scalar is a 1-row broadcast, the
@@ -680,6 +725,31 @@ object AnalyticsQueries {
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name
          ORDER BY numwait DESC, s_name LIMIT 10""",
+    "q2_min_cost_supplier" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         j AS (
+           SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal,
+                  ROW_NUMBER() OVER (PARTITION BY p_partkey
+                    ORDER BY s_acctbal, s_suppkey) AS rk
+           FROM rel
+           JOIN part ON p_partkey = l_partkey AND p_size >= 45
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey)
+         SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+                CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE)
+                  AS s_acctbal
+         FROM j WHERE rk = 1
+         ORDER BY s_acctbal, p_partkey LIMIT 20""",
+    "q16_supplier_counts" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         ok AS (SELECT * FROM rel
+                WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+         SELECT p_brand, p_size // 10 AS size_band,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM ok JOIN part ON p_partkey = l_partkey
+         GROUP BY p_brand, p_size // 10
+         ORDER BY supplier_cnt DESC, p_brand, size_band""",
     "q11_important_parts" ->
       """WITH pp AS (
            SELECT l_partkey,
