@@ -470,10 +470,12 @@ object AnalyticsQueries {
       val qty = load(s, dir, "lineitem")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
-      val tot = qty.groupBy(col("l_partkey"))
-        .agg(sum(col("qty")).as("total_qty"),
-          count(lit(1)).as("n_supp"))
-      qty.join(tot, "l_partkey")
+      // per-part totals as a window over the grouped frame — one exchange
+      // on l_partkey, no self-join (the joined form re-shuffled qty twice)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+      qty.withColumn("total_qty", sum(col("qty")).over(w))
+        .withColumn("n_supp", count(lit(1)).over(w))
         .withColumn("share",
           round(col("qty").cast("double") / col("total_qty").cast("double"),
             6))
