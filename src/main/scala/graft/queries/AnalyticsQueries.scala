@@ -476,9 +476,12 @@ object AnalyticsQueries {
         .partitionBy(col("l_partkey"))
       qty.withColumn("total_qty", sum(col("qty")).over(w))
         .withColumn("n_supp", count(lit(1)).over(w))
+        // ratios of small ints land on EXACT 6dp halves (41/640 =
+        // .0640625): Spark rounds doubles half-up, DuckDB half-to-even.
+        // floor(x*1e6 + 0.5)/1e6 is half-up in both engines.
         .withColumn("share",
-          round(col("qty").cast("double") / col("total_qty").cast("double"),
-            6))
+          floor(col("qty").cast("double") / col("total_qty").cast("double")
+            * 1000000.0 + 0.5) / 1000000.0)
         // dominance ≥ 2× the equal share — scale-invariant (a fixed
         // share threshold empties as supplier counts grow with SF)
         .filter(col("share") * col("n_supp") > 2.0)
@@ -783,11 +786,11 @@ object AnalyticsQueries {
                 CAST(qty AS DOUBLE) AS qty,
                 CAST(total_qty AS DOUBLE) AS total_qty,
                 CAST(n_supp AS BIGINT) AS n_supp,
-                ROUND(CAST(qty AS DOUBLE) / CAST(total_qty AS DOUBLE), 6)
-                  AS share
+                FLOOR(CAST(qty AS DOUBLE) / CAST(total_qty AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS share
          FROM q JOIN t USING (l_partkey)
-         WHERE ROUND(CAST(qty AS DOUBLE) / CAST(total_qty AS DOUBLE), 6)
-               * n_supp > 2.0
+         WHERE FLOOR(CAST(qty AS DOUBLE) / CAST(total_qty AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 * n_supp > 2.0
          ORDER BY l_partkey, l_suppkey""",
     "q9_product_profit" ->
       """SELECT n_name,

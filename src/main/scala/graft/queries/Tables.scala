@@ -15,6 +15,12 @@ import org.apache.spark.sql.types.DecimalType
   *    a single IEEE division with identical inputs is bit-identical.
   *  - Counts/row_numbers are cast to BIGINT on both sides (Spark `size`/
   *    `row_number` return INT, DuckDB returns BIGINT).
+  *  - NEVER `ROUND` a double that can be an exact decimal half — ratios
+  *    of small integers land on them (41/640 = .0640625 at 6dp), and
+  *    Spark rounds doubles half-UP while DuckDB rounds half-to-EVEN.
+  *    Use `floor(x*1e6 + 0.5)/1e6` (half-up in both engines) instead;
+  *    irrational-ish chains (ln/sqrt/avg/stddev) can keep ROUND.
+  *    (Caught by the sf0.1 10× gate run, round 5.)
   *  - Every query ends in a deterministic ORDER BY present in both the
   *    DataFrame plan and the oracle SQL.
   */
