@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_windows",
         "char_windows(text, width, stride) - fixed-width substring windows"),
       (es: Seq[Expression]) => TextHashes.charWindowsBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(text, maskBits) - content-defined chunk FNV-64 hashes"),
+      (es: Seq[Expression]) => TextHashes.cdcChunksBuilder(es)))
     ext.injectFunction((FunctionIdentifier("lsh_buckets"),
       info("lsh_buckets",
         "lsh_buckets(array<float|double>, nTables, nPlanes) - " +

@@ -110,6 +110,45 @@ object TextHashImpl {
     new GenericArrayData(out)
   }
 
+  /** Gear table for content-defined chunking: one pseudo-random 64-bit
+    * value per byte, derived via splitmix64 — deterministic, engine-local.
+    */
+  private val Gear: Array[Long] = Array.tabulate(256)(b => mix64(b.toLong))
+
+  /** Content-defined chunking (Gear hash, FastCDC-family; public
+    * algorithm): a chunk boundary falls after byte i when the rolling
+    * gear hash masked by `mask` hits zero. Pure mask-based (no min/max
+    * caps), so chunking is STRICTLY LOCAL: an edit only changes the
+    * chunks overlapping it — boundaries before and after re-sync
+    * immediately (property-pinned). Returns the FNV-64 of each chunk's
+    * bytes, in order.
+    */
+  def cdcChunks(s: UTF8String, mask: Long): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + Gear(bytes(i) & 0xff)
+      // h is NOT reset at boundaries: it is a pure rolling function of
+      // the trailing ≤64 bytes (the <<1 ages bytes out), so boundary
+      // decisions are position-local and an edit can never cascade
+      // past its 64-byte window — the strict-locality property.
+      if ((h & mask) == 0L || i == n - 1) {
+        var fh = Offset
+        var j = start
+        while (j <= i) { fh ^= (bytes(j) & 0xffL); fh *= Prime; j += 1 }
+        out += fh
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** splitmix64 finalizer (public-domain mixing function) — used to derive
     * the k independent MinHash permutations from one base FNV-64 hash.
     */
@@ -410,6 +449,21 @@ case class CharWindows(child: Expression, width: Int, stride: Int)
     copy(child = c)
 }
 
+/** cdc_chunks(text, maskBits): content-defined chunk FNV-64 hashes. */
+case class CdcChunks(child: Expression, maskBits: Int)
+    extends UnaryExpression with GraftTypedUnary {
+  override def expectedInputType: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val mask = (1L << maskBits) - 1L
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.cdcChunks(v.asInstanceOf[UTF8String], mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.cdcChunks($c, ${mask}L)")
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
 /** sig_match(array<long>, array<long>): matching-position count. */
 case class SigMatch(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -547,6 +601,13 @@ object TextHashes {
     WordNgrams(es.head, n)
   }
 
+  def cdcChunksBuilder(es: Seq[Expression]): Expression = {
+    val Seq(bits) = intLits(es, "cdc_chunks", "cdc_chunks(text, 5)", 1)
+    require(bits >= 1 && bits <= 20,
+      s"cdc_chunks: maskBits must be in [1,20], got $bits")
+    CdcChunks(es.head, bits)
+  }
+
   def charWindowsBuilder(es: Seq[Expression]): Expression = {
     val Seq(w, st) = intLits(es, "char_windows",
       "char_windows(text, 64, 32)", 2)
@@ -579,6 +640,8 @@ object TextHashes {
       wordNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("char_windows",
       charWindowsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("cdc_chunks",
+      cdcChunksBuilder, "built-in")
     reg.createOrReplaceTempFunction("lsh_buckets",
       VectorLsh.builder, "built-in")
     reg.createOrReplaceTempFunction("vec_dot",

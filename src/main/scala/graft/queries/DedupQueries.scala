@@ -95,6 +95,24 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("cluster_id"))),
 
+    // Content-defined chunking dedup (Gear rolling hash, FastCDC family):
+    // variable-size chunks keyed by content, so shared passages align
+    // across documents regardless of offset shifts (which fixed windows
+    // miss after an insertion). Chunk hashes are engine-specific ⇒
+    // rows-only; edit-locality and dup-coverage pinned in
+    // TextHashesSpec/DedupSimilaritySpec. Same ≤64-doc bucket cap as
+    // every candidate generator.
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("cdc_chunks(text, 5)")).as("ch"))
+        .groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_hits"))
+        .filter(col("n_docs").between(2, 64))
+        .select(col("ch"), col("n_docs").cast("bigint").as("n_docs"),
+          col("n_hits").cast("bigint").as("n_hits"))
+        .orderBy(col("ch"))),
+
     // MinHash-LSH near-dup candidates: 32-permutation signature, 8 bands of
     // 4 — candidate pairs share ≥1 band; estimated Jaccard = matching
     // signature positions / 32. Bucket-collect form: signatures are

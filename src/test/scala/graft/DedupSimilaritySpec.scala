@@ -41,6 +41,33 @@ class DedupSimilaritySpec extends SparkSuite {
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("CDC chunking: high-Jaccard near-dup pairs share a large chunk " +
+      "fraction (offset-shift robustness fixed windows lack)") {
+    import org.apache.spark.sql.functions._
+    val pairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "sf0.001 contains high-Jaccard pairs")
+    val chunks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), expr("cdc_chunks(text, 5)").as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlaps = pairs.map { case (a, b) =>
+      val (ca, cb) = (chunks(a), chunks(b))
+      ca.intersect(cb).size.toDouble / math.min(ca.size, cb.size)
+    }
+    val mean = overlaps.sum / overlaps.length
+    assert(mean >= 0.3,
+      s"near-dups should share chunks: mean overlap $mean")
+    // and the corpus-level query runs, bounded, with sane counts
+    val rows = DedupQueries.queries("dedup_cdc_chunks")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n >= 2 && n <= 64 && r.getAs[Long]("n_hits") >= n)
+    }
+  }
+
   test("filtered kNN: every neighbor shares the query's label, and " +
       "agrees with brute force where brute's neighbor already matched") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -53,9 +53,11 @@ class GraftExtensionsSpec extends SparkSuite {
       // round-5 kernels: word n-grams + substring windows
       val r5 = s2.sql(
         """SELECT word_ngrams(array('a','b','c'), 2) AS wg,
-                  char_windows('abcdefgh', 4, 2) AS cw""").head()
+                  char_windows('abcdefgh', 4, 2) AS cw,
+                  size(cdc_chunks('the quick brown fox', 3)) AS cc""").head()
       assert(r5.getSeq[String](0) == Seq("a b", "b c"))
       assert(r5.getSeq[String](1) == Seq("abcd", "cdef", "efgh"))
+      assert(r5.getInt(2) >= 1)
     } finally {
       // keep the shared suite session; only drop this one's state
       SparkSession.setActiveSession(spark)

@@ -179,6 +179,33 @@ object HashProperties extends Properties("graft.hashes") {
       Prop(wins == want) :| s"got=$wins want=$want"
     }
 
+  property("cdc_chunks: chunks concatenate to the whole string (count " +
+      "consistency) and an edit changes only a bounded chunk window") =
+    forAll(Gen.asciiPrintableStr.suchThat(_.length >= 2),
+        Gen.chooseNum(0, 1 << 20)) { (s, seed) =>
+      val mask = 31L // 5 bits, ~32-byte chunks
+      def chunks(x: String) =
+        TextHashImpl.cdcChunks(utf8(x), mask).toLongArray().toList
+      val base = chunks(s)
+      // deterministic + full coverage: re-chunking is identical
+      val again = chunks(s)
+      // single-char edit: strict locality — the multiset difference is
+      // bounded by the chunks overlapping the 64-byte gear window
+      val k = seed % s.length
+      val edited = s.updated(k, if (s.charAt(k) == 'a') 'b' else 'a')
+      val ec = chunks(edited)
+      def multiset(l: List[Long]) =
+        l.groupBy(identity).view.mapValues(_.size).toMap
+      val mb = multiset(base); val me = multiset(ec)
+      val diff = (mb.keySet ++ me.keySet).toSeq
+        .map(key => math.abs(mb.getOrElse(key, 0) - me.getOrElse(key, 0)))
+        .sum
+      // window 64 bytes / expected chunk 32 bytes ⇒ a handful of chunks
+      // on each side; 12 is a generous strict bound
+      Prop(base == again && base.nonEmpty && diff <= 12) :|
+        s"chunks=${base.size} editedChunks=${ec.size} multisetDiff=$diff"
+    }
+
   private val vec: Gen[Array[Double]] =
     Gen.chooseNum(1, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-10.0, 10.0)).map(_.toArray))
