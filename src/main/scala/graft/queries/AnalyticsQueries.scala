@@ -524,6 +524,30 @@ object AnalyticsQueries {
         .orderBy(col("n_name"), col("o_year"))
     }),
 
+    // Cohort retention on the stream table: users grouped by first-seen
+    // month, activity counted per month offset — the product-analytics
+    // matrix. Two shuffles, both on compact keys (user_id, then
+    // (cohort, offset)); the first-seen frame joins co-partitioned on
+    // user_id.
+    "events_cohort_retention" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("t"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("t")).as("t0"))
+      ev.join(first, "user_id")
+        .select(col("user_id"),
+          date_format(col("t0"), "yyyy-MM-dd").as("cohort"),
+          datediff(to_date(col("t")), to_date(col("t0")))
+            .as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).cast("bigint").as("n_users"))
+        .select(col("cohort"),
+          col("day_offset").cast("bigint").as("day_offset"),
+          col("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
+
     // Stream anomaly scan: per-user z-score outliers, top-50 by |z|.
     // The per-user stats frame is user-count-sized (broadcast); the fact
     // side is one scan + one TakeOrdered — no shuffle of events. z is
@@ -689,6 +713,18 @@ object AnalyticsQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    "events_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, ts AS t FROM events),
+         f AS (SELECT user_id, MIN(t) AS t0 FROM ev GROUP BY user_id),
+         a AS (SELECT DISTINCT ev.user_id,
+                      strftime(t0, '%Y-%m-%d') AS cohort,
+                      date_diff('day', CAST(t0 AS DATE), CAST(t AS DATE))
+                        AS day_offset
+               FROM ev JOIN f ON ev.user_id = f.user_id)
+         SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM a GROUP BY cohort, day_offset
+         ORDER BY cohort, day_offset""",
     "events_anomalies" ->
       """WITH st AS (
            SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
