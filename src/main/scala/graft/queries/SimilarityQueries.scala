@@ -160,16 +160,23 @@ object SimilarityQueries {
         .withColumn("x", col("xf").cast("double"))
       val cent = d.groupBy(col("label"), col("dim"))
         .agg(round(avg(col("x")), 6).as("c"))
+      // cos is quantized to exact integer micro-units (c6) so the label
+      // stats aggregate LONGS — order-free and partition-count-invariant.
+      // Averaging the 6dp-rounded DOUBLES instead puts the mean on a
+      // 1e-6 lattice where round() flips with summation order (caught
+      // by the cpus=8 gate run).
       val per = d.join(broadcast(cent), Seq("label", "dim"))
         .groupBy(col("vec_id"), col("label"))
         .agg((sum(col("x") * col("c")) /
           (sqrt(sum(col("x") * col("x"))) * sqrt(sum(col("c") * col("c")))))
           .as("cos"))
-        .withColumn("cos", round(col("cos"), 6))
+        .withColumn("c6",
+          floor(col("cos") * 1000000.0 + 0.5).cast("bigint"))
       per.groupBy(col("label").cast("bigint").as("label"))
         .agg(count(lit(1)).as("n_vecs"),
-          round(avg(col("cos")), 6).as("avg_cos"),
-          round(min(col("cos")), 6).as("min_cos"))
+          (sum(col("c6")).cast("double") / count(lit(1)) / 1000000.0)
+            .as("avg_cos"),
+          (min(col("c6")).cast("double") / 1000000.0).as("min_cos"))
         .orderBy(col("label"))
     }),
 
@@ -349,13 +356,14 @@ object SimilarityQueries {
             FROM d GROUP BY label, dim),
           per AS (
             SELECT vec_id, d.label AS label,
-                   ROUND(SUM(x * c) /
-                     (SQRT(SUM(x * x)) * SQRT(SUM(c * c))), 6) AS cos
+                   CAST(FLOOR(SUM(x * c) /
+                     (SQRT(SUM(x * x)) * SQRT(SUM(c * c)))
+                     * 1000000.0 + 0.5) AS BIGINT) AS c6
             FROM d JOIN cent ON d.label = cent.label AND d.dim = cent.dim
             GROUP BY vec_id, d.label)
          SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
-                ROUND(AVG(cos), 6) AS avg_cos,
-                ROUND(MIN(cos), 6) AS min_cos
+                CAST(SUM(c6) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_cos,
+                CAST(MIN(c6) AS DOUBLE) / 1000000.0 AS min_cos
          FROM per GROUP BY label ORDER BY label""",
     "sim_knn_filtered" ->
       s"""WITH d AS (

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.DecimalType
   *    Use `floor(x*1e6 + 0.5)/1e6` (half-up in both engines) instead;
   *    irrational-ish chains (ln/sqrt/avg/stddev) can keep ROUND.
   *    (Caught by the sf0.1 10× gate run, round 5.)
+  *  - NEVER re-aggregate (SUM/AVG) doubles already rounded to a decimal
+  *    lattice: the mean of k/1e6 values sits ON rounding boundaries,
+  *    and partial-agg summation order varies with partition count.
+  *    Quantize to integer micro-units (`floor(x*1e6+0.5)::BIGINT`),
+  *    aggregate LONGS (exact, order-free), divide once at the end.
+  *    (Caught by the SPARK_GRAFT_CPUS=8 gate run, round 5.)
   *  - Every query ends in a deterministic ORDER BY present in both the
   *    DataFrame plan and the oracle SQL.
   */
