@@ -239,6 +239,31 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Product quantization (PQ, Jégou et al. 2011 — the industry-standard
+    // ANN compression): the 64-dim embedding splits into 4 subspaces of
+    // 16 dims, each with its own trained 16-centroid codebook (spherical
+    // k-means — the cosine variant suits normalized embeddings), so every
+    // vector compresses to 4 small codes (256 B of floats → 4 B). Encoding
+    // is 4 zero-shuffle argmax folds; training cost is 4 independent
+    // sub-quantizer fits. Rows-only (trained codes); ADC-recall pinned in
+    // DedupSimilaritySpec.
+    "sim_pq_codes" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      var out = emb.select(col("vec_id"), col("embedding"))
+      for (sub <- 0 until 4) {
+        val sv = s"slice(embedding, ${sub * 16 + 1}, 16)"
+        val model = graft.operators.KMeans.fit(
+          emb.select(col("vec_id"), expr(sv).as("sv")),
+          "vec_id", "sv", k = 16, iters = 3)
+        out = graft.operators.KMeans
+          .assign(out.withColumn("__sv", expr(sv)), "__sv", model,
+            out = s"c$sub")
+          .drop("__sv")
+      }
+      out.select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The full train→index→search loop: IVF ANN over a TRAINED spherical
     // k-means quantizer (no labels consulted) — KMeans.Model drops into
     // the same zero-shuffle assignment fold and probe set as sim_knn_ivf.

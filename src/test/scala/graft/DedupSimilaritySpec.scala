@@ -92,6 +92,45 @@ class DedupSimilaritySpec extends SparkSuite {
       s"brute same-label pairs missing from filtered: ${brute.diff(fset)}")
   }
 
+  test("PQ codes: reconstructions rank like the originals — ADC top-5 " +
+      "recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // codebooks refit deterministically (same data + seeds as the query)
+    val books = (0 until 4).map { sub =>
+      graft.operators.KMeans.fit(
+        emb.select(col("vec_id"),
+          expr(s"slice(embedding, ${sub * 16 + 1}, 16)").as("sv")),
+        "vec_id", "sv", k = 16, iters = 3)
+        .map { case (cell, ce, _) => cell -> ce }.toMap
+    }
+    val codes = SimilarityQueries.queries("sim_pq_codes")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def reconstruct(id: Long): Array[Double] =
+      codes(id).zipWithIndex
+        .flatMap { case (c, sub) => books(sub)(c) }.toArray
+    val queries = vecs.keys.filter(_ < 10)
+    val recalls = queries.map { q =>
+      def topk(score: Long => Double) = vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-score(n), n)).take(5).toSet
+      val brute = topk(n => cos(vecs(q), vecs(n)))
+      val adc = topk(n => cos(vecs(q), reconstruct(n)))
+      brute.intersect(adc).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean ADC recall@5 $mean")
+  }
+
   test("trained-quantizer IVF ANN recall@5 vs brute force " +
       "(train → index → search loop)") {
     val brute = knnPairs("sim_knn_brute")
