@@ -97,8 +97,17 @@ object Bench {
           """{"error":true}"""
       }
 
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture truncated round 5's per-query tail
+    // (56/96 timings survived) — persist the full line to a file too so
+    // every round's comparison is machine-readable regardless of capture.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

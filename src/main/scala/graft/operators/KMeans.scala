@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * So an iteration's cost is one scan + one k×dim-group aggregation; the
   * driver holds only the model. Empty cells keep their previous centroid.
-  * Deterministic init: the k vectors with the smallest ids (TakeOrdered).
+  * Deterministic init: farthest-point greedy (Gonzalez 1985) over a
+  * bounded id-ordered pool, starting from the smallest id.
   * Float-reduction order in the averages is engine/partitioning-specific —
   * results are pinned by property (cluster recovery, objective
   * improvement), not bit-compare.
@@ -53,41 +54,133 @@ object KMeans {
 
   /** Train k centroids with `iters` Lloyd iterations over `vecCol`
     * (array of float or double); `idCol` orders the deterministic seeds.
+    * See [[fitMany]] for the training-cost shape.
     */
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): Model = {
+      iters: Int, maxTrainRows: Long = 100000L): Model =
+    fitMany(emb, idCol, Seq(col(vecCol)), k, iters, maxTrainRows).head
+
+  /** Train one k-centroid codebook PER sub-vector expression, all in the
+    * same Lloyd passes — the product-quantization shape (Jégou et al.
+    * 2011), where S sub-quantizers would otherwise each scan the corpus
+    * `iters` times.
+    *
+    * Training-cost shape (this is the part that must survive 100 TB):
+    *  - The input is capped at `maxTrainRows`: centroids are a model
+    *    artifact, learned from a bounded sample, never from every row.
+    *    The cap uses the repo's deterministic md5-prefix predicate (no
+    *    RNG, no shuffle, reproducible across runs/partitionings): keep
+    *    rows whose 32-bit md5(id) prefix falls under cap/n. Below the
+    *    cap the corpus trains unsampled, so small-SF results (and the
+    *    recall/property pins) are unchanged.
+    *  - The (sampled) training frame is persisted for the duration of the
+    *    fit, so the corpus parquet is scanned at most twice (row count +
+    *    cache build); every Lloyd pass reads the in-memory sample.
+    *  - Each iteration assigns ALL S sub-vectors in one pass (S argmax
+    *    folds inside the same whole-stage codegen), then exchanges at most
+    *    S × k × dim per-(sub, cell, dim) partial averages — tiny
+    *    regardless of corpus size.
+    */
+  def fitMany(emb: DataFrame, idCol: String, subVecs: Seq[Column], k: Int,
+      iters: Int, maxTrainRows: Long = 100000L): Seq[Model] = {
+    require(subVecs.nonEmpty, "need at least one sub-vector expression")
     require(k > 0, "k must be positive")
     require(iters >= 0, "iters must be non-negative")
-    val base = emb.select(col(idCol).as("__id"), col(vecCol))
+    require(maxTrainRows >= k, "maxTrainRows must be at least k")
+    val S = subVecs.length
+    val full = emb.select(col(idCol).as("__id") +:
+      subVecs.zipWithIndex.map { case (c, i) => c.as(s"__v$i") }: _*)
+    val n = full.count()
+    val sampled = if (n <= maxTrainRows) full else {
+      val thresh = (BigDecimal(maxTrainRows) * BigDecimal(1L << 32) /
+        BigDecimal(n)).toLong
+      full.filter(conv(substring(md5(col("__id").cast("string")), 1, 8),
+        16, 10).cast("long") < thresh)
+    }
+    val base = sampled.persist()
 
     def toDoubles(v: Seq[Any]): Seq[Double] = v.map {
       case f: Float => f.toDouble
       case d: Double => d
       case x => throw new IllegalArgumentException(
-        s"$vecCol must be an array of float/double, got element $x")
+        s"sub-vectors must be arrays of float/double, got element $x")
     }
     def withNorm(cell: Long, ce: Seq[Double]): (Long, Seq[Double], Double) =
       (cell, ce, math.sqrt(ce.map(x => x * x).sum))
 
-    var model: Model = base.orderBy(col("__id")).limit(k).collect()
-      .zipWithIndex
-      .map { case (r, i) => withNorm(i.toLong, toDoubles(r.getSeq[Any](1))) }
-    require(model.length == k,
-      s"need at least $k rows to seed $k centroids, got ${model.length}")
-
-    (1 to iters).foreach { _ =>
-      val updated = assign(base, vecCol, model)
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("p", "x")))
-        .groupBy(col("cell"), col("p"))
-        .agg(avg(col("x").cast("double")).as("c"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
-          .as("ce"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-      model = model.map { case (cell, old, _) =>
-        withNorm(cell, updated.getOrElse(cell, old))
+    try {
+      // Deterministic k-means++-style seeding (Arthur & Vassilvitskii
+      // 2007) over a BOUNDED driver-side pool: the first k ids of a
+      // sample can all fall in one true cluster (Lloyd then strands a
+      // duplicate centroid on an empty cell), so weight each candidate by
+      // its squared cosine distance to the nearest chosen seed. The
+      // "random" draw is an md5-derived exponential race (Efraimidis &
+      // Spirakis 2006): score = D² / -ln(u_md5(id)), pick the max —
+      // reproducible across runs, partitionings and engines. Pure
+      // farthest-point would seed outliers (measurably worse PQ/ADC
+      // quantization); D²-weighting separates clusters without that bias.
+      // The pool is a model-sized artifact (≤ max(32k, 1024) rows), one
+      // collect, zero extra Spark jobs.
+      val poolCap = math.max(k * 32, 1024)
+      val pool = base.orderBy(col("__id")).limit(poolCap).collect()
+      require(pool.length >= k,
+        s"need at least $k rows to seed $k centroids, got ${pool.length}")
+      val race = pool.map { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.get(0).toString.getBytes("UTF-8"))
+          .take(7).map(b => f"${b & 0xff}%02x").mkString
+        val u = (java.lang.Long.parseLong(hex, 16) >>> 4).toDouble / (1L << 52)
+        -math.log(math.max(u, 1e-300)) // Exp(1) variate, always > 0
       }
-    }
-    model
+      def seedsFor(s: Int): Model = {
+        val vecs = pool.map(r => toDoubles(r.getSeq[Any](s + 1)).toArray)
+        val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+        def cos(a: Int, b: Int): Double = {
+          val nn = norms(a) * norms(b)
+          if (nn == 0d) 0d
+          else {
+            var d = 0d; var i = 0
+            while (i < vecs(a).length) { d += vecs(a)(i) * vecs(b)(i); i += 1 }
+            d / nn
+          }
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer(0)
+        while (chosen.length < k) {
+          val next = vecs.indices.filterNot(chosen.contains).maxBy { i =>
+            val d = chosen.map(c => 1d - cos(i, c)).min
+            d * d / race(i)
+          }
+          chosen += next
+        }
+        chosen.zipWithIndex
+          .map { case (p, i) => withNorm(i.toLong, vecs(p).toSeq) }.toArray
+      }
+      var models: Array[Model] = Array.tabulate(S)(seedsFor)
+
+      (1 to iters).foreach { _ =>
+        val assigned = models.zipWithIndex.foldLeft(base: DataFrame) {
+          case (df, (m, s)) => assign(df, s"__v$s", m, out = s"__c$s")
+        }
+        val subRows = array((0 until S).map(s => struct(
+          lit(s).as("s"), col(s"__c$s").as("cell"),
+          col(s"__v$s").cast("array<double>").as("v"))): _*)
+        val updated = assigned.select(explode(subRows).as("e"))
+          .select(col("e.s").as("s"), col("e.cell").as("cell"),
+            posexplode(col("e.v")).as(Seq("p", "x")))
+          .groupBy(col("s"), col("cell"), col("p"))
+          .agg(avg(col("x")).as("c"))
+          .groupBy(col("s"), col("cell"))
+          .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
+            .as("ce"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+        models = models.zipWithIndex.map { case (m, s) =>
+          m.map { case (cell, old, _) =>
+            withNorm(cell, updated.getOrElse((s, cell), old))
+          }
+        }
+      }
+      models.toSeq
+    } finally base.unpersist(blocking = false)
   }
 }

@@ -51,23 +51,33 @@ object Multimodal {
           "cast(doc_id % 3 as int) + 1)").as("format")).as("meta"))
 
   /** ======== STUB ========
-    * Deterministic fake "decode + feature extraction": FNV-64 mixes of the
-    * payload bytes, scaled into [-1, 1). A real deployment replaces ONLY
-    * this function with a codec call (e.g. JNI image decode) — signature,
-    * batching and partitioning stay identical.
+    * Deterministic fake "decode + feature extraction", scaled into [-1, 1).
+    * A real deployment replaces ONLY this function with a codec call (e.g.
+    * JNI image decode) — signature, batching and partitioning stay
+    * identical.
+    *
+    * The fake is md5-based (not an engine-private hash) so the gate can
+    * reproduce it in ANSI SQL and hash-check the decode path bit-exactly:
+    * dimension d's value is the top 52 bits of md5(payload ++ ":d"),
+    * mapped v/2^52*2-1 in double then narrowed to float — every step is
+    * IEEE-identical in DuckDB (`CAST(('0x'||substr(md5(t||':'||d),1,13))
+    * AS BIGINT)` and a REAL cast).
     */
   private[operators] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    var h = -3750763034362895579L // FNV offset basis
-    var i = 0
-    while (i < content.length) {
-      h ^= (content(i) & 0xffL); h *= 1099511628211L; i += 1
-    }
+    val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Float](dim)
     var d = 0
-    var v = h
     while (d < dim) {
-      v = graft.functions.TextHashImpl.mix64(v + d)
-      out(d) = (v >>> 11).toFloat / (1L << 53).toFloat * 2f - 1f
+      md.reset()
+      md.update(content)
+      md.update(s":$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val b = md.digest()
+      // top 52 bits = first 13 hex chars, big-endian
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v >>>= 4
+      out(d) = (v.toDouble / (1L << 52) * 2 - 1).toFloat
       d += 1
     }
     out
@@ -103,14 +113,17 @@ object Multimodal {
 
   /** Frame sampling (STUB): one fake frame fingerprint per second of
     * duration — demonstrates the 1-row → N-frames explode shape a real
-    * frame sampler produces.
+    * frame sampler produces. The fingerprint is md5(payload ++ ":frame")
+    * (not an engine-private hash) so the explode output is
+    * oracle-checkable end to end.
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
     media.filter(col("kind") === "video")
       .select(col("media_id"),
         posexplode(expr(
           s"transform(sequence(0, cast(meta.durationMs / $everyMs as int)), " +
-            "f -> xxhash64(content, f))"))
+            "f -> md5(concat(cast(content as string), ':', " +
+            "cast(f as string))))"))
           .as(Seq("frame_no", "frame_fingerprint")))
 
   /** Corpus rollup per modality — the monitoring query a 100 TB media

@@ -28,18 +28,21 @@ object MultimodalQueries {
           col("meta.format").as("format"))
         .orderBy(col("media_id"))),
 
-    // Stubbed decode → feature vectors (engine-specific hashes ⇒
-    // rows-only check); the mapPartitions batch shape is the product path.
+    // Stubbed decode → feature vectors; the mapPartitions batch shape is
+    // the product path. The md5-derived fake is ANSI-reproducible, so the
+    // decode output itself is hash-checked bit-exactly (f0 is the float32
+    // feature widened to double — no rounding; both engines compute
+    // v/2^52*2-1 in double then narrow to REAL, IEEE-identical).
     "mm_features_sample" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(load(s, dir, "documents"))
       Multimodal.extractFeatures(s, media, dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("dim"),
-          expr("round(cast(element_at(features, 1) as double), 6)")
-            .as("f0"))
+          expr("cast(element_at(features, 1) as double)").as("f0"))
         .orderBy(col("media_id"))
     }),
 
-    // Frame sampling: 1 video → N frame fingerprints (rows-only).
+    // Frame sampling: 1 video → N frame fingerprints. md5 fingerprints ⇒
+    // the explode + distinct-count is oracle-checked bit-exactly.
     "mm_frame_samples" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(load(s, dir, "documents")))
@@ -65,8 +68,31 @@ object MultimodalQueries {
                 CAST(64 + (doc_id % 9) * 16 AS BIGINT) AS height,
                 CAST(n_chars * 40 AS BIGINT) AS duration_ms,
                 (['png','wav','mp4'])[CAST(doc_id % 3 AS INT) + 1] AS format
-         FROM documents ORDER BY media_id"""
-    // mm_features_sample / mm_frame_samples: stubbed decode hashes are
-    // engine-specific — rows-only; determinism pinned by MultimodalSpec.
+         FROM documents ORDER BY media_id""",
+    // Promoted from rows-only in round 6: the stub decode is md5-derived,
+    // so both the feature value and the frame fingerprints replay in ANSI
+    // SQL. f0: top 52 bits of md5 → v/2^52*2-1 in DOUBLE, narrowed to
+    // REAL (float32) then widened — IEEE-identical to the Scala
+    // (v.toDouble / (1L<<52) * 2 - 1).toFloat.
+    "mm_features_sample" ->
+      """SELECT doc_id AS media_id,
+                (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+                CAST(16 AS INT) AS dim,
+                CAST(CAST(
+                  CAST(CAST(('0x' || substr(md5(text || ':0'), 1, 13)) AS BIGINT)
+                       AS DOUBLE) / 4503599627370496 * 2 - 1
+                  AS REAL) AS DOUBLE) AS f0
+         FROM documents ORDER BY media_id""",
+    "mm_frame_samples" ->
+      """WITH v AS (SELECT doc_id AS media_id, text, n_chars
+                    FROM documents WHERE doc_id % 3 = 2),
+              f AS (SELECT media_id,
+                           unnest(RANGE(0, (n_chars * 40) // 1000 + 1)) AS fr,
+                           text
+                    FROM v)
+         SELECT media_id, COUNT(*) AS n_frames,
+                COUNT(DISTINCT md5(text || ':' || CAST(fr AS VARCHAR)))
+                  AS n_distinct
+         FROM f GROUP BY media_id ORDER BY media_id"""
   )
 }

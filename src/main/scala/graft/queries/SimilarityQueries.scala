@@ -249,14 +249,16 @@ object SimilarityQueries {
     // DedupSimilaritySpec.
     "sim_pq_codes" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
+      val slices = (0 until 4).map(sub =>
+        expr(s"slice(embedding, ${sub * 16 + 1}, 16)"))
+      // all 4 sub-codebooks train in the SAME Lloyd passes over one
+      // persisted (sample-bounded) frame — 12 corpus scans → 2
+      val models = graft.operators.KMeans.fitMany(
+        emb, "vec_id", slices, k = 16, iters = 3)
       var out = emb.select(col("vec_id"), col("embedding"))
       for (sub <- 0 until 4) {
-        val sv = s"slice(embedding, ${sub * 16 + 1}, 16)"
-        val model = graft.operators.KMeans.fit(
-          emb.select(col("vec_id"), expr(sv).as("sv")),
-          "vec_id", "sv", k = 16, iters = 3)
         out = graft.operators.KMeans
-          .assign(out.withColumn("__sv", expr(sv)), "__sv", model,
+          .assign(out.withColumn("__sv", slices(sub)), "__sv", models(sub),
             out = s"c$sub")
           .drop("__sv")
       }

@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.DecimalType
   *    a single IEEE division with identical inputs is bit-identical.
   *  - Counts/row_numbers are cast to BIGINT on both sides (Spark `size`/
   *    `row_number` return INT, DuckDB returns BIGINT).
+  *  - DuckDB SUM(BIGINT) returns HUGEINT — and that includes *windowed*
+  *    SUMs (`SUM(x) OVER (...)`). Anything derived from one (a running
+  *    total, a shard id from integer division) must be CAST AS BIGINT in
+  *    the oracle or it reaches the comparer as float64 (round-5 lesson:
+  *    text_pack_shards).
   *  - NEVER `ROUND` a double that can be an exact decimal half — ratios
   *    of small integers land on them (41/640 = .0640625 at 6dp), and
   *    Spark rounds doubles half-UP while DuckDB rounds half-to-EVEN.

@@ -205,7 +205,8 @@ object TextQueries {
                   SUM(n_tokens) OVER (ORDER BY doc_id
                     ROWS UNBOUNDED PRECEDING) AS run
            FROM t)
-         SELECT doc_id, n_tokens, (run - n_tokens) // 2048 AS shard_id
+         SELECT doc_id, n_tokens,
+                CAST((run - n_tokens) // 2048 AS BIGINT) AS shard_id
          FROM r ORDER BY doc_id""",
     "text_doc_freq" ->
       """SELECT token, COUNT(*) AS df

@@ -97,13 +97,11 @@ class DedupSimilaritySpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     // codebooks refit deterministically (same data + seeds as the query)
-    val books = (0 until 4).map { sub =>
-      graft.operators.KMeans.fit(
-        emb.select(col("vec_id"),
-          expr(s"slice(embedding, ${sub * 16 + 1}, 16)").as("sv")),
-        "vec_id", "sv", k = 16, iters = 3)
-        .map { case (cell, ce, _) => cell -> ce }.toMap
-    }
+    val books = graft.operators.KMeans.fitMany(
+      emb, "vec_id",
+      (0 until 4).map(sub => expr(s"slice(embedding, ${sub * 16 + 1}, 16)")),
+      k = 16, iters = 3)
+      .map(_.map { case (cell, ce, _) => cell -> ce }.toMap)
     val codes = SimilarityQueries.queries("sim_pq_codes")(spark, dir)
       .collect().map(r => r.getLong(0) ->
         Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
@@ -119,7 +117,10 @@ class DedupSimilaritySpec extends SparkSuite {
     def reconstruct(id: Long): Array[Double] =
       codes(id).zipWithIndex
         .flatMap { case (c, sub) => books(sub)(c) }.toArray
-    val queries = vecs.keys.filter(_ < 10)
+    // 50-query panel: 10 queries × top-5 = 50 outcomes has ±0.1 sampling
+    // noise on this metric (round-6 seeding change exposed it); 250
+    // outcomes make the ≥0.3 pin stable across codebook perturbations
+    val queries = vecs.keys.filter(_ < 50)
     val recalls = queries.map { q =>
       def topk(score: Long => Double) = vecs.keys.filter(_ != q).toSeq
         .sortBy(n => (-score(n), n)).take(5).toSet

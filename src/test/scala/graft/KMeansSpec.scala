@@ -69,6 +69,45 @@ class KMeansSpec extends SparkSuite {
       "assignment must not join")
   }
 
+  test("trainer input is sample-bounded: capped fit still fits the corpus") {
+    // 90 rows, cap 30 → the md5-prefix sample engages (expected ~30 rows).
+    // Seeds now come from the sample (not necessarily one per ground-truth
+    // cluster), so pin the property that matters: the bounded-sample model,
+    // assigned over the FULL corpus, keeps a high spherical objective —
+    // a merged/degenerate model scores ~0.67 on this geometry, a fitted
+    // one ~0.99.
+    val model = KMeans.fit(clustered, "vec_id", "embedding", k = 3,
+      iters = 3, maxTrainRows = 30L)
+    assert(model.length == 3)
+    val cents = typedlit(model.toSeq)
+    val meanBest = KMeans.assign(clustered, "embedding", model)
+      .select(aggregate(cents, lit(Double.NegativeInfinity),
+        (acc, c) => greatest(acc,
+          call_function("vec_cos", col("embedding"), c.getField("_2"))))
+        .as("best"))
+      .agg(avg($"best")).head().getDouble(0)
+    assert(meanBest > 0.9,
+      s"sample-trained model fits the full corpus poorly: $meanBest")
+  }
+
+  test("fitMany trains all sub-codebooks in shared passes, same shapes") {
+    val slices = Seq(expr("slice(embedding, 1, 4)"),
+      expr("slice(embedding, 5, 4)"))
+    val models = KMeans.fitMany(clustered, "vec_id", slices, k = 3, iters = 2)
+    assert(models.length == 2)
+    assert(models.forall(m => m.length == 3 && m.forall(_._2.length == 4)))
+    // sub-model 0 must equal a standalone fit on the same slice: fitMany
+    // is a fusion of independent fits, not a different algorithm
+    val solo = KMeans.fit(
+      clustered.select($"vec_id", expr("slice(embedding, 1, 4)").as("sv")),
+      "vec_id", "sv", k = 3, iters = 2)
+    models.head.zip(solo).foreach { case ((c1, v1, n1), (c2, v2, n2)) =>
+      assert(c1 == c2)
+      v1.zip(v2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+      assert(math.abs(n1 - n2) < 1e-9)
+    }
+  }
+
   test("guards: k too large, empty model, existing output column") {
     val d = Seq((1L, Seq(1.0f, 0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
