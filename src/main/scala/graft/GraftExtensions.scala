@@ -59,7 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => TextHashes.minHashNgramsBuilder(es)))
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams",
-        "word_ngrams(tokens, n) - space-joined word n-grams"),
+        "word_ngrams(tokens, n) - space-joined word n-grams; " +
+          "null tokens are skipped within a gram (concat_ws semantics)"),
       (es: Seq[Expression]) => TextHashes.wordNgramsBuilder(es)))
     ext.injectFunction((FunctionIdentifier("char_windows"),
       info("char_windows",

@@ -75,6 +75,10 @@ object TextHashImpl {
     * form of `transform(sequence(0, size(a)-n), i -> concat_ws(' ',
     * slice(a, i+1, n)))` (whose HOFs are CodegenFallback). Returns all
     * m-n+1 grams in order (caller dedups if needed); empty below n tokens.
+    * Null elements are skipped inside a gram, concat_ws-style:
+    * word_ngrams(['a', NULL, 'b'], 2) = ['a', 'b'] — matching the HOF
+    * form it fuses, not null-propagating. (Repo queries tokenize via
+    * split(), which never yields null elements.)
     */
   def wordNgrams(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()

@@ -525,10 +525,11 @@ object AnalyticsQueries {
     }),
 
     // Cohort retention on the stream table: users grouped by first-seen
-    // month, activity counted per month offset — the product-analytics
-    // matrix. Two shuffles, both on compact keys (user_id, then
-    // (cohort, offset)); the first-seen frame joins co-partitioned on
-    // user_id.
+    // DAY, activity counted per day offset — the product-analytics
+    // matrix (day granularity; the events table spans weeks, so month
+    // cohorts would collapse to one row). Two shuffles, both on compact
+    // keys (user_id, then (cohort, offset)); the first-seen frame joins
+    // co-partitioned on user_id.
     "events_cohort_retention" -> ((s, dir) => {
       val ev = load(s, dir, "events")
         .select(col("user_id"),

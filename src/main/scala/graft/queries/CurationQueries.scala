@@ -335,7 +335,7 @@ object CurationQueries {
                   AS n_sat
          FROM q ORDER BY vec_id""",
     "curation_pipeline_e2e" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
            SELECT doc_id, text, source, n_chars,
                   (n_chars BETWEEN 100 AND 500) AND
                   (CAST(LEN(list_distinct(STRING_SPLIT(text, ' ')))
@@ -375,7 +375,7 @@ object CurationQueries {
                   f.q AND (kp.keep_id IS NOT NULL) AND
                     (ct.doc_id IS NULL) AND
                     (substr(md5(f.text), 1, 1) <
-                      (CASE WHEN f.source IN ('src0','src1','src2','src3')
+                      (CASE WHEN f.source IN (${RankMixQueries.heavySourcesSql})
                             THEN '4' ELSE 'c' END)) AS m
            FROM corpus f
            LEFT JOIN keepers kp ON kp.keep_id = f.doc_id
@@ -391,7 +391,7 @@ object CurationQueries {
                   AS n_final
          FROM staged GROUP BY source ORDER BY source""",
     "curation_survivors" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
            SELECT doc_id, text, source, lang, n_chars,
                   (n_chars BETWEEN 100 AND 500) AND
                   (CAST(LEN(list_distinct(STRING_SPLIT(text, ' ')))
@@ -429,7 +429,7 @@ object CurationQueries {
          LEFT JOIN contam ct ON ct.doc_id = f.doc_id
          WHERE f.q AND ct.doc_id IS NULL
            AND substr(md5(f.text), 1, 1) <
-               (CASE WHEN f.source IN ('src0','src1','src2','src3')
+               (CASE WHEN f.source IN (${RankMixQueries.heavySourcesSql})
                      THEN '4' ELSE 'c' END)
          ORDER BY f.doc_id""",
     "text_length_histogram" ->

@@ -35,6 +35,12 @@ object RankMixQueries {
     * end-to-end curation pipeline so the mix stage is the same rule. */
   val heavySources: Seq[String] = Seq("src0", "src1", "src2", "src3")
 
+  /** The same set rendered as a SQL IN-list, interpolated into every
+    * oracle that mirrors the mix rule — one constant drives the Spark
+    * side and the oracle side, so they cannot silently desynchronize.
+    */
+  val heavySourcesSql: String = heavySources.map(s => s"'$s'").mkString(",")
+
   val queries: Map[String, Q] = Map(
     // Top-3 TF-IDF terms per document. tf = in-doc term count, df = #docs
     // containing the term, idf = ln(N/df). One explode, two partial aggs,
@@ -236,19 +242,19 @@ object RankMixQueries {
                 ROUND((1000000.0 * w) / sw, 2) AS alloc_tokens
          FROM w CROSS JOIN t ORDER BY source""",
     "mix_weighted_sample" ->
-      """SELECT doc_id, source, lang FROM documents
+      s"""SELECT doc_id, source, lang FROM documents
          WHERE substr(md5(text), 1, 1) <
-               (CASE WHEN source IN ('src0','src1','src2','src3')
+               (CASE WHEN source IN ($heavySourcesSql)
                      THEN '4' ELSE 'c' END)
          ORDER BY doc_id""",
     "mix_source_rates" ->
-      """SELECT source, COUNT(*) AS n_docs,
+      s"""SELECT source, COUNT(*) AS n_docs,
                 CAST(SUM(CASE WHEN substr(md5(text), 1, 1) <
-                     (CASE WHEN source IN ('src0','src1','src2','src3')
+                     (CASE WHEN source IN ($heavySourcesSql)
                            THEN '4' ELSE 'c' END)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(SUM(CASE WHEN substr(md5(text), 1, 1) <
-                     (CASE WHEN source IN ('src0','src1','src2','src3')
+                     (CASE WHEN source IN ($heavySourcesSql)
                            THEN '4' ELSE 'c' END)
                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
          FROM documents GROUP BY source ORDER BY source"""

@@ -183,6 +183,11 @@ object StreamingCdc {
       // nats_message_duration_seconds analog at batch granularity: the
       // publish duration, observed once per subject present in the batch
       // (subjects per collection are bounded by the operation-type set).
+      // INTENTIONAL divergence from the reference's per-publish timing
+      // (client.go:121-127): a micro-batch engine appends once per batch,
+      // so all subjects in a batch share one sample — splitting the
+      // append per subject would multiply actions on the hot path for a
+      // metrics nit. Contract pinned by ObservabilitySpec.
       val pubSec = (System.nanoTime() - t0) / 1e9
       msgs.select(col("subject")).distinct().collect()
         .foreach(r => CommandMetrics.observePublish(r.getString(0), pubSec))

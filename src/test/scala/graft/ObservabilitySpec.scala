@@ -59,6 +59,44 @@ class ObservabilitySpec extends SparkSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("K4: publish-duration samples are batch-granular — every subject " +
+      "present in a batch records the SAME whole-batch append duration " +
+      "(documented contract; the reference times each publish per subject, " +
+      "client.go:121-127 — a micro-batch engine appends once per batch)") {
+    val root = Files.createTempDirectory("graft-obs2").toString
+    val c = StreamConfig("obs2", s"$root/in", s"$root/messages",
+      s"$root/tokens", s"$root/ckpt")
+    // ONE batch containing two op types → two subjects share one append
+    Seq(
+      ChangeEvent(ChangeEventId("000001"), "insert", None, None,
+        Some(Ns("db", "c")), Some("""{"_id":1}"""),
+        Some("""{"_id":1}"""), None, None),
+      ChangeEvent(ChangeEventId("000002"), "update", None, None,
+        Some(Ns("db", "c")), Some("""{"_id":2}"""),
+        Some("""{"_id":2}"""), None, None)
+    ).toDF().coalesce(1).write.mode("append").parquet(c.inputDir)
+    val listener = Observability.attach(spark)
+    try {
+      StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+      val text = listener.renderPrometheus()
+      def metric(name: String, subj: String): Double = {
+        val re = (java.util.regex.Pattern
+          .quote(s"""$name{subject="$subj"}""") + """ (\S+)""").r
+        re.findFirstMatchIn(text).map(_.group(1).toDouble)
+          .getOrElse(fail(s"missing $name for $subj in:\n$text"))
+      }
+      val subjects = Seq("OBS2.insert", "OBS2.update")
+      subjects.foreach { s =>
+        assert(metric("nats_message_duration_seconds_count", s) == 1.0d,
+          s"expected exactly one batch observation for $s")
+      }
+      val sums = subjects
+        .map(s => metric("nats_message_duration_seconds_sum", s))
+      assert(sums.distinct.size == 1,
+        s"batch-granular samples must be identical across subjects: $sums")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("K4: a failed query increments nats_messages_failed_total under " +
       "its NAME (terminated events carry only the id)") {
     val root = Files.createTempDirectory("graft-obs-fail").toString
