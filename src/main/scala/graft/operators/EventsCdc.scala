@@ -109,6 +109,28 @@ object EventsCdc {
       row_number().over(w).cast("long").as("seq"))
   }
 
+  /** Consumer-side state materialization — compact the change log into
+    * "latest state per document": the table a downstream consumer of the
+    * published stream maintains (the reference's acceptance tests assert
+    * exactly this per-key last-event semantics over the NATS stream,
+    * test/acceptance/update_test.go / delete_test.go). Op mapping follows
+    * the bench envelope: click/purchase/signup upsert, view deletes.
+    *
+    * Scale shape: ONE shuffle on the (collection, document-key) pair and a
+    * single max_by partial aggregate — no window, no sort; 100 TB of
+    * change log compacts to |live keys| rows.
+    */
+  def materializeState(events: DataFrame): DataFrame =
+    filterPublishable(events)
+      .withColumn("doc_key",
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+      .groupBy(col("user_id"), col("doc_key"))
+      .agg(
+        max(col("event_id")).as("last_event_id"),
+        expr("max_by(event_type, event_id)").as("last_op"),
+        expr("max_by(props, event_id)").as("doc"))
+      .filter(col("last_op") =!= "view") // delete analog: key leaves state
+
   /** Composite steady-state pipeline folded to per-subject publish stats. */
   def pipelineStats(events: DataFrame): DataFrame =
     filterPublishable(events)

@@ -85,6 +85,15 @@ object CdcQueries {
       EventsCdc.pipelineStats(load(s, dir, "events"))
         .orderBy(col("subject"))),
 
+    // Consumer-side state materialization — change log → latest state per
+    // (collection, document key); deletes drop the key (the per-key
+    // last-event semantics the reference's acceptance tests assert over
+    // the published stream, test/acceptance/update_test.go:52-56,
+    // delete_test.go:50). One shuffle, one max_by aggregate, no window.
+    "cdc_materialize_state" -> ((s, dir) =>
+      EventsCdc.materializeState(load(s, dir, "events"))
+        .orderBy(col("user_id"), col("doc_key"))),
+
     // P2 — relaxed Extended JSON payloads (client.go:222-225; type
     // wrappers per README.md:95-97): clusterTime → $timestamp{t,i},
     // wallTime → $date ISO-millis, opaque props embedded verbatim. The
@@ -125,6 +134,23 @@ object CdcQueries {
       """SELECT MAX(event_id) AS last_event_id,
                 ARG_MAX(event_type, event_id) AS last_event_type
          FROM events""",
+    "cdc_materialize_state" ->
+      """WITH e AS (
+           SELECT user_id,
+                  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                    AS doc_key,
+                  event_id, event_type, props
+           FROM events
+           WHERE event_type IN ('click','purchase','signup','view')),
+         l AS (
+           SELECT user_id, doc_key,
+                  MAX(event_id) AS last_event_id,
+                  ARG_MAX(event_type, event_id) AS last_op,
+                  ARG_MAX(props, event_id) AS doc
+           FROM e GROUP BY user_id, doc_key)
+         SELECT user_id, doc_key, last_event_id, last_op, doc
+         FROM l WHERE last_op <> 'view'
+         ORDER BY user_id, doc_key""",
     "cdc_tokens_per_collection" ->
       """SELECT user_id, MAX(event_id) AS last_event_id,
                 ARG_MAX(event_type, event_id) AS last_event_type

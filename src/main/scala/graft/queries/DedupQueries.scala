@@ -204,6 +204,45 @@ object DedupQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023 — public): cluster-
+    // scoped near-dup collapse over embeddings. Candidates must share the
+    // semantic cell (label = the coarse cluster) AND an LSH bucket
+    // (capped — the same 6×6 tables as dedup_embedding_near, so cell
+    // occupancy never explodes a task); pairs keep exact cosine ≥ 0.30;
+    // connected components collapse each dup group to its min-id
+    // representative. Output: the PRUNED corpus — one survivor per group
+    // plus all singletons, with group size. Unlike the other candidate
+    // generators this one is FULLY oracle-checked: LSH buckets, cosine,
+    // and the transitive closure all replay in ANSI SQL.
+    "dedup_semantic_survivors" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val b = emb.select(col("vec_id"), col("label"), col("embedding"),
+        posexplode(expr("lsh_buckets(embedding, 6, 6)"))
+          .as(Seq("table_id", "bucket")))
+      val pairs = b.groupBy(col("label"), col("table_id"), col("bucket"))
+        .agg(expr("sort_array(collect_list(struct(vec_id, embedding)))")
+          .as("vs"))
+        .filter(size(col("vs")).between(2, VecBucketCap))
+        .select(explode(expr("struct_pairs(vs)")).as("p"))
+        .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"),
+          round(expr("vec_cos(p.a.embedding, p.b.embedding)"), 6).as("cos"))
+        .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos"))
+        .filter(col("cos") >= 0.30)
+      val comp = ConnectedComponents
+        .run(pairs.select(col("va"), col("vb")), "va", "vb")
+        .withColumnRenamed("node", "vec_id")
+        .withColumnRenamed("component", "rep")
+      val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+      emb.select(col("vec_id"), col("label").cast("long").as("label"))
+        .join(comp, Seq("vec_id"), "left")
+        .withColumn("rep", coalesce(col("rep"), col("vec_id")))
+        .filter(col("vec_id") === col("rep"))
+        .join(sizes, Seq("rep"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Winnowing near-dup candidates (Schleimer et al. fingerprints): docs
     // sharing ≥ MinShared selected k-gram fingerprints. The winnowed
     // signature is ~|text|/w hashes, so the inverted index is w× smaller
@@ -370,6 +409,66 @@ object DedupQueries {
           JOIN sizes nb ON nb.doc_id = doc_b
           WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= $JaccardMin
           ORDER BY doc_a, doc_b""",
+    // Semantic dedup: the full engine dataflow replayed in SQL — LSH
+    // buckets (same plane weights as sim_lsh_buckets), label+bucket
+    // candidates with the 200 cap, exact 6dp cosine gate, recursive-CTE
+    // transitive closure, min-id representative, survivor projection.
+    "dedup_semantic_survivors" ->
+      s"""WITH RECURSIVE d AS (
+            SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+          planes AS (SELECT t, j, t * 6 + j AS p
+                     FROM (SELECT unnest(range(0, 6)) AS t),
+                          (SELECT unnest(range(0, 6)) AS j)),
+          proj AS (
+            SELECT vec_id, t, j,
+                   SUM(x * CAST((p * 2654435761 + dim * 2246822519)
+                                % 251 % 7 - 3 AS DOUBLE)) AS s
+            FROM d CROSS JOIN planes GROUP BY vec_id, t, j),
+          bkt AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id, t),
+          lb AS (SELECT b.vec_id, e.label, b.t, b.bucket
+                 FROM bkt b JOIN embeddings e USING (vec_id)),
+          grp AS (SELECT label, t, bucket, COUNT(*) AS n
+                  FROM lb GROUP BY 1, 2, 3),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM lb a
+            JOIN lb b ON a.label = b.label AND a.t = b.t
+                     AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN grp g ON g.label = a.label AND g.t = a.t
+                      AND g.bucket = a.bucket
+            WHERE g.n BETWEEN 2 AND $VecBucketCap),
+          dots AS (
+            SELECT c.va, c.vb, SUM(da.x * db.x) AS dot,
+                   SQRT(SUM(da.x * da.x)) AS na,
+                   SQRT(SUM(db.x * db.x)) AS nb
+            FROM cand c
+            JOIN d da ON da.vec_id = c.va
+            JOIN d db ON db.vec_id = c.vb AND db.dim = da.dim
+            GROUP BY c.va, c.vb),
+          pairs AS (SELECT va, vb FROM dots
+                    WHERE ROUND(dot / (na * nb), 6) >= 0.30),
+          e AS (SELECT va AS a, vb AS b FROM pairs
+                UNION SELECT vb, va FROM pairs),
+          nn AS (SELECT DISTINCT a AS id FROM e),
+          reach(id, r) AS (
+            SELECT id, id FROM nn
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+          comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+          sz AS (SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep)
+          SELECT emb.vec_id, CAST(emb.label AS BIGINT) AS label,
+                 CAST(COALESCE(sz.n_members, 1) AS BIGINT) AS n_members
+          FROM embeddings emb
+          LEFT JOIN comp ON comp.id = emb.vec_id
+          LEFT JOIN sz ON sz.rep = emb.vec_id
+          WHERE COALESCE(comp.rep, emb.vec_id) = emb.vec_id
+          ORDER BY emb.vec_id""",
     "dedup_clusters" ->
       s"""$duckClusterCtes
           SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""",

@@ -85,6 +85,21 @@ object TextQueries {
         max(col("n_chars")).as("max_chars"))
         .orderBy(col("source"), col("lang"))),
 
+    // Cardinality estimation at corpus scale: per-source distinct-token
+    // counts via HyperLogLog++ (approx_count_distinct, rsd 2%) — the
+    // sketch a 100 TB vocabulary audit uses instead of shuffling the full
+    // token stream for COUNT(DISTINCT): partial sketches merge map-side,
+    // the exchange carries one ~KB register set per group. Deterministic
+    // (hash-based, no RNG) but engine-specific ⇒ rows-only; ≤5% relative
+    // error vs the exact count pinned in RankMixSpec.
+    "text_vocab_sketch" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"))
+        .agg(approx_count_distinct(col("token"), 0.02)
+          .as("n_vocab_approx"))
+        .orderBy(col("source"))),
+
     // Corpus-slice fingerprints via the native simhash_agg
     // TypedImperativeAggregate: one 64-bit SimHash per (source, lang)
     // slice, votes merged associatively (map-side combine; shuffle is 64

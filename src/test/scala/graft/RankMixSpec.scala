@@ -28,6 +28,28 @@ class RankMixSpec extends SparkSuite {
     }
   }
 
+  test("vocab sketch: HLL++ per-source cardinality within 5% of exact, " +
+      "deterministic across runs") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.queries.TextQueries.queries("text_vocab_sketch")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, n) =>
+      val a = approx(src)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"source $src: approx $a vs exact $n exceeds 5% error")
+    }
+    val again = graft.queries.TextQueries.queries("text_vocab_sketch")(
+      spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == approx, "sketch must be deterministic across runs")
+  }
+
   test("bm25: every returned doc contains a query term; scores positive, sorted") {
     val out = run("text_bm25").collect()
     assert(out.nonEmpty)
