@@ -98,15 +98,39 @@ class PlanSpec extends SparkSuite {
   }
 
   test("no registered query plans a CartesianProduct — every non-equi " +
-      "combination is a broadcast of a bounded side") {
+      "combination is a broadcast of a bounded side — and no UNPARTITIONED " +
+      "window runs over un-aggregated data (single-partition scale-killer)") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    import org.apache.spark.sql.execution.window.WindowExec
+    // text_length_histogram's post-agg cumsum is the one sanctioned global
+    // window: it runs over the 50-char-bucket frame, whose row count is
+    // bounded by the VALUE RANGE of n_chars, not by corpus size.
+    val sanctionedGlobalWindows = Set("text_length_histogram")
+    val cartOffenders = scala.collection.mutable.ListBuffer.empty[String]
+    val winOffenders = scala.collection.mutable.ListBuffer.empty[String]
+    val winSanctionedSeen = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
-      val cart = physicalNodes(df).collect { case c: CartesianProductExec => c }
-      if (cart.nonEmpty) Some(name) else None
+      val nodes = physicalNodes(df)
+      if (nodes.exists(_.isInstanceOf[CartesianProductExec]))
+        cartOffenders += name
+      val hasGlobalWin = nodes.exists {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+      if (hasGlobalWin && !sanctionedGlobalWindows.contains(name))
+        winOffenders += name
+      if (hasGlobalWin && sanctionedGlobalWindows.contains(name))
+        winSanctionedSeen += name
     }
-    assert(offenders.isEmpty,
-      s"CartesianProduct found in: ${offenders.mkString(", ")}")
+    assert(cartOffenders.isEmpty,
+      s"CartesianProduct found in: ${cartOffenders.mkString(", ")}")
+    assert(winOffenders.isEmpty,
+      s"unsanctioned global window found in: ${winOffenders.mkString(", ")}")
+    // vacuity guard: the detector must actually see the sanctioned window
+    assert(winSanctionedSeen == sanctionedGlobalWindows,
+      s"global-window detector saw $winSanctionedSeen — detection broken " +
+        "or sanction list stale")
   }
 
   test("IVF cell assignment is a per-row fold: no Exchange, no join") {
