@@ -98,6 +98,28 @@ object CdcPipeline {
       expr("min_by(data, msgId)").as("data"))
     .select("subject", "msgId", "data")
 
+  /** Consumer-side materialized view over the PUBLISHED stream: the table
+    * a downstream consumer of the NATS messages converges to. msgId dedup
+    * first (the JetStream Nats-Msg-Id exactly-once view, README.md:124-127
+    * — so at-least-once re-publishes cannot change the result), then
+    * latest-per-documentKey with delete semantics (the per-key last-event
+    * state the acceptance tests assert, update_test.go:52-56,
+    * delete_test.go:50). Reads only published fields: the subject's op
+    * suffix and the payload JSON. Two keyed shuffles (msgId, then key),
+    * no window/sort.
+    */
+  def stateView(messages: DataFrame): DataFrame =
+    dedupByMsgId(messages)
+      .withColumn("op", element_at(split(col("subject"), "\\."), -1))
+      .withColumn("key", get_json_object(col("data"), "$.documentKey"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(
+        max(col("msgId")).as("last_msg_id"),
+        expr("max_by(op, msgId)").as("last_op"),
+        expr("max_by(data, msgId)").as("doc"))
+      .filter(col("last_op") =!= "delete")
+
   /** A3 — health roll-up (internal/server/health.go:13-29): per-component
     * UP/DOWN from a monitors DataFrame(name, ok).
     */

@@ -128,6 +128,48 @@ class StreamingCdcSpec extends SparkSuite {
       (1 to 20).map(i => f"$i%06d").toSet)
   }
 
+  test("consumer state view over the published stream: latest state per " +
+      "documentKey, deletes drop the key, invariant under the " +
+      "at-least-once duplicate window (update_test.go:52-56, " +
+      "delete_test.go:50)") {
+    val root = tmp()
+    val c = cfg("s9", root)
+    def kev(token: Int, op: String): ChangeEvent =
+      ChangeEvent(ChangeEventId(f"$token%06d"), op, None, None,
+        Some(Ns("db", "c")), Some(s"""{"_id":${token % 5}}"""),
+        if (op == "delete") None
+        else Some(s"""{"_id":${token % 5},"v":$token}"""),
+        None, None)
+    // 30 events over 5 keys; keys 1 and 3 end with a delete
+    val fixture = (1 to 30).map { i =>
+      val op = if (i >= 26 && (i % 5 == 1 || i % 5 == 3)) "delete"
+        else Seq("insert", "update", "replace")(i % 3)
+      kev(i, op)
+    }
+    writeBatchFile(c.inputDir, fixture)
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    val msgs = readMessages(c).drop("batch_id")
+
+    def snapshot(m: DataFrame): Map[String, (String, String)] =
+      CdcPipeline.stateView(m).collect()
+        .map(r => r.getAs[String]("key") ->
+          (r.getAs[String]("last_msg_id"), r.getAs[String]("last_op")))
+        .toMap
+    val state = snapshot(msgs)
+
+    // expectation straight from the fixture: per key, the max-token event
+    val expect = fixture.groupBy(_.documentKey.get)
+      .map { case (k, es) => k -> es.maxBy(_._id._data) }
+      .filter(_._2.operationType != "delete")
+      .map { case (k, e) => k -> (e._id._data, e.operationType) }
+    assert(expect.nonEmpty && expect.size == 3) // keys 1 and 3 deleted
+    assert(state == expect, s"state view diverged:\n$state\nvs\n$expect")
+
+    // the duplicate window must not change the view (msgId dedup first)
+    assert(snapshot(msgs.union(msgs)) == state,
+      "state view must be invariant under re-published duplicates")
+  }
+
   test("C1: multi-collection fan-out — independent queries, independent " +
       "outputs (connector.go:128-174)") {
     val rootA = tmp(); val rootB = tmp()
