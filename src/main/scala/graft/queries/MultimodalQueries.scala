@@ -41,6 +41,19 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Resize declaration audit (round 6): the typed-metadata rewrite that
+    // Multimodal.resize performs, rolled up per modality — brings the
+    // resize operator under the oracle gate (it was spec-only before).
+    "mm_resize_audit" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.fromDocuments(load(s, dir, "documents")), 224, 224)
+        .groupBy(col("kind"), col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n_media"),
+          max(col("meta.width")).cast("bigint").as("width"),
+          max(col("meta.height")).cast("bigint").as("height"),
+          sum(col("meta.durationMs")).as("sum_duration_ms"))
+        .orderBy(col("kind"))),
+
     // Frame sampling: 1 video → N frame fingerprints. md5 fingerprints ⇒
     // the explode + distinct-count is oracle-checked bit-exactly.
     "mm_frame_samples" -> ((s, dir) =>
@@ -83,6 +96,14 @@ object MultimodalQueries {
                        AS DOUBLE) / 4503599627370496 * 2 - 1
                   AS REAL) AS DOUBLE) AS f0
          FROM documents ORDER BY media_id""",
+    "mm_resize_audit" ->
+      """SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+                (['png','wav','mp4'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+                COUNT(*) AS n_media,
+                CAST(MAX(224) AS BIGINT) AS width,
+                CAST(MAX(224) AS BIGINT) AS height,
+                CAST(SUM(n_chars * 40) AS BIGINT) AS sum_duration_ms
+         FROM documents GROUP BY 1, 2 ORDER BY kind""",
     "mm_frame_samples" ->
       """WITH v AS (SELECT doc_id AS media_id, text, n_chars
                     FROM documents WHERE doc_id % 3 = 2),

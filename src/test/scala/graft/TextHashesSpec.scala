@@ -156,6 +156,12 @@ class TextHashesSpec extends SparkSuite {
       .head.getInt(0) == 0)
     assert(short.select(expr("size(char_windows(text, 64, 32))"))
       .head.getInt(0) == 0)
+    // documented contract: null elements are skipped WITHIN a gram,
+    // concat_ws-style — same as the HOF form it fuses (not null-
+    // propagating); repo queries never produce null tokens (split()).
+    val withNull = spark.sql(
+      "SELECT word_ngrams(array('a', cast(null as string), 'b'), 2) AS g")
+    assert(withNull.head.getSeq[String](0) == Seq("a", "b"))
   }
 
   test("vec_cos / vec_dot / vec_normalize: bit-identical to the HOF " +
