@@ -203,7 +203,7 @@ class DedupSimilaritySpec extends SparkSuite {
   test("exact dedup groups partition the corpus") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val groups = DedupQueries.queries("dedup_exact_groups")(spark, dir)
-    assert(groups.agg(sum("n_dups")).head.getLong(0) == docs.count())
+    assert(groups.agg(sum("n_dups")).head().getLong(0) == docs.count())
   }
 
   test("degenerate corpus (1.2k identical docs): candidate generation " +

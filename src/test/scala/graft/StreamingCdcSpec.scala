@@ -111,7 +111,7 @@ class StreamingCdcSpec extends SparkSuite {
     // simulate a crash between publish (K1) and token commit (K2):
     // drop the last committed token, wipe the checkpoint, re-run.
     val tokens = spark.read.parquet(c.tokensDir)
-    val maxBatch = tokens.agg(max("batch_id")).head.getLong(0)
+    val maxBatch = tokens.agg(max("batch_id")).head().getLong(0)
     val trimmed = tokens.filter(col("batch_id") =!= maxBatch).collect()
     spark.createDataFrame(
       java.util.Arrays.asList(trimmed: _*), StreamingCdc.tokenSchema)

@@ -93,7 +93,7 @@ class TextHashesSpec extends SparkSuite {
     // double input accepted too (the normalized-vector path)
     val dbl = emb.select(expr(
       "lsh_buckets(transform(embedding, x -> cast(x as double)), 6, 6)"))
-    assert(dbl.head.getSeq[Long](0).length == 6)
+    assert(dbl.head().getSeq[Long](0).length == 6)
     // validation: wrong arity and non-literal counts fail usably
     val err = intercept[Exception] {
       emb.select(expr("lsh_buckets(embedding, 4)")).collect()
@@ -125,9 +125,9 @@ class TextHashesSpec extends SparkSuite {
     import spark.implicits._
     val short = Seq("one two").toDF("text")
     assert(short.select(expr("size(shingle_hashes(split(text, ' '), 3))"))
-      .head.getInt(0) == 0)
+      .head().getInt(0) == 0)
     assert(short.select(expr("element_at(minhash_ngrams(split(text, ' '), 3, 4), 1)"))
-      .head.getLong(0) == Long.MaxValue)
+      .head().getLong(0) == Long.MaxValue)
   }
 
   test("word_ngrams / char_windows: bit-identical to the HOF " +
@@ -153,15 +153,15 @@ class TextHashesSpec extends SparkSuite {
     import spark.implicits._
     val short = Seq("one two").toDF("text")
     assert(short.select(expr("size(word_ngrams(split(text, ' '), 4))"))
-      .head.getInt(0) == 0)
+      .head().getInt(0) == 0)
     assert(short.select(expr("size(char_windows(text, 64, 32))"))
-      .head.getInt(0) == 0)
+      .head().getInt(0) == 0)
     // documented contract: null elements are skipped WITHIN a gram,
     // concat_ws-style — same as the HOF form it fuses (not null-
     // propagating); repo queries never produce null tokens (split()).
     val withNull = spark.sql(
       "SELECT word_ngrams(array('a', cast(null as string), 'b'), 2) AS g")
-    assert(withNull.head.getSeq[String](0) == Seq("a", "b"))
+    assert(withNull.head().getSeq[String](0) == Seq("a", "b"))
   }
 
   test("vec_cos / vec_dot / vec_normalize: bit-identical to the HOF " +
