@@ -57,6 +57,59 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Window funnel (the product-analytics windowFunnel shape): per user,
+    // the first 'click', the first 'purchase' strictly after it, and the
+    // first 'signup' strictly after that — three cascaded conditional
+    // running minima over ONE window spec, so Catalyst plans a single
+    // exchange on user_id with one sort reused by all three; then a
+    // single-row conversion report. No joins, no self-reads of the fact
+    // table — the shape that survives a 100 TB event log.
+    "events_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = load(s, dir, "events")
+        .withColumn("tus", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("tus"),
+          col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "click", col("tus"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "purchase" &&
+            col("t1") < col("tus"), col("tus"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "signup" &&
+            col("t2") < col("tus"), col("tus"))).over(w))
+      staged.groupBy(col("user_id")).agg(
+          min(col("t1")).as("s1"), min(col("t2")).as("s2"),
+          min(col("t3")).as("s3"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("s1")).as("n_click"),
+          count(col("s2")).as("n_click_purchase"),
+          count(col("s3")).as("n_full_funnel"))
+    }),
+
+    // Approximate order statistics: the sketch form the exact percentiles
+    // swap to at 100 TB — partial percentile digests merge map-side, the
+    // exchange carries one bounded digest per group instead of the value
+    // stream. Engine-specific sketch ⇒ rows-only; rank error vs the exact
+    // order statistics pinned in TemporalSpec.
+    "events_value_sketch" -> ((s, dir) =>
+      load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+            .as("pcts"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          element_at(col("pcts"), 1).as("p50_approx"),
+          element_at(col("pcts"), 2).as("p90_approx"),
+          element_at(col("pcts"), 3).as("p99_approx"),
+          col("n"))
+        .orderBy(col("event_type"))),
+
     // Exact order statistics per event type: percentile_disc is a value
     // pass-through (zero float arithmetic → trivially bit-exact); the one
     // continuous percentile is rounded to 6dp on both engines. Both are
@@ -103,6 +156,32 @@ object TemporalQueries {
                 quantile_disc(value, 0.9)  AS p90,
                 quantile_disc(value, 0.99) AS p99,
                 ROUND(quantile_cont(value, 0.9), 6) AS p90_cont
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+           FROM events),
+         s1 AS (SELECT *,
+                  MIN(CASE WHEN event_type = 'click' THEN tus END)
+                    OVER w AS t1
+                FROM e WINDOW w AS (PARTITION BY user_id
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)),
+         s2 AS (SELECT *,
+                  MIN(CASE WHEN event_type = 'purchase' AND t1 < tus
+                      THEN tus END) OVER w AS t2
+                FROM s1 WINDOW w AS (PARTITION BY user_id
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)),
+         s3 AS (SELECT *,
+                  MIN(CASE WHEN event_type = 'signup' AND t2 < tus
+                      THEN tus END) OVER w AS t3
+                FROM s2 WINDOW w AS (PARTITION BY user_id
+                  ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)),
+         u AS (SELECT user_id, MIN(t1) AS a, MIN(t2) AS b, MIN(t3) AS c
+               FROM s3 GROUP BY user_id)
+         SELECT COUNT(*) AS n_users, COUNT(a) AS n_click,
+                COUNT(b) AS n_click_purchase, COUNT(c) AS n_full_funnel
+         FROM u"""
+    // events_value_sketch: engine-specific percentile digest — rows-only;
+    // rank error vs the exact order statistics pinned in TemporalSpec.
   )
 }

@@ -168,4 +168,64 @@ class TemporalSpec extends SparkSuite {
     assert(fast.count() == ev.count())
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
+
+  test("value sketch: approx percentiles land within 1% rank error of " +
+      "the exact order statistics, deterministically") {
+    val dir = sf("sf0.001")
+    val approx = graft.queries.TemporalQueries
+      .queries("events_value_sketch")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    assert(approx.keySet == exact.keySet)
+    val targets = Seq(0.5, 0.9, 0.99)
+    exact.foreach { case (t, sorted) =>
+      val n = sorted.length
+      targets.zip(approx(t)).foreach { case (q, a) =>
+        // rank of the returned value vs the target rank, tolerance
+        // max(3 ranks, 1% of n) — approx_percentile's bound at acc=10000
+        val rank = sorted.count(_ <= a)
+        val target = q * n
+        assert(math.abs(rank - target) <= math.max(3.0, 0.01 * n),
+          s"$t q=$q: approx $a at rank $rank of $n (target $target)")
+      }
+    }
+    val again = graft.queries.TemporalQueries
+      .queries("events_value_sketch")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(again == approx, "sketch must be deterministic across runs")
+  }
+
+  test("events_funnel: stage counts are monotone and each converted user " +
+      "really has the ordered click -> purchase -> signup sequence") {
+    val dir = sf("sf0.001")
+    val row = graft.queries.TemporalQueries
+      .queries("events_funnel")(spark, dir).head()
+    val (nUsers, n1, n2, n3) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    assert(nUsers >= n1 && n1 >= n2 && n2 >= n3, row.toString)
+    assert(n3 > 0, "sf0.001 should contain full-funnel conversions")
+    // independent truth: per-user ordered scan on the driver (test-only)
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("tus", expr("ts div 1000"))
+      .select($"user_id", $"event_id", $"tus", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val perUser = events.groupBy(_._1).map { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      var t1 = Long.MaxValue; var t2 = Long.MaxValue; var t3 = Long.MaxValue
+      ordered.foreach { case (_, _, ts, tp) =>
+        if (tp == "click") t1 = math.min(t1, ts)
+        if (tp == "purchase" && t1 < ts) t2 = math.min(t2, ts)
+        if (tp == "signup" && t2 < ts) t3 = math.min(t3, ts)
+      }
+      u -> (t1 != Long.MaxValue, t2 != Long.MaxValue, t3 != Long.MaxValue)
+    }
+    assert(n1 == perUser.count(_._2._1))
+    assert(n2 == perUser.count(_._2._2))
+    assert(n3 == perUser.count(_._2._3))
+  }
 }
