@@ -24,6 +24,13 @@ object EventsCdc {
   /** The invalidate analog — internal/mongo/client.go:232-236. */
   val InvalidateType = "error"
 
+  /** Document-key extraction pattern over the opaque props payload —
+    * shared with the cdc_materialize_state oracle SQL so the engine and
+    * the gate can never silently disagree on what the key is. Both Java
+    * regex and RE2 read this identically (plain class + group).
+    */
+  val DocKeyPattern: String = "\"k\": ([0-9]+)"
+
   /** F1 — publishable-op filter (internal/mongo/client.go:231-237). */
   def filterPublishable(events: DataFrame): DataFrame =
     events.filter(col("event_type").isin(Publishable: _*))
@@ -123,7 +130,7 @@ object EventsCdc {
   def materializeState(events: DataFrame): DataFrame =
     filterPublishable(events)
       .withColumn("doc_key",
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+        regexp_extract(col("props"), DocKeyPattern, 1).cast("long"))
       .groupBy(col("user_id"), col("doc_key"))
       .agg(
         max(col("event_id")).as("last_event_id"),

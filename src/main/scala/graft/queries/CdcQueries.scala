@@ -135,10 +135,10 @@ object CdcQueries {
                 ARG_MAX(event_type, event_id) AS last_event_type
          FROM events""",
     "cdc_materialize_state" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT user_id,
-                  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
-                    AS doc_key,
+                  CAST(regexp_extract(props, '${EventsCdc.DocKeyPattern}', 1)
+                       AS BIGINT) AS doc_key,
                   event_id, event_type, props
            FROM events
            WHERE event_type IN ('click','purchase','signup','view')),

@@ -42,6 +42,12 @@ object DedupQueries {
   // constant bounds the worst bucket's pair fan-out (≤ cap²/2 ≈ 20k pairs
   // per task) — the point is an upper bound, not shingle-level sparsity.
   private val VecBucketCap = 200
+
+  // Semantic-dedup knobs — interpolated into BOTH the Spark query and its
+  // oracle SQL so the two sides cannot silently desynchronize.
+  private val SemTables = 6
+  private val SemPlanes = 6
+  private val SemCosMin = "0.30"
   private val JaccardMin = 0.5
 
   val queries: Map[String, Q] = Map(
@@ -217,7 +223,7 @@ object DedupQueries {
     "dedup_semantic_survivors" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       val b = emb.select(col("vec_id"), col("label"), col("embedding"),
-        posexplode(expr("lsh_buckets(embedding, 6, 6)"))
+        posexplode(expr(s"lsh_buckets(embedding, $SemTables, $SemPlanes)"))
           .as(Seq("table_id", "bucket")))
       val pairs = b.groupBy(col("label"), col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, embedding)))")
@@ -227,7 +233,7 @@ object DedupQueries {
         .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"),
           round(expr("vec_cos(p.a.embedding, p.b.embedding)"), 6).as("cos"))
         .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos"))
-        .filter(col("cos") >= 0.30)
+        .filter(col("cos") >= SemCosMin.toDouble)
       val comp = ConnectedComponents
         .run(pairs.select(col("va"), col("vb")), "va", "vb")
         .withColumnRenamed("node", "vec_id")
@@ -418,9 +424,9 @@ object DedupQueries {
             SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings),
-          planes AS (SELECT t, j, t * 6 + j AS p
-                     FROM (SELECT unnest(range(0, 6)) AS t),
-                          (SELECT unnest(range(0, 6)) AS j)),
+          planes AS (SELECT t, j, t * $SemPlanes + j AS p
+                     FROM (SELECT unnest(range(0, $SemTables)) AS t),
+                          (SELECT unnest(range(0, $SemPlanes)) AS j)),
           proj AS (
             SELECT vec_id, t, j,
                    SUM(x * CAST((p * 2654435761 + dim * 2246822519)
@@ -452,7 +458,7 @@ object DedupQueries {
             JOIN d db ON db.vec_id = c.vb AND db.dim = da.dim
             GROUP BY c.va, c.vb),
           pairs AS (SELECT va, vb FROM dots
-                    WHERE ROUND(dot / (na * nb), 6) >= 0.30),
+                    WHERE ROUND(dot / (na * nb), 6) >= $SemCosMin),
           e AS (SELECT va AS a, vb AS b FROM pairs
                 UNION SELECT vb, va FROM pairs),
           nn AS (SELECT DISTINCT a AS id FROM e),
