@@ -103,10 +103,15 @@ object Bench {
     // The driver's stdout capture truncated round 5's per-query tail
     // (56/96 timings survived) — persist the full line to a file too so
     // every round's comparison is machine-readable regardless of capture.
+    // APPEND (JSONL, one line per run): the dual-SF / dual-CPUS cadence
+    // runs Bench several times per round, and truncate-on-write would
+    // keep only the last run — the exact record-loss this file prevents.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)

@@ -129,6 +129,11 @@ object EventsCdc {
     */
   def materializeState(events: DataFrame): DataFrame =
     filterPublishable(events)
+      // key-less documents can't be materialized — drop them BEFORE the
+      // extract+cast, so both engines (ANSI Spark and the DuckDB oracle,
+      // whose CAST('' AS BIGINT) would otherwise hard-error) see the
+      // identical row set and the identical failure mode
+      .filter(col("props").rlike(DocKeyPattern))
       .withColumn("doc_key",
         regexp_extract(col("props"), DocKeyPattern, 1).cast("long"))
       .groupBy(col("user_id"), col("doc_key"))

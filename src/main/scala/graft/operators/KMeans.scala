@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * So an iteration's cost is one scan + one k×dim-group aggregation; the
   * driver holds only the model. Empty cells keep their previous centroid.
-  * Deterministic init: farthest-point greedy (Gonzalez 1985) over a
-  * bounded id-ordered pool, starting from the smallest id.
+  * Deterministic init: k-means++-style D²-weighted greedy (md5-derived
+  * race, no RNG) over a bounded id-ordered pool, starting from the
+  * smallest id — see fitMany.
   * Float-reduction order in the averages is engine/partitioning-specific —
   * results are pinned by property (cluster recovery, objective
   * improvement), not bit-compare.
@@ -144,13 +145,36 @@ object KMeans {
             d / nn
           }
         }
+        // Incremental k-means++: cache each candidate's min distance to
+        // the chosen set and refresh it against only the NEWEST seed —
+        // O(k · pool · dim), not O(k² · pool · dim) (a k=1024 codebook
+        // would otherwise burn minutes of single-threaded driver CPU
+        // before the first Lloyd pass).
         val chosen = scala.collection.mutable.ArrayBuffer(0)
+        val taken = new Array[Boolean](vecs.length)
+        taken(0) = true
+        val minD = Array.tabulate(vecs.length)(i => 1d - cos(i, 0))
         while (chosen.length < k) {
-          val next = vecs.indices.filterNot(chosen.contains).maxBy { i =>
-            val d = chosen.map(c => 1d - cos(i, c)).min
-            d * d / race(i)
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < vecs.length) {
+            if (!taken(i)) {
+              val score = minD(i) * minD(i) / race(i)
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
           }
-          chosen += next
+          chosen += best
+          taken(best) = true
+          var j = 0
+          while (j < vecs.length) {
+            if (!taken(j)) {
+              val d = 1d - cos(j, best)
+              if (d < minD(j)) minD(j) = d
+            }
+            j += 1
+          }
         }
         chosen.zipWithIndex
           .map { case (p, i) => withNorm(i.toLong, vecs(p).toSeq) }.toArray

@@ -64,12 +64,15 @@ object Multimodal {
     * AS BIGINT)` and a REAL cast).
     */
   private[operators] def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // hash the payload ONCE, then clone the digest state per dimension —
+    // md5(content ++ ":d") without re-scanning content dim times (MD5
+    // MessageDigest is Cloneable; bit-identical output)
+    val base = java.security.MessageDigest.getInstance("MD5")
+    base.update(content)
     val out = new Array[Float](dim)
     var d = 0
     while (d < dim) {
-      md.reset()
-      md.update(content)
+      val md = base.clone().asInstanceOf[java.security.MessageDigest]
       md.update(s":$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val b = md.digest()
       // top 52 bits = first 13 hex chars, big-endian

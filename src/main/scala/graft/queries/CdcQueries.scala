@@ -141,7 +141,8 @@ object CdcQueries {
                        AS BIGINT) AS doc_key,
                   event_id, event_type, props
            FROM events
-           WHERE event_type IN ('click','purchase','signup','view')),
+           WHERE event_type IN ('click','purchase','signup','view')
+             AND regexp_matches(props, '${EventsCdc.DocKeyPattern}')),
          l AS (
            SELECT user_id, doc_key,
                   MAX(event_id) AS last_event_id,

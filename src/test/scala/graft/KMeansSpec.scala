@@ -14,8 +14,10 @@ import graft.operators.KMeans
 class KMeansSpec extends SparkSuite {
   import spark.implicits._
 
-  /** Three well-separated direction clusters in 8-dim; ids 0..2 are one
-    * seed per cluster so the deterministic init starts unambiguous.
+  /** Three well-separated direction clusters in 8-dim, interleaved by
+    * i % 3. Only id 0 is a guaranteed seed (the D²-weighted init picks
+    * the rest) — on this geometry the weighting selects the other two
+    * clusters with overwhelming odds, and the recovery test pins it.
     */
   private def clustered = {
     val rnd = new Random(11)
