@@ -43,11 +43,13 @@ object DedupQueries {
   // per task) — the point is an upper bound, not shingle-level sparsity.
   private val VecBucketCap = 200
 
-  // Semantic-dedup knobs — interpolated into BOTH the Spark query and its
-  // oracle SQL so the two sides cannot silently desynchronize.
-  private val SemTables = 6
-  private val SemPlanes = 6
+  // Embedding-LSH knobs, shared by dedup_embedding_near and the semantic
+  // dedup — interpolated into BOTH the Spark queries and their oracle SQL
+  // so the two sides cannot silently desynchronize.
+  private val LshTables = 6
+  private val LshPlanes = 6
   private val SemCosMin = "0.30"
+  private val EmbCosMin = "0.45"
   private val JaccardMin = 0.5
 
   val queries: Map[String, Q] = Map(
@@ -179,7 +181,9 @@ object DedupQueries {
     // exact double cosine ≥ threshold within buckets — never an all-pairs
     // cross join. Vectors are L2-normalized ONCE before bucketing so each
     // candidate pair costs one dot product, not a dot + two norms.
-    // Approximate-by-bucketing ⇒ rows-only check; precision 1.0 + recall
+    // Fully oracle-checked as of round 6 (the buckets, the cap, the
+    // normalize-first cosine and the threshold all replay in SQL —
+    // promoted from rows-only); precision 1.0 + recall additionally
     // pinned by DedupSimilaritySpec.
     "dedup_embedding_near" -> ((s, dir) => {
       val b = load(s, dir, "embeddings")
@@ -191,7 +195,7 @@ object DedupQueries {
         // CodegenFallback); bucketing on ne ≡ bucketing on the raw vector
         // (positive scaling never flips a projection sign)
         .select(col("vec_id"), col("ne"),
-          posexplode(expr("lsh_buckets(ne, 6, 6)"))
+          posexplode(expr(s"lsh_buckets(ne, $LshTables, $LshPlanes)"))
             .as(Seq("table_id", "bucket")))
       // Capped like minhash/winnow: an over-full bucket (many identical
       // vectors hash to the same cell in every table) would otherwise
@@ -206,7 +210,7 @@ object DedupQueries {
         .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
           round(expr("vec_dot(p.a.ne, p.b.ne)"), 6).as("cos"))
         .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
-      cands.filter(col("cos") >= 0.45)
+      cands.filter(col("cos") >= EmbCosMin.toDouble)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -223,7 +227,7 @@ object DedupQueries {
     "dedup_semantic_survivors" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       val b = emb.select(col("vec_id"), col("label"), col("embedding"),
-        posexplode(expr(s"lsh_buckets(embedding, $SemTables, $SemPlanes)"))
+        posexplode(expr(s"lsh_buckets(embedding, $LshTables, $LshPlanes)"))
           .as(Seq("table_id", "bucket")))
       val pairs = b.groupBy(col("label"), col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, embedding)))")
@@ -397,6 +401,51 @@ object DedupQueries {
     "dedup_embedding_exact" ->
       """SELECT MIN(vec_id) AS keep_id, COUNT(*) AS n_dups
          FROM embeddings GROUP BY embedding ORDER BY keep_id""",
+    // Promoted from rows-only in round 6: same CTE chain as the semantic
+    // dedup (buckets on the shared plane weights, ≤cap groups, DISTINCT
+    // cross-table pairs) but label-free, and the cosine mirrors the
+    // engine's normalize-FIRST order (each element divided by its
+    // vector's norm, then the dot) so the 6dp rounding sees the same
+    // value both sides.
+    "dedup_embedding_near" ->
+      s"""WITH d AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+          planes AS (SELECT t, j, t * $LshPlanes + j AS p
+                     FROM (SELECT unnest(range(0, $LshTables)) AS t),
+                          (SELECT unnest(range(0, $LshPlanes)) AS j)),
+          proj AS (
+            SELECT vec_id, t, j,
+                   SUM(x * CAST((p * 2654435761 + dim * 2246822519)
+                                % 251 % 7 - 3 AS DOUBLE)) AS s
+            FROM d CROSS JOIN planes GROUP BY vec_id, t, j),
+          bkt AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id, t),
+          grp AS (SELECT t, bucket, COUNT(*) AS n FROM bkt GROUP BY 1, 2),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bkt a
+            JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+            JOIN grp g ON g.t = a.t AND g.bucket = a.bucket
+            WHERE g.n BETWEEN 2 AND $VecBucketCap),
+          nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm
+                  FROM d GROUP BY vec_id),
+          nd AS (SELECT d.vec_id, d.dim, d.x / nrm.nrm AS xn
+                 FROM d JOIN nrm USING (vec_id)),
+          pairs AS (
+            SELECT c.vec_a, c.vec_b,
+                   ROUND(SUM(na.xn * nb.xn), 6) AS cos
+            FROM cand c
+            JOIN nd na ON na.vec_id = c.vec_a
+            JOIN nd nb ON nb.vec_id = c.vec_b AND nb.dim = na.dim
+            GROUP BY c.vec_a, c.vec_b)
+          SELECT vec_a, vec_b, cos FROM pairs
+          WHERE cos >= $EmbCosMin ORDER BY vec_a, vec_b""",
     "dedup_ngram_jaccard" ->
       s"""WITH ex AS (
             SELECT doc_id, unnest($duckShingles) AS s FROM documents),
@@ -424,9 +473,9 @@ object DedupQueries {
             SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings),
-          planes AS (SELECT t, j, t * $SemPlanes + j AS p
-                     FROM (SELECT unnest(range(0, $SemTables)) AS t),
-                          (SELECT unnest(range(0, $SemPlanes)) AS j)),
+          planes AS (SELECT t, j, t * $LshPlanes + j AS p
+                     FROM (SELECT unnest(range(0, $LshTables)) AS t),
+                          (SELECT unnest(range(0, $LshPlanes)) AS j)),
           proj AS (
             SELECT vec_id, t, j,
                    SUM(x * CAST((p * 2654435761 + dim * 2246822519)
