@@ -20,6 +20,28 @@ object TextQueries {
   private val stopFilter =
     s"filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of')"
 
+  // DuckDB replay of TextHashImpl.poly64 (FNV-1a 64): fold the characters
+  // through xor-then-multiply in HUGEINT, mod 2^64 each step. The prime is
+  // 40 bits, so h*prime < 2^104 never overflows HUGEINT. Constants are
+  // single-sourced from the engine's TextHashImpl. Character codes equal
+  // UTF-8 bytes only for ASCII text — the documents corpus is printable
+  // ASCII by construction (TESTDATA.md), which the gate re-verifies
+  // implicitly: any non-ASCII doc would hash-mismatch.
+  private val fnvOffsetU =
+    java.lang.Long.toUnsignedString(graft.functions.TextHashImpl.Offset)
+  private def fnvSql(e: String): String =
+    s"""list_reduce(
+        list_prepend($fnvOffsetU::HUGEINT,
+          [unicode(substring($e, fnv_i, 1))::HUGEINT
+           FOR fnv_i IN generate_series(1, length($e))]),
+        (fnv_h, fnv_c) -> (xor(fnv_h, fnv_c)
+           * ${graft.functions.TextHashImpl.Prime}::HUGEINT)
+           % 18446744073709551616::HUGEINT)"""
+  // Unsigned 2^64 residue -> the engine's signed BIGINT representation.
+  private def signedSql(u: String): String =
+    s"""CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT
+        THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)"""
+
   val queries: Map[String, Q] = Map(
     // Quality scoring: length / word / stopword-ratio features
     "text_quality" -> ((s, dir) =>
@@ -103,8 +125,9 @@ object TextQueries {
     // Corpus-slice fingerprints via the native simhash_agg
     // TypedImperativeAggregate: one 64-bit SimHash per (source, lang)
     // slice, votes merged associatively (map-side combine; shuffle is 64
-    // ints/group regardless of slice size). Rows-only check; group-equals-
-    // document-level equivalence pinned by SimHashAggSpec.
+    // ints/group regardless of slice size). Bit-exact oracle (the FNV +
+    // vote math replays in DuckDB); group-equals-document-level
+    // equivalence additionally pinned by SimHashAggSpec.
     "text_corpus_fingerprint" -> ((s, dir) => {
       graft.functions.SimHashAgg.register(s)
       load(s, dir, "documents")
@@ -149,7 +172,7 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("pair")).limit(20)),
 
     // Document fingerprinting via native Catalyst expressions (FNV-64 +
-    // winnowing) — hash functions are engine-specific ⇒ rows-only check
+    // winnowing + SimHash) — all three replay bit-exactly in the oracle
     "text_fingerprint" -> ((s, dir) => {
       load(s, dir, "documents").select(
         col("doc_id"),
@@ -235,7 +258,70 @@ object TextQueries {
                     FROM w, UNNEST(RANGE(0, LEN(word) - 1)) AS u(i)
                     WHERE LEN(word) >= 2)
          SELECT pair, COUNT(*) AS cnt
-         FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
-    // text_fingerprint: engine-specific hashes — rows-only check
+         FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+
+    // text_fingerprint / text_corpus_fingerprint: FNV-1a 64 is pure
+    // integer arithmetic, so the full hash pipeline (whole-doc FNV,
+    // winnowing window minima, per-bit SimHash votes) replays in DuckDB
+    // with HUGEINT multiply mod 2^64 — bit-exact, not rows-only.
+    "text_fingerprint" -> s"""
+      WITH fp AS (SELECT doc_id, ${fnvSql("text")} AS fp_u FROM documents),
+      tk AS (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS tok
+             FROM documents),
+      th AS (SELECT doc_id, ${fnvSql("tok")} AS h FROM tk),
+      bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h // CAST(2 ** b AS HUGEINT)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bs
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(2 ** b AS HUGEINT)
+                           ELSE 0::HUGEINT END) AS sim_u
+        FROM bits GROUP BY doc_id),
+      -- winnowing (k=8, w=4): the engine picks window minima by SIGNED
+      -- long comparison (SortedSet[Long]), so wrap to BIGINT before MIN
+      grams AS (
+        SELECT doc_id, i, ${signedSql(fnvSql("substring(text, i, 8)"))} AS h,
+               length(text) - 7 AS m
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i) g
+        WHERE length(text) >= 8),
+      wmin AS (
+        SELECT doc_id, i, m,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+        FROM grams),
+      picked AS (
+        SELECT doc_id, wm FROM wmin WHERE m <= 4 AND i = 1
+        UNION
+        SELECT doc_id, wm FROM wmin WHERE m > 4 AND i + 3 <= m),
+      wc AS (SELECT doc_id, CAST(COUNT(DISTINCT wm) AS BIGINT) AS n_winnow
+             FROM picked GROUP BY doc_id)
+      SELECT fp.doc_id AS doc_id, ${signedSql("fp_u")} AS fp64,
+             COALESCE(wc.n_winnow, 0::BIGINT) AS n_winnow,
+             ${signedSql("sim_u")} AS simhash
+      FROM fp JOIN sim USING (doc_id) LEFT JOIN wc USING (doc_id)
+      ORDER BY doc_id""",
+
+    "text_corpus_fingerprint" -> s"""
+      WITH tk AS (SELECT source, lang, unnest(STRING_SPLIT(text, ' ')) AS tok
+                  FROM documents),
+      th AS (SELECT source, lang, ${fnvSql("tok")} AS h FROM tk),
+      bits AS (
+        SELECT source, lang, b,
+               SUM(CASE WHEN (h // CAST(2 ** b AS HUGEINT)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bs
+        GROUP BY source, lang, b),
+      sim AS (
+        SELECT source, lang,
+               SUM(CASE WHEN v > 0 THEN CAST(2 ** b AS HUGEINT)
+                   ELSE 0::HUGEINT END) AS u
+        FROM bits GROUP BY source, lang),
+      nd AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY source, lang)
+      SELECT source, lang, ${signedSql("u")} AS corpus_simhash, n_docs
+      FROM sim JOIN nd USING (source, lang) ORDER BY source, lang"""
   )
 }
