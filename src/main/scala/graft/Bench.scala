@@ -97,26 +97,9 @@ object Bench {
     // is excluded from the timed window.
     val streamingJson =
       try {
-        import org.apache.spark.sql.functions._
         val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
-        val n = spark.read.parquet(s"$sfDir/events.parquet")
-          .select(
-            struct(lpad(col("event_id").cast("string"), 12, "0").as("_data"))
-              .as("_id"),
-            // event types -> publishable op types ('error' -> 'drop':
-            // silently skipped, stream continues)
-            expr("""CASE event_type WHEN 'click' THEN 'insert'
-                    WHEN 'purchase' THEN 'update'
-                    WHEN 'signup' THEN 'replace'
-                    WHEN 'view' THEN 'delete'
-                    ELSE 'drop' END""").as("operationType"),
-            timestamp_micros(expr("ts div 1000")).as("clusterTime"),
-            timestamp_micros(expr("ts div 1000")).as("wallTime"),
-            struct(lit("bench").as("db"), lit("events").as("coll")).as("ns"),
-            col("props").as("documentKey"),
-            col("props").as("fullDocument"),
-            lit(null).cast("string").as("fullDocumentBeforeChange"),
-            lit(null).cast("string").as("updateDescription"))
+        graft.operators.EventsCdc
+          .toEnvelopes(spark.read.parquet(s"$sfDir/events.parquet"))
           .write.mode("overwrite").parquet(s"$root/in")
         val cnt = spark.read.parquet(s"$root/in").count()
         val cfgS = graft.streaming.StreamingCdc.StreamConfig(

@@ -143,6 +143,31 @@ object EventsCdc {
         expr("max_by(props, event_id)").as("doc"))
       .filter(col("last_op") =!= "view") // delete analog: key leaves state
 
+  /** Events table → change-event envelopes: the fixture transform the
+    * bench and the fault-injection matrix drive through the full streaming
+    * path (DSv2 source → filter → route → publish → commit). event_id
+    * becomes the resume token (12-digit zero-padded, so lexicographic
+    * token order = numeric event order); event types map onto the
+    * publishable op set, with 'error' → 'drop' (silently skipped — the
+    * non-publishable slice of the stream).
+    */
+  def toEnvelopes(events: DataFrame): DataFrame =
+    events.select(
+      struct(lpad(col("event_id").cast("string"), 12, "0").as("_data"))
+        .as("_id"),
+      expr("""CASE event_type WHEN 'click' THEN 'insert'
+              WHEN 'purchase' THEN 'update'
+              WHEN 'signup' THEN 'replace'
+              WHEN 'view' THEN 'delete'
+              ELSE 'drop' END""").as("operationType"),
+      timestamp_micros(expr("ts div 1000")).as("clusterTime"),
+      timestamp_micros(expr("ts div 1000")).as("wallTime"),
+      struct(lit("bench").as("db"), lit("events").as("coll")).as("ns"),
+      col("props").as("documentKey"),
+      col("props").as("fullDocument"),
+      lit(null).cast("string").as("fullDocumentBeforeChange"),
+      lit(null).cast("string").as("updateDescription"))
+
   /** Composite steady-state pipeline folded to per-subject publish stats. */
   def pipelineStats(events: DataFrame): DataFrame =
     filterPublishable(events)

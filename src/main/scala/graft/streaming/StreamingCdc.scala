@@ -59,7 +59,11 @@ object StreamingCdc {
       // resume-token offsets + F1 pushdown (graft.sources); "parquet" =
       // the plain file source (offsets = file positions, micro-batches
       // shaped by maxFilesPerTrigger).
-      sourceFormat: String = "parquet") {
+      sourceFormat: String = "parquet",
+      // changestream-source admission control: row budget per trigger
+      // (whole files in token order until the budget is hit). None =
+      // all available.
+      maxRowsPerTrigger: Option[Long] = None) {
     def resolvedStreamName: String =
       streamName.getOrElse(Model.defaultStreamName(name))
   }
@@ -261,11 +265,13 @@ object StreamingCdc {
     // have committed since, and tests recreate dirs at the same path.
     ledgerCache.remove(cfg.tokensDir)
     val src =
-      if (cfg.sourceFormat == "changestream")
-        spark.readStream
+      if (cfg.sourceFormat == "changestream") {
+        val r = spark.readStream
           .format(classOf[graft.sources.ChangeStreamSource].getName)
-          .load(cfg.inputDir)
-      else
+        cfg.maxRowsPerTrigger.foreach(n =>
+          r.option("maxRowsPerTrigger", n.toString))
+        r.load(cfg.inputDir)
+      } else
         spark.readStream
           .schema(Model.changeEventSchema)
           .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)

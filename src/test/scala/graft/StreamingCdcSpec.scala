@@ -266,6 +266,60 @@ class StreamingCdcSpec extends SparkSuite {
     assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000100"))
   }
 
+  test("fault-injection matrix at bench scale (sf0.1, 100k events): two " +
+      "mid-stream kills in the publish/commit gap; restarts deliver all " +
+      "80,190 publishable events exactly once, in token order " +
+      "(restart_mongo/nats_test.go:30-38 at the full bench volume)") {
+    val root = tmp()
+    val events = spark.read.parquet(sf("sf0.1") + "/events.parquet")
+    // Range-partition the envelope fixture by resume token: the DSv2
+    // source admits whole files in token order, so batches are contiguous
+    // token ranges and the global publish order is checkable end-to-end.
+    graft.operators.EventsCdc.toEnvelopes(events)
+      .repartitionByRange(16, col("_id").getField("_data"))
+      .write.mode("overwrite").parquet(s"$root/in")
+    val expected = events.filter(col("event_type") =!= "error")
+      .select(lpad(col("event_id").cast("string"), 12, "0").as("id"))
+      .as[String].collect().sorted.toSeq
+    assert(expected.size == 80190) // the bench's publishable subset
+    val c = cfg("s-matrix", root).copy(sourceFormat = "changestream",
+      maxRowsPerTrigger = Some(16384L)) // ~6 batches over 16 files
+
+    // Two kill points, each in the worst window (publish landed, token
+    // commit did not): the restart matrix. Each runAll resumes from the
+    // checkpoint, replays the uncommitted batch (observable duplicates),
+    // and dies at the next kill point.
+    try {
+      for (killAt <- Seq(2L, 4L)) {
+        val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+        StreamingCdc.faultpoint = (_, batchId) =>
+          if (batchId == killAt && tripped.compareAndSet(false, true))
+            throw new java.io.IOException(s"injected kill at batch $killAt")
+        intercept[Exception] {
+          StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+        }
+      }
+    } finally StreamingCdc.faultpoint = (_, _) => ()
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true) // final drain
+
+    val raw = readMessages(c)
+    assert(raw.count() > expected.size, // both killed batches re-published
+      "the at-least-once duplicate window must be observable")
+    // exactly-once after consumer dedup, at full volume
+    assert(CdcPipeline.dedupByMsgId(raw.drop("batch_id")).count() ==
+      expected.size)
+    // 100%-arrival + order invariant: first-publish order (batch_id,
+    // msgId) must equal global token order — batches are token-contiguous
+    // and replayed batches keep their batch_id, so the sequence is the
+    // exact publish order a consumer observed
+    val ordered = raw.groupBy(col("msgId"))
+      .agg(min(col("batch_id")).as("batch_id"))
+      .orderBy(col("batch_id"), col("msgId"))
+      .select("msgId").as[String].collect().toSeq
+    assert(ordered == expected,
+      "every publishable event must arrive exactly once, in token order")
+  }
+
   test("D1: a trim interrupted before old-file deletion still recovers " +
       "latestToken and converges on the next trim") {
     val root = tmp()
