@@ -56,6 +56,12 @@ object KMeans {
   /** Train k centroids with `iters` Lloyd iterations over `vecCol`
     * (array of float or double); `idCol` orders the deterministic seeds.
     * See [[fitMany]] for the training-cost shape.
+    *
+    * SAMPLING CUTOVER: above `maxTrainRows` (default 100k) the model
+    * trains on a deterministic md5-prefix sample of the input, not the
+    * full corpus — on corpora over the cap, centroids are a
+    * sample-derived artifact (KMeansSpec pins the sampled path). Pass
+    * `maxTrainRows = Long.MaxValue` to force full-input training.
     */
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, maxTrainRows: Long = 100000L): Model =

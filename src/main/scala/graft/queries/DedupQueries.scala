@@ -407,6 +407,13 @@ object DedupQueries {
     // engine's normalize-FIRST order (each element divided by its
     // vector's norm, then the dot) so the 6dp rounding sees the same
     // value both sides.
+    // ORDER-SENSITIVITY CAVEAT (here and dedup_semantic_survivors): the
+    // two sides compare ROUND(SUM(float products), 6), and neither
+    // engine pins its SUM accumulation order — parity is empirical
+    // (holds at every gated SF/CPUS combination), not guaranteed. If a
+    // future SF flips one pair exactly on a 0.5e-6 boundary, diagnose as
+    // summation-order rounding skew (compare the unrounded cosines), not
+    // as an engine bug.
     "dedup_embedding_near" ->
       s"""WITH d AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
