@@ -107,13 +107,22 @@ object CdcPipeline {
     * delete_test.go:50). Reads only published fields: the subject's op
     * suffix and the payload JSON. Two keyed shuffles (msgId, then key),
     * no window/sort.
+    *
+    * State is PER COLLECTION, like the reference's: the group key pairs
+    * the subject's stream prefix with the documentKey, so identical keys
+    * from different collections (the C1 fan-out shape feeding one
+    * consumer) never merge.
     */
   def stateView(messages: DataFrame): DataFrame =
     dedupByMsgId(messages)
       .withColumn("op", element_at(split(col("subject"), "\\."), -1))
+      // subject = "<STREAM>.<op>" — strip the final segment, keeping any
+      // dots inside the stream name itself
+      .withColumn("stream",
+        expr("substring(subject, 1, length(subject) - length(op) - 1)"))
       .withColumn("key", get_json_object(col("data"), "$.documentKey"))
       .filter(col("key").isNotNull)
-      .groupBy(col("key"))
+      .groupBy(col("stream"), col("key"))
       .agg(
         max(col("msgId")).as("last_msg_id"),
         expr("max_by(op, msgId)").as("last_op"),

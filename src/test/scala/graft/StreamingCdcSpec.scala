@@ -348,6 +348,68 @@ class StreamingCdcSpec extends SparkSuite {
     assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000060"))
   }
 
+  test("streaming state view (mapGroupsWithState): converges to the batch " +
+      "view, state is exactly-once under at-least-once re-publish, and " +
+      "per-collection keys never merge (update_test.go:52-56 live)") {
+    import graft.streaming.StreamingStateView
+    val root = tmp()
+    val msgsDir = s"$root/msgs"; val ckpt = s"$root/ck"
+    val stateLog = s"$root/state"
+    def msg(stream: String, token: Int, op: String, key: Int) =
+      (s"$stream.$op", f"$token%06d",
+        s"""{"documentKey":{"_id":$key},"op":"$op"}""")
+    // colliding documentKey {_id:1} across streams A and B — per-collection
+    // state must keep them apart (the C1 fan-out shape into one consumer)
+    val fixture = Seq(
+      msg("A", 1, "insert", 1), msg("A", 2, "update", 1),
+      msg("A", 3, "insert", 2), msg("A", 4, "delete", 2),
+      msg("B", 5, "insert", 1), msg("B", 6, "replace", 3))
+    fixture.toDF("subject", "msgId", "data").coalesce(1)
+      .write.mode("append").parquet(msgsDir)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("subject string, msgId string, data string").parquet(msgsDir)
+      val q = StreamingStateView.stateView(spark, src)
+        .writeStream.outputMode("update")
+        .foreachBatch((d: org.apache.spark.sql.Dataset[StreamingStateView.StateRow], _: Long) =>
+          d.write.mode("append").parquet(stateLog))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // latest state per key = the max-msgId row the query emitted for it
+    def snapshot(): Map[(String, String), (String, String, Boolean)] =
+      spark.read.parquet(stateLog).collect()
+        .groupBy(r => (r.getAs[String]("stream"), r.getAs[String]("key")))
+        .map { case (k, rs) =>
+          val last = rs.maxBy(_.getAs[String]("last_msg_id"))
+          k -> (last.getAs[String]("last_msg_id"),
+            last.getAs[String]("last_op"), last.getAs[Boolean]("live"))
+        }
+    val first = snapshot()
+    assert(first(("A", """{"_id":1}""")) == ("000002", "update", true))
+    assert(first(("A", """{"_id":2}""")) == ("000004", "delete", false))
+    assert(first(("B", """{"_id":1}""")) == ("000005", "insert", true))
+    assert(first(("B", """{"_id":3}""")) == ("000006", "replace", true))
+
+    // live rows converge to exactly the batch view of the same messages
+    val batch = CdcPipeline.stateView(spark.read.parquet(msgsDir)).collect()
+      .map(r => (r.getAs[String]("stream"), r.getAs[String]("key")) ->
+        (r.getAs[String]("last_msg_id"), r.getAs[String]("last_op")))
+      .toMap
+    assert(first.collect { case (k, (id, op, true)) => k -> (id, op) } == batch)
+
+    // at-least-once: the whole fixture is re-published; the restarted
+    // query (checkpointed state) must emit no state movement
+    fixture.toDF("subject", "msgId", "data").coalesce(1)
+      .write.mode("append").parquet(msgsDir)
+    runOnce()
+    assert(snapshot() == first,
+      "state view must be invariant under re-published duplicates")
+  }
+
   test("D1/S4: ensureTable is idempotent; tableExists answers both ways " +
       "(client.go:146-175, startup_test.go:33-66)") {
     val root = tmp()
