@@ -28,8 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => Fnv64(es.head)))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint",
-        "winnow_fingerprint(str) - winnowed rolling-hash signature"),
-      (es: Seq[Expression]) => WinnowFingerprint(es.head, 8, 4)))
+        "winnow_fingerprint(str[, k, w]) - winnowed rolling-hash signature"),
+      TextHashes.winnowBuilder))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash"),
       (es: Seq[Expression]) => SimHash64(es.head)))

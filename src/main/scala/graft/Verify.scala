@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Dev tool: dump one query's generated oracle SQL (iterate on an oracle in
+  * DuckDB against an existing Verify output, without re-running Spark):
+  * `sbt "runMain graft.DumpOracle <queryName> [outFile]"`.
+  */
+object DumpOracle {
+  def main(args: Array[String]): Unit = {
+    val sql = SparkEntry.oracleSql.getOrElse(args(0),
+      sys.error(s"no oracle for ${args(0)}"))
+    if (args.length > 1) Files.writeString(Paths.get(args(1)), sql)
+    else println(sql)
+  }
+}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -21,7 +34,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names); unset = full gate —
+    // the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // one retry: a transient executor hiccup must not zero a query's
       // correctness entry for the round
       def attempt(): Unit = fn(spark, sfDir).coalesce(1)

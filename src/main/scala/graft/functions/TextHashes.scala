@@ -153,13 +153,20 @@ object TextHashImpl {
     new GenericArrayData(out.toArray)
   }
 
+  /** splitmix64 constants — named so the DuckDB oracle replay
+    * (queries.OracleSql.mix64Sql) single-sources them from here.
+    */
+  final val MixGamma = -7046029254386353131L // 0x9E3779B97F4A7C15
+  final val MixMul1 = -4658895280553007687L // 0xBF58476D1CE4E5B9
+  final val MixMul2 = -7723592293110705685L // 0x94D049BB133111EB
+
   /** splitmix64 finalizer (public-domain mixing function) — used to derive
     * the k independent MinHash permutations from one base FNV-64 hash.
     */
   def mix64(v0: Long): Long = {
-    var v = v0 + -7046029254386353131L // 0x9E3779B97F4A7C15
-    v = (v ^ (v >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
-    v = (v ^ (v >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+    var v = v0 + MixGamma
+    v = (v ^ (v >>> 30)) * MixMul1
+    v = (v ^ (v >>> 27)) * MixMul2
     v ^ (v >>> 31)
   }
 
@@ -605,6 +612,22 @@ object TextHashes {
     WordNgrams(es.head, n)
   }
 
+  /** winnow_fingerprint(text[, k, w]): 1-arg keeps the (8, 4) default the
+    * per-doc fingerprint stats use; near-dup candidate generation passes
+    * an explicit larger k — short grams are vocabulary-common, so their
+    * posting lists outgrow any df cap as the corpus scales (measured: the
+    * 10x corpus run zeroed the k=8 candidate set).
+    */
+  def winnowBuilder(es: Seq[Expression]): Expression =
+    if (es.length == 1) WinnowFingerprint(es.head, 8, 4)
+    else {
+      val Seq(k, w) = intLits(es, "winnow_fingerprint",
+        "winnow_fingerprint(text, 24, 8)", 2)
+      require(k > 0 && w > 0,
+        s"winnow_fingerprint: k and w must be positive, got ($k, $w)")
+      WinnowFingerprint(es.head, k, w)
+    }
+
   def cdcChunksBuilder(es: Seq[Expression]): Expression = {
     val Seq(bits) = intLits(es, "cdc_chunks", "cdc_chunks(text, 5)", 1)
     require(bits >= 1 && bits <= 20,
@@ -625,7 +648,7 @@ object TextHashes {
     // Spark 4.1.2 validates the source tag: must be "built-in".
     reg.createOrReplaceTempFunction("fnv64", es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
-      es => WinnowFingerprint(es.head, 8, 4), "built-in")
+      winnowBuilder, "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",

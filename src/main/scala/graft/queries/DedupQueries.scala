@@ -23,9 +23,11 @@ import Tables._
   *    codegen (native Catalyst expressions, graft.functions.TextHashes);
   *    the only shuffles are the band-key exchanges over compact longs.
   *
-  * Hash-based signatures are engine-specific ⇒ those queries are rows-only
-  * checked; md5-keyed exact dedup and integer-arithmetic Jaccard are
-  * bit-exact in DuckDB and fully oracle-checked.
+  * Every query here is fully oracle-checked (bit-exact vs DuckDB): the
+  * hash-based signatures (MinHash, SimHash, winnowing, Gear chunking) are
+  * pure integer arithmetic, so their whole pipelines replay in SQL via
+  * OracleSql's HUGEINT-mod-2^64 fragments (promoted from rows-only in
+  * round 7).
   */
 object DedupQueries {
 
@@ -51,6 +53,19 @@ object DedupQueries {
   private val SemCosMin = "0.30"
   private val EmbCosMin = "0.45"
   private val JaccardMin = 0.5
+
+  // Winnowing near-dup knobs, shared by the Spark query AND its oracle.
+  // k=24 (not the per-doc-stats default 8): an 8-char window minimum is a
+  // vocabulary-common substring, so its posting list grows with CORPUS
+  // size and the df cap eventually drops every bucket — the sf1 gate run
+  // measured the k=8 candidate set collapsing to zero at 10x sf0.1. A
+  // 24-char fingerprint is document-specific (df tracks the true dup
+  // family size, max 4 at sf0.01), so the cap only ever trims genuine
+  // boilerplate. MinShared=8 keeps recall 1.0 of the jaccard>=0.9 pairs
+  // at sf0.01 while emitting nothing else (measured; spec pins >=0.9).
+  private val WinnowK = 24
+  private val WinnowW = 8
+  private val WinnowMinShared = 8
 
   val queries: Map[String, Q] = Map(
     // Exact dedup groups: one row per distinct content hash with the
@@ -106,8 +121,9 @@ object DedupQueries {
     // Content-defined chunking dedup (Gear rolling hash, FastCDC family):
     // variable-size chunks keyed by content, so shared passages align
     // across documents regardless of offset shifts (which fixed windows
-    // miss after an insertion). Chunk hashes are engine-specific ⇒
-    // rows-only; edit-locality and dup-coverage pinned in
+    // miss after an insertion). Bit-exact oracle (the Gear boundary test
+    // only sees the low 5 bits, so it replays as a 5-term LAG window);
+    // edit-locality and dup-coverage additionally pinned in
     // TextHashesSpec/DedupSimilaritySpec. Same ≤64-doc bucket cap as
     // every candidate generator.
     "dedup_cdc_chunks" -> ((s, dir) =>
@@ -126,8 +142,8 @@ object DedupQueries {
     // signature positions / 32. Bucket-collect form: signatures are
     // computed ONCE (the naive banded self-join re-evaluated the MinHash
     // on both sides and shuffled full signatures twice), buckets group on
-    // compact (band, bkey) longs, pairs + estimates come from each
-    // bucket's list. Engine-specific hashes ⇒ rows-only check.
+    // the (band, slice) key, pairs + estimates come from each bucket's
+    // list. Bit-exact oracle (FNV + splitmix64 + slice bands all replay).
     //
     // A/B-measured (sf0.1, local[32], 3 runs): carrying the 32-long sig
     // through the band exchange (this form, ~4.3 s) beats banding on ids
@@ -139,11 +155,17 @@ object DedupQueries {
       // minhash_ngrams fuses shingling + MinHash in one codegen'd pass
       // (bit-identical signature — duplicate shingles can't lower a min —
       // A/B 3.8 s → 0.3 s at sf0.1, pinned by TextHashesSpec)
+      // Band key = the 4-long slice ITSELF (not a hash of it): bucket
+      // equality is exactly slice equality — no collision term in the
+      // candidate set, and the key replays verbatim in the DuckDB oracle
+      // (which promoted this query to bit-exact). The exchange carries 32
+      // key bytes instead of 8; at any SF the band shuffle is dwarfed by
+      // the signature payload it already carries.
       val bands = load(s, dir, "documents")
         .select(col("doc_id"), expr(s"minhash_ngrams($toks, 3, 32)").as("sig"))
         .select(col("doc_id"), col("sig"),
           posexplode(expr(
-            "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+            "transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))"))
             .as(Seq("band", "bkey")))
       // Cap as well as floor the bucket: a duplicate-heavy corpus (the
       // input of a dedup pipeline) puts every copy of a boilerplate doc in
@@ -257,21 +279,19 @@ object DedupQueries {
     // sharing ≥ MinShared selected k-gram fingerprints. The winnowed
     // signature is ~|text|/w hashes, so the inverted index is w× smaller
     // than the full shingle index — the cheap first-pass at 100 TB.
-    // Engine-specific hashes ⇒ rows-only check.
+    // Bit-exact oracle (same window-minima replay as text_fingerprint).
     "dedup_winnow_pairs" -> ((s, dir) => {
       val fp = load(s, dir, "documents")
         .select(col("doc_id"),
-          explode(expr("winnow_fingerprint(text)")).as("f"))
+          explode(expr(s"winnow_fingerprint(text, $WinnowK, $WinnowW)"))
+            .as("f"))
       fp.groupBy(col("f"))
         .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
         .filter(size(col("ds")).between(2, DfCap))
         .select(explode(expr("ordered_pairs(ds)")).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).cast("long").as("shared_fp"))
-        // measured at sf0.01: ≥24 shared fingerprints keeps 0.96 recall of
-        // the jaccard≥0.9 pairs while cutting candidates 300× vs ≥8 —
-        // small-vocab corpora share many common k-grams
-        .filter(col("shared_fp") >= 24)
+        .filter(col("shared_fp") >= WinnowMinShared)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -282,7 +302,7 @@ object DedupQueries {
     // join), with the same df-cap guard as minhash/winnow — a hot band
     // (e.g. near-empty docs all simhash to 0) is dropped rather than
     // exploded quadratically; its pairs are recovered by the other 3
-    // bands. Rows-only check; recall pinned in DedupSimilaritySpec.
+    // bands. Bit-exact oracle; recall pinned in DedupSimilaritySpec.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val bands = load(s, dir, "documents")
         .select(col("doc_id"), expr(s"simhash64($toks)").as("sh"))
@@ -537,8 +557,176 @@ object DedupQueries {
     "dedup_cluster_stats" ->
       s"""$duckClusterCtes
           SELECT cluster_id, COUNT(*) AS n_docs FROM comp
-          GROUP BY cluster_id ORDER BY cluster_id"""
-    // dedup_minhash_pairs / dedup_simhash_pairs: engine-specific hashes —
-    // rows-only check; recall pinned by ScalaTest against dedup_ngram_jaccard.
+          GROUP BY cluster_id ORDER BY cluster_id""",
+
+    // Round-7 promotions: every remaining hash-based candidate generator is
+    // pure integer arithmetic (FNV-1a 64 + splitmix64 + band slicing), so
+    // the full pipelines replay in DuckDB via OracleSql's HUGEINT-mod-2^64
+    // fragments — bit-exact, not rows-only.
+
+    // SimHash banding: per-token FNV votes -> 64-bit simhash (same CTE
+    // chain as text_fingerprint), 4 bands of 16 bits via unsigned shifts
+    // (// 2^16b on the unsigned residue), ≤DfCap buckets, Hamming =
+    // bit_count(xor) over the signed representation, min over bands, ≤6.
+    "dedup_simhash_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS tok
+                      FROM documents),
+          th AS (SELECT doc_id, ${OracleSql.fnvSql("tok")} AS h FROM tk),
+          bits AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (h // CAST(2 ** b AS HUGEINT)) % 2 = 1
+                       THEN 1 ELSE -1 END) AS v
+            FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bs
+            GROUP BY doc_id, b),
+          sim AS (
+            SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(2 ** b AS HUGEINT)
+                               ELSE 0::HUGEINT END) AS sim_u
+            FROM bits GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, sim_u, band,
+                   (sim_u // CAST(2 ** (band * 16) AS HUGEINT)) % 65536 AS bkey
+            FROM sim, (SELECT unnest(range(0, 4)) AS band) bb),
+          grp AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+          cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sim_u AS sa, b.sim_u AS sb
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+            JOIN grp g ON g.band = a.band AND g.bkey = a.bkey
+            WHERE g.n BETWEEN 2 AND $DfCap),
+          ham AS (
+            SELECT doc_a, doc_b,
+                   MIN(bit_count(xor(${OracleSql.signedSql("sa")},
+                                     ${OracleSql.signedSql("sb")}))) AS hamming
+            FROM cand GROUP BY doc_a, doc_b)
+          SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+          FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""",
+
+    // Winnowing inverted index: same grams/window-minima/UNION-dedup CTE
+    // shape as text_fingerprint but at the candidate-generation knobs
+    // (k=$WinnowK, w=$WinnowW, signed MIN — single-sourced with the
+    // engine), postings ≤DfCap, shared fingerprints ≥ $WinnowMinShared.
+    "dedup_winnow_pairs" ->
+      s"""WITH grams AS (
+            SELECT doc_id, i,
+                   ${OracleSql.signedSql(OracleSql.fnvSql(
+                       s"substring(text, i, $WinnowK)"))} AS h,
+                   length(text) - ${WinnowK - 1} AS m
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1,
+                            length(text) - ${WinnowK - 1})) AS i) g
+            WHERE length(text) >= $WinnowK),
+          wmin AS (
+            SELECT doc_id, i, m,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND
+                                ${WinnowW - 1} FOLLOWING) AS wm
+            FROM grams),
+          picked AS (
+            SELECT doc_id, wm FROM wmin WHERE m <= $WinnowW AND i = 1
+            UNION
+            SELECT doc_id, wm FROM wmin
+            WHERE m > $WinnowW AND i + ${WinnowW - 1} <= m),
+          grp AS (SELECT wm, COUNT(*) AS n FROM picked GROUP BY wm),
+          cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM picked a
+            JOIN picked b ON a.wm = b.wm AND a.doc_id < b.doc_id
+            JOIN grp g ON g.wm = a.wm
+            WHERE g.n BETWEEN 2 AND $DfCap)
+          SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared_fp
+          FROM cand GROUP BY doc_a, doc_b
+          HAVING COUNT(*) >= $WinnowMinShared
+          ORDER BY doc_a, doc_b""",
+
+    // MinHash-LSH: 3-gram shingles (non-distinct — duplicates can't lower
+    // a min), 32 permutations via splitmix64(fnv + p*prime), SIGNED minima
+    // (the engine compares Longs), short docs get Long.MaxValue sigs, bands
+    // = the raw 4-long slices (list-equality join — the engine groups on
+    // the slice itself), ≤DfCap buckets, est = matching positions / 32.
+    "dedup_minhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts
+                       FROM documents),
+          gram AS (
+            SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+            FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) u),
+          gh AS (SELECT doc_id, ${OracleSql.fnvSql("g")} AS h FROM gram),
+          mx AS (${OracleSql.mix64ChainSql("doc_id, p",
+              s"h + p * ${graft.functions.TextHashImpl.Prime}::HUGEINT",
+              "gh, (SELECT unnest(range(0, 32)) AS p) ps", "mixed")}),
+          smin AS (SELECT doc_id, p, MIN(${OracleSql.signedSql("mixed")}) AS mv
+                   FROM mx GROUP BY doc_id, p),
+          sigs AS (
+            SELECT d.doc_id,
+                   LIST(COALESCE(s.mv, 9223372036854775807) ORDER BY pp.p)
+                     AS sig
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS p) pp
+            LEFT JOIN smin s ON s.doc_id = d.doc_id AND s.p = pp.p
+            GROUP BY d.doc_id),
+          bands AS (
+            SELECT doc_id, sig, band,
+                   list_slice(sig, band * 4 + 1, band * 4 + 4) AS bkey
+            FROM sigs, (SELECT unnest(range(0, 8)) AS band) bb),
+          grp AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+          cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sa, b.sig AS sb
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+            JOIN grp g ON g.band = a.band AND g.bkey = a.bkey
+            WHERE g.n BETWEEN 2 AND $DfCap),
+          est AS (
+            SELECT doc_a, doc_b,
+                   MAX(len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
+                       / 32.0) AS est_jaccard
+            FROM cand GROUP BY doc_a, doc_b)
+          SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard
+          FROM est WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+
+    // Content-defined chunking: the Gear boundary test uses only the low 5
+    // bits (mask = 2^5-1), and 2^k mod 32 = 0 for k >= 5, so the rolling
+    // hash mod 32 is a 5-term weighted LAG window over the per-byte gear
+    // values (gear = splitmix64(byte), mod 32 up front) — no sequential
+    // fold needed. Chunk = [prev boundary + 1, boundary]; chunk key = FNV
+    // of the substring; same ≤64-doc cap as the engine.
+    "dedup_cdc_chunks" ->
+      s"""WITH g32 AS (
+            SELECT b, gm % 32 AS g FROM (${OracleSql.mix64ChainSql("b",
+              "b::HUGEINT", "(SELECT unnest(range(0, 256)) AS b) gsrc",
+              "gm")}) gq),
+          chx AS (
+            SELECT doc_id, i, unicode(substring(text, i, 1)) AS c,
+                   length(text) AS n
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1, length(text)))
+                          AS i) u),
+          cg AS (SELECT chx.doc_id, chx.i, chx.n, g32.g
+                 FROM chx JOIN g32 ON g32.b = chx.c),
+          hb AS (
+            SELECT doc_id, i, n,
+                   (g + 2 * LAG(g, 1, 0) OVER w + 4 * LAG(g, 2, 0) OVER w
+                      + 8 * LAG(g, 3, 0) OVER w
+                      + 16 * LAG(g, 4, 0) OVER w) % 32 AS h5
+            FROM cg WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+          bnd AS (SELECT doc_id, i FROM hb WHERE h5 = 0 OR i = n),
+          chunks AS (
+            SELECT doc_id,
+                   COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+                     + 1 AS st,
+                   i AS en
+            FROM bnd),
+          chs AS (
+            SELECT c.doc_id,
+                   ${OracleSql.signedSql(OracleSql.fnvSql(
+                       "substring(text, st, en - st + 1)"))} AS ch
+            FROM chunks c JOIN documents USING (doc_id))
+          SELECT ch, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM chs GROUP BY ch
+          HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
+          ORDER BY ch"""
   )
 }

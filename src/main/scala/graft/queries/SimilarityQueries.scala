@@ -445,8 +445,55 @@ object SimilarityQueries {
          SELECT vec_id,
                 CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
                   AS bucket
-         FROM proj GROUP BY vec_id ORDER BY vec_id"""
-    // sim_knn_lsh: approximate-by-construction — rows-only check; recall
-    // pinned by ScalaTest SimilaritySpec.
+         FROM proj GROUP BY vec_id ORDER BY vec_id""",
+    // sim_knn_lsh: approximate vs TRUE kNN, but fully deterministic given
+    // the LSH planes — and those replay in SQL (same plane-weight formula
+    // as sim_lsh_buckets / dedup_embedding_near, p = t*6+j). Promoted from
+    // rows-only in round 7: the oracle is the brute-force scorer restricted
+    // to bucket-colliding candidates. Recall vs exact additionally pinned
+    // by SimilaritySpec.
+    "sim_knn_lsh" ->
+      s"""WITH d AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+          planes AS (SELECT t, j, t * 6 + j AS p
+                     FROM (SELECT unnest(range(0, 4)) AS t),
+                          (SELECT unnest(range(0, 6)) AS j)),
+          proj AS (
+            SELECT vec_id, t, j,
+                   SUM(x * CAST((p * 2654435761 + dim * 2246822519)
+                                % 251 % 7 - 3 AS DOUBLE)) AS s
+            FROM d CROSS JOIN planes GROUP BY vec_id, t, j),
+          bkt AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id, t),
+          cand AS (
+            SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+            FROM bkt q
+            JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+          n AS (
+            SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM d GROUP BY vec_id),
+          dots AS (
+            SELECT cand.qid, cand.nid, SUM(dq.x * dc.x) AS dot
+            FROM cand
+            JOIN d dq ON dq.vec_id = cand.qid
+            JOIN d dc ON dc.vec_id = cand.nid AND dc.dim = dq.dim
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT qid, nid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos
+            FROM dots
+            JOIN n nq ON nq.vec_id = qid
+            JOIN n nc ON nc.vec_id = nid),
+          ranked AS (
+            SELECT qid, nid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, nid) AS rank
+            FROM scored)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos
+          FROM ranked WHERE rank <= $TopK ORDER BY qid, rank"""
   )
 }

@@ -20,27 +20,10 @@ object TextQueries {
   private val stopFilter =
     s"filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of')"
 
-  // DuckDB replay of TextHashImpl.poly64 (FNV-1a 64): fold the characters
-  // through xor-then-multiply in HUGEINT, mod 2^64 each step. The prime is
-  // 40 bits, so h*prime < 2^104 never overflows HUGEINT. Constants are
-  // single-sourced from the engine's TextHashImpl. Character codes equal
-  // UTF-8 bytes only for ASCII text — the documents corpus is printable
-  // ASCII by construction (TESTDATA.md), which the gate re-verifies
-  // implicitly: any non-ASCII doc would hash-mismatch.
-  private val fnvOffsetU =
-    java.lang.Long.toUnsignedString(graft.functions.TextHashImpl.Offset)
-  private def fnvSql(e: String): String =
-    s"""list_reduce(
-        list_prepend($fnvOffsetU::HUGEINT,
-          [unicode(substring($e, fnv_i, 1))::HUGEINT
-           FOR fnv_i IN generate_series(1, length($e))]),
-        (fnv_h, fnv_c) -> (xor(fnv_h, fnv_c)
-           * ${graft.functions.TextHashImpl.Prime}::HUGEINT)
-           % 18446744073709551616::HUGEINT)"""
-  // Unsigned 2^64 residue -> the engine's signed BIGINT representation.
-  private def signedSql(u: String): String =
-    s"""CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT
-        THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)"""
+  // Hash replays (FNV-1a 64 in HUGEINT mod 2^64, signed wrap) live in the
+  // shared OracleSql object — DedupQueries' promoted hash oracles use the
+  // identical fragments.
+  import OracleSql.{fnvSql, signedSql}
 
   val queries: Map[String, Q] = Map(
     // Quality scoring: length / word / stopword-ratio features
