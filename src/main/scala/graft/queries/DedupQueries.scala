@@ -118,6 +118,32 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("cluster_id"))),
 
+    // Leak-proof train/val/test split: the split is a deterministic
+    // function of the near-dup CLUSTER id, not the doc id — a document and
+    // every one of its near-duplicates land in the SAME split by
+    // construction, so an eval set can never be contaminated by a training
+    // near-copy (the dedup-aware split a training pipeline needs; doc-level
+    // hashing leaks because near-dups hash independently). Docs in no pair
+    // are their own singleton cluster. bucket = first two hex digits of
+    // md5("split:" + cluster_id) → 0..255; <204 train (~80%), <230 val
+    // (~10%), else test — no RNG, replays bit-exactly in the oracle.
+    "dedup_split_leakproof" -> ((s, dir) => {
+      val comp = ConnectedComponents
+        .run(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")),
+          "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component").as("cid"))
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 2),
+        16, 10).cast("int")
+      load(s, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+        .withColumn("split", when(bucket < 204, "train")
+          .when(bucket < 230, "val").otherwise("test"))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Content-defined chunking dedup (Gear rolling hash, FastCDC family):
     // variable-size chunks keyed by content, so shared passages align
     // across documents regardless of offset shifts (which fixed windows
@@ -558,6 +584,22 @@ object DedupQueries {
       s"""$duckClusterCtes
           SELECT cluster_id, COUNT(*) AS n_docs FROM comp
           GROUP BY cluster_id ORDER BY cluster_id""",
+    "dedup_split_leakproof" ->
+      s"""$duckClusterCtes,
+          assign AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+          b AS (
+            SELECT doc_id, cluster_id,
+                   CAST(('0x' || substr(
+                     md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2))
+                     AS INTEGER) AS bucket
+            FROM assign)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN bucket < 204 THEN 'train'
+                      WHEN bucket < 230 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b ORDER BY doc_id""",
 
     // Round-7 promotions: every remaining hash-based candidate generator is
     // pure integer arithmetic (FNV-1a 64 + splitmix64 + band slicing), so

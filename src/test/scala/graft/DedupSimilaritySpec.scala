@@ -36,6 +36,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.7, s"recall $recall; missed ${exact.diff(cand)}")
   }
 
+  test("leak-proof split: near-dup clusters never straddle splits, " +
+      "every doc assigned exactly once, proportions near 80/10/10") {
+    val out = DedupQueries.queries("dedup_split_leakproof")(spark, dir)
+    val rows = out.collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs, "one split row per document")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // The leakage guard: a cluster maps to exactly ONE split — so a
+    // training near-copy of an eval doc is impossible by construction.
+    val perCluster = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n")).agg(max("n")).head.getLong(0)
+    assert(perCluster == 1L, "a near-dup cluster straddled splits")
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(
+      _.length.toDouble / rows.length).toMap
+    assert(frac("train") > 0.70 && frac("train") < 0.90, s"train=$frac")
+    assert(frac("val") > 0.04 && frac("test") > 0.04, s"holdout=$frac")
+  }
+
   private def knnPairs(name: String) =
     SimilarityQueries.queries(name)(spark, dir)
       .select("qid", "nid").collect()

@@ -59,8 +59,9 @@ for t, ids in ID_COLS.items():
                 col = pc.binary_join_element_wise(
                     col, pa.scalar(f"r{i}"), " ")
             elif t == "documents" and name == "n_chars" and i > 0:
-                # keep the n_chars == length(text) invariant after the suffix
-                col = pc.add(col, pa.scalar(3, type=col.type))
+                # keep the n_chars == length(text) invariant after the
+                # suffix (" r{i}" — length varies once i reaches 10)
+                col = pc.add(col, pa.scalar(len(f"r{i}") + 1, type=col.type))
             elif t == "embeddings" and name == "embedding" and i > 0:
                 flat = col.combine_chunks()
                 vals = pc.list_flatten(flat).to_numpy(zero_copy_only=False)
