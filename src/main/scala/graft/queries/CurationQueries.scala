@@ -51,16 +51,24 @@ object CurationQueries {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"))
       .select(col("keep_id"))
-    // contaminated = shares >= 2 distinct 4-grams with some eval doc
+    // contaminated = shares >= 2 distinct 4-grams with some eval doc.
+    // Grams are deduplicated PER DOC inside the row (array_distinct before
+    // the explode — codegen, zero shuffle), so every joined
+    // (doc, eval_doc, gram) is unique by construction and the shared-gram
+    // count is a plain COUNT with map-side partial aggregation. The
+    // countDistinct form this replaces shuffled the full joined gram
+    // STREAM on a 3-key string tuple — measured 311 s of this query's
+    // 364 s at sf10 (100×), the repo's one super-linear stage; this form
+    // ships only partial (doc, eval_doc, count) rows.
     val evalGrams = evalDocs
-      .select(explode(expr(s"word_ngrams($toks, 4)")).as("gram"),
-        col("doc_id").as("eval_doc_id")).distinct()
+      .select(explode(expr(s"array_distinct(word_ngrams($toks, 4))"))
+        .as("gram"), col("doc_id").as("eval_doc_id"))
     val contaminated = corpus
       .select(col("doc_id"),
-        explode(expr(s"word_ngrams($toks, 4)")).as("gram"))
+        explode(expr(s"array_distinct(word_ngrams($toks, 4))")).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col("doc_id"), col("eval_doc_id"))
-      .agg(countDistinct(col("gram")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .select(col("doc_id")).distinct()
     val mixKeep = substring(md5(col("text")), 1, 1) <
@@ -132,20 +140,24 @@ object CurationQueries {
     // docs). The eval gram index is broadcast (eval sets are tiny
     // relative to the corpus) — the corpus side never shuffles its grams.
     "decontam_overlap" -> ((s, dir) => {
+      // Grams dedup per doc INSIDE the row (array_distinct pre-explode —
+      // codegen, zero shuffle), mirroring the oracle's DISTINCT(doc, gram)
+      // side. Joined (doc, eval_doc, gram) rows are then unique by
+      // construction, so the shared-gram count is a plain COUNT with
+      // map-side partial aggregation — the countDistinct form it replaces
+      // re-shuffled the whole joined gram stream on a 3-key string tuple
+      // (the sibling curation_survivors measured that at 311 s of 364 s
+      // at 100× data).
       def grams(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
-          explode(expr(s"word_ngrams($toks, 4)")).as("gram"))
+          explode(expr(s"array_distinct(word_ngrams($toks, 4))")).as("gram"))
       val docs = load(s, dir, "documents")
-      // eval side is tiny: distinct + broadcast. Corpus grams stream past
-      // the broadcast join UN-deduplicated — the semi-join shrinks them to
-      // only contaminated grams, so the dedup (countDistinct) happens on
-      // the small surviving set, never as a corpus-wide gram shuffle.
       val evalGrams = grams(docs.filter(col("doc_id") % 37 === 0))
-        .distinct().withColumnRenamed("doc_id", "eval_doc_id")
+        .withColumnRenamed("doc_id", "eval_doc_id")
       grams(docs.filter(col("doc_id") % 37 =!= 0))
         .join(broadcast(evalGrams), "gram")
         .groupBy(col("doc_id"), col("eval_doc_id"))
-        .agg(countDistinct(col("gram")).as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
         .select(col("doc_id"), col("eval_doc_id"),
           col("n_shared").cast("bigint").as("n_shared"))
         .orderBy(col("doc_id"), col("eval_doc_id"))
