@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig",
         "minhash_sig(array<string>, k) - k-permutation MinHash signature"),
       (es: Seq[Expression]) => TextHashes.minHashSigBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("token_mode"),
+      info("token_mode",
+        "token_mode(tokens) - struct(top_word, top_cnt): dominant token, " +
+          "smallest-lexicographic tie-break"),
+      (es: Seq[Expression]) => TokenMode(es.head)))
     ext.injectFunction((FunctionIdentifier("sig_match"),
       info("sig_match",
         "sig_match(sig_a, sig_b) - matching-position count of signatures"),

@@ -301,6 +301,45 @@ object TextHashImpl {
     new GenericArrayData(out)
   }
 
+  /** Dominant token of a token array: (token, count) of the most frequent
+    * element, ties broken by the lexicographically smallest token — the
+    * in-row kernel that lets per-doc repetition stats run WITHOUT shuffling
+    * the tokenized corpus (the groupBy(doc, token) form exchanges one row
+    * per token instance; this form exchanges nothing). Sort-then-scan over
+    * the ≤doc-length array; null elements are skipped (split() never emits
+    * them). Returns null for an empty/all-null array.
+    */
+  def tokenMode(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    var m = 0
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) { arr(m) = tokens.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return null
+    java.util.Arrays.sort(arr, 0, m,
+      new java.util.Comparator[UTF8String] {
+        def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+      })
+    // Scanning in sorted order with strictly-greater replacement keeps the
+    // lexicographically smallest token among equal-count candidates.
+    var best = arr(0); var bestCnt = 1L
+    var cur = arr(0); var curCnt = 1L
+    i = 1
+    while (i < m) {
+      if (arr(i).equals(cur)) curCnt += 1L
+      else {
+        if (curCnt > bestCnt) { best = cur; bestCnt = curCnt }
+        cur = arr(i); curCnt = 1L
+      }
+      i += 1
+    }
+    if (curCnt > bestCnt) { best = cur; bestCnt = curCnt }
+    InternalRow(best, bestCnt)
+  }
+
   def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = tokens.numElements()
@@ -472,6 +511,30 @@ case class CdcChunks(child: Expression, maskBits: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextHashImpl.cdcChunks($c, ${mask}L)")
   override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
+/** token_mode(tokens): struct(top_word, top_cnt) — dominant token with
+  * smallest-lexicographic tie-break. The zero-shuffle backbone of per-doc
+  * repetition stats (see TextHashImpl.tokenMode).
+  */
+case class TokenMode(child: Expression) extends UnaryExpression
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_word", StringType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.tokenMode(v.asInstanceOf[ArrayData])
+  // Not defineCodeGen: the result is null for an empty array, which
+  // defineCodeGen's non-null contract cannot express.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHashImpl.tokenMode($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(c: Expression): TokenMode =
     copy(child = c)
 }
 
@@ -665,6 +728,8 @@ object TextHashes {
       minHashNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("word_ngrams",
       wordNgramsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("token_mode",
+      es => TokenMode(es.head), "built-in")
     reg.createOrReplaceTempFunction("char_windows",
       charWindowsBuilder, "built-in")
     reg.createOrReplaceTempFunction("cdc_chunks",

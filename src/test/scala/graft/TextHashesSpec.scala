@@ -27,6 +27,52 @@ class TextHashesSpec extends SparkSuite {
       Seq(0xcbf29ce484222325L, 0xaf63dc4c8601ec8cL, 0x85944171f73967e8L))
   }
 
+  test("token_mode: dominant token, smallest-lexicographic tie-break, " +
+      "null/empty contract") {
+    import org.apache.spark.sql.Row
+    val out = Seq(
+      ("b b a b", 1), ("b b a a", 2), ("x", 3))
+      .toDF("t", "id")
+      .select(col("id"), expr("token_mode(split(t, ' '))").as("m"))
+      .orderBy("id").collect()
+    assert(out(0).getStruct(1) == Row("b", 3L))
+    assert(out(1).getStruct(1) == Row("a", 2L), "tie goes lexicographic")
+    assert(out(2).getStruct(1) == Row("x", 1L))
+    val empty = Seq(Tuple1(Array.empty[String])).toDF("a")
+      .select(expr("token_mode(a)")).collect()
+    assert(empty(0).isNullAt(0), "empty array -> null struct")
+  }
+
+  test("text_repetition (zero-shuffle form) matches the groupBy " +
+      "formulation exactly") {
+    val dir = sf("sf0.001")
+    import org.apache.spark.sql.expressions.Window
+    val wc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = wc.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_words"), count(lit(1)).as("n_distinct"))
+    val rk = row_number().over(Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("token")))
+    val top = wc.withColumn("rk", rk).filter(col("rk") === 1)
+      .select(col("doc_id"), col("token").as("top_word"),
+        col("cnt").as("top_cnt"))
+    val oldForm = perDoc.join(top, "doc_id")
+      .select(col("doc_id"),
+        col("n_words").cast("bigint").as("n_words"),
+        col("n_distinct").cast("bigint").as("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_words")).as("ttr"),
+        col("top_word"), col("top_cnt").cast("bigint").as("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_words"))
+          .as("top_word_frac"))
+      .orderBy(col("doc_id")).collect()
+    val newForm = graft.queries.CurationQueries
+      .queries("text_repetition")(spark, dir).collect()
+    assert(newForm.length == oldForm.length && newForm.length > 0)
+    assert(newForm.toSeq == oldForm.toSeq)
+  }
+
   test("winnow: deterministic, robust to a local edit") {
     val base = "the quick brown fox jumps over the lazy dog " * 4
     val edited = base.replace("lazy", "hazy")
