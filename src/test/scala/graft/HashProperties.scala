@@ -40,6 +40,27 @@ object HashProperties extends Properties("graft.hashes") {
     Gen.chooseNum(1, 60).flatMap(n =>
       Gen.listOfN(n, Gen.identifier).map(_.toSet))
 
+  private val repeatyTokens: Gen[List[String]] =
+    Gen.chooseNum(0, 80).flatMap(n =>
+      // small alphabet so repeats (and count ties) actually occur
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "ba", "z")))
+
+  property("token_mode matches the naive groupBy-max with " +
+      "lexicographic tie-break") =
+    forAll(repeatyTokens) { ts =>
+      val got = TextHashImpl.tokenMode(
+        new GenericArrayData(ts.map(utf8).toArray[Any]))
+      if (ts.isEmpty) got == null
+      else {
+        val counts = ts.groupBy(identity).view.mapValues(_.size.toLong)
+        val bestCnt = counts.values.max
+        val bestTok = counts.collect {
+          case (t, c) if c == bestCnt => t
+        }.min // smallest lexicographic among maximal counts
+        got.getUTF8String(0).toString == bestTok && got.getLong(1) == bestCnt
+      }
+    }
+
   property("minhash similarity estimate tracks true Jaccard within 0.25") =
     forAll(tokenSet, tokenSet) { (a, b) =>
       def sig(ts: Set[String]) = TextHashImpl.minhashSig(
