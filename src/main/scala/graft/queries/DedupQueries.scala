@@ -53,6 +53,12 @@ object DedupQueries {
   private val SemCosMin = "0.30"
   private val EmbCosMin = "0.45"
   private val JaccardMin = 0.5
+  // Containment threshold (Broder's asymmetric twin of Jaccard): the
+  // fraction of the SMALLER doc's shingles shared with the other doc.
+  // 0.8 means "4/5 of the shorter document appears verbatim in the
+  // longer" — a subset-duplicate signal Jaccard misses when the union is
+  // dominated by the longer side.
+  private val ContainMin = 0.8
 
   // Winnowing near-dup knobs, shared by the Spark query AND its oracle.
   // k=24 (not the per-doc-stats default 8): an 8-char window minimum is a
@@ -94,6 +100,22 @@ object DedupQueries {
     // second wide shuffle of the exploded table.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Containment near-dup pairs: |A∩B| / min(|A|,|B|) — Broder's
+    // asymmetric twin of resemblance/Jaccard. Catches SUBSET duplicates:
+    // a short doc embedded verbatim in a longer one has containment ≈ 1
+    // while its Jaccard can sit far below any dedup threshold because the
+    // union is dominated by the longer side (the quote/boilerplate shape
+    // exact and Jaccard dedup both miss). Same df-capped inverted index
+    // and single pair aggregation as dedup_ngram_jaccard — only the final
+    // scalar differs, so the 100 TB story is identical.
+    "dedup_containment_pairs" -> ((s, dir) =>
+      pairStats(s, dir)
+        .withColumn("containment",
+          col("inter").cast("double") / least(col("na"), col("nb")))
+        .filter(col("containment") >= ContainMin)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Near-dup CLUSTERS: transitive closure of the Jaccard pairs via
     // distributed connected components (large-star/small-star,
@@ -371,7 +393,13 @@ object DedupQueries {
     * equality on any realistic shingle vocabulary; count-equivalence
     * pinned by TextHashesSpec).
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared candidate-pair statistics for the set-overlap metrics:
+    * (doc_a, doc_b, inter, na, nb) over the df-capped shingle inverted
+    * index. Both the Jaccard and containment queries are a single scalar
+    * away from this frame, so they share one index/aggregation shape (and
+    * one scale argument).
+    */
+  private def pairStats(s: SparkSession, dir: String): DataFrame = {
     val ex = load(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr(s"shingle_hashes($toks, 3)")).as("s"))
@@ -392,11 +420,14 @@ object DedupQueries {
     pairs
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
+  }
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= JaccardMin)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-  }
 
   private val duckShingles =
     """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -516,6 +547,24 @@ object DedupQueries {
           JOIN sizes na ON na.doc_id = doc_a
           JOIN sizes nb ON nb.doc_id = doc_b
           WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= $JaccardMin
+          ORDER BY doc_a, doc_b""",
+    "dedup_containment_pairs" ->
+      s"""WITH ex AS (
+            SELECT doc_id, unnest($duckShingles) AS s FROM documents),
+          rare AS (
+            SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $DfCap),
+          e2 AS (SELECT ex.* FROM ex JOIN rare USING (s)),
+          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM e2 GROUP BY doc_id),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, inter,
+                 CAST(inter AS DOUBLE) / LEAST(na.nsh, nb.nsh) AS containment
+          FROM p
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE CAST(inter AS DOUBLE) / LEAST(na.nsh, nb.nsh) >= $ContainMin
           ORDER BY doc_a, doc_b""",
     // Semantic dedup: the full engine dataflow replayed in SQL — LSH
     // buckets (same plane weights as sim_lsh_buckets), label+bucket

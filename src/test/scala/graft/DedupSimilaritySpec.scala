@@ -36,6 +36,41 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.7, s"recall $recall; missed ${exact.diff(cand)}")
   }
 
+  test("containment finds subset-duplicates Jaccard misses (and agrees " +
+      "with Jaccard on the symmetric pairs)") {
+    // The gated corpus has no asymmetric near-dups (containment set ==
+    // jaccard set there — both 25 pairs at sf0.01), so the distinguishing
+    // semantics are pinned on a constructed fixture: a short doc embedded
+    // verbatim in a much longer one.
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    val passage =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val near1 = "one two three four five six seven eight nine ten"
+    val near2 = "one two three four five six seven eight nine zzz"
+    val rows = Seq(
+      (1L, s"$filler $passage", "en", "src0"),
+      (2L, passage, "en", "src0"),
+      (3L, near1, "en", "src0"),
+      (4L, near2, "en", "src0"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    val cont = DedupQueries.queries("dedup_containment_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacc = DedupQueries.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Subset-dup: every shingle of doc 2 occurs in doc 1, so containment
+    // is 1.0 — but the union is dominated by doc 1's filler, so Jaccard
+    // sits at ~8/67 and the pair is invisible to the Jaccard query.
+    assert(cont.contains((1L, 2L)), s"containment missed the subset dup: $cont")
+    assert(!jacc.contains((1L, 2L)), s"jaccard should miss the subset dup: $jacc")
+    // Symmetric near-dup (9/10 tokens shared): both metrics agree.
+    assert(cont.contains((3L, 4L)) && jacc.contains((3L, 4L)))
+  }
+
   test("leak-proof split: near-dup clusters never straddle splits, " +
       "every doc assigned exactly once, proportions near 80/10/10") {
     val out = DedupQueries.queries("dedup_split_leakproof")(spark, dir)

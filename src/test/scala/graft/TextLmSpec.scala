@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+/** Hand-computed pin for text_lm_score (the oracle gate checks engine↔DuckDB
+  * parity; this fixes the SEMANTICS against closed-form values, so both
+  * engines agreeing on the wrong formula cannot slip through).
+  */
+class TextLmSpec extends SparkSuite {
+
+  test("unigram + add-one bigram log-probs match closed-form values on a " +
+      "tiny corpus, and the common-token doc outscores the rare-token doc") {
+    // Corpus: doc 1 = "x x x x", doc 2 = "x y".
+    // Unigrams: x×5, y×1 → n=6 tokens, vocab v=2.
+    // Bigrams:  (x,x)×3 from doc 1, (x,y)×1 from doc 2.
+    val dir = java.nio.file.Files.createTempDirectory("lmscore").toString
+    import spark.implicits._
+    Seq((1L, "x x x x", "en", "src0"), (2L, "x y", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = TextQueries.queries("text_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 1: 4 tokens, each p = 5/6; bigrams (x,x): p = (3+1)/(5+2).
+    assert(out(1L)._1 == 4L)
+    assert(out(1L)._2 == r6(math.log(5.0 / 6)), s"uni doc1 ${out(1L)._2}")
+    assert(out(1L)._3 == r6(math.log(4.0 / 7)), s"bi doc1 ${out(1L)._3}")
+    // doc 2: avg of ln(5/6), ln(1/6); one bigram (x,y): (1+1)/(5+2).
+    assert(out(2L)._1 == 2L)
+    assert(out(2L)._2 == r6((math.log(5.0 / 6) + math.log(1.0 / 6)) / 2))
+    assert(out(2L)._3 == r6(math.log(2.0 / 7)))
+    // The quality-filter direction: common-token text scores higher.
+    assert(out(1L)._2 > out(2L)._2 && out(1L)._3 > out(2L)._3)
+  }
+}
