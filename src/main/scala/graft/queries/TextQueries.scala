@@ -59,33 +59,30 @@ object TextQueries {
     // count-table joins — the count tables grow with VOCABULARY (Heaps'
     // law), not corpus size, and AQE picks broadcast vs shuffle join as
     // that size dictates; no join is forced broadcast here.
-    "text_lm_score" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
-      val tk = docs.select(col("doc_id"), explode(expr(toks)).as("tok"))
-      val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-      val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
-      // bigram stream: zip each token with its successor (empty for
-      // single-token docs — slice(…, 1, 0) is [])
-      val bg = docs.select(col("doc_id"), explode(expr(
-        s"""zip_with(slice($toks, 1, size($toks) - 1),
-                     slice($toks, 2, size($toks) - 1),
-                     (a, b) -> named_struct('t1', a, 't2', b))""")).as("b"))
-        .select(col("doc_id"), col("b.t1"), col("b.t2"))
-      val bic = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
-      val uniScore = tk.join(uni, "tok").crossJoin(broadcast(tot))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(log(col("c1").cast("double") / col("n"))), 6)
-            .as("uni_logprob"))
-      val biScore = bg.join(bic, Seq("t1", "t2"))
-        .join(uni.select(col("tok").as("t1"), col("c1")), "t1")
-        .crossJoin(broadcast(tot.select(col("v"))))
-        .groupBy(col("doc_id"))
-        .agg(round(avg(log((col("c12") + lit(1)).cast("double") /
-          (col("c1") + col("v")))), 6).as("bi_logprob"))
-      uniScore.join(biScore, Seq("doc_id"), "left")
+    "text_lm_score" -> ((s, dir) =>
+      lmScores(s, dir)
         .select(col("doc_id"), col("n_tokens"),
           col("uni_logprob"), col("bi_logprob"))
+        .orderBy(col("doc_id"))),
+
+    // CCNet-style perplexity bucketing: rank every document by its LM
+    // score WITHIN its language and split into head/middle/tail terciles
+    // (CCNet trains a per-language LM and keeps the head/middle buckets;
+    // public technique). Ranking key is the unigram log-prob (never null,
+    // unlike the bigram score on 1-token docs) with doc_id as the
+    // deterministic tie-break. Scale: the LM scoring plan plus one window
+    // partitioned BY LANGUAGE — bounded partitions (languages), each
+    // sorted locally; no global sort.
+    "curation_lm_buckets" -> ((s, dir) => {
+      val lang = load(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("uni_logprob").desc, col("doc_id"))
+      lmScores(s, dir).join(lang, "doc_id")
+        .withColumn("tercile", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("uni_logprob"),
+          element_at(lit(Array("head", "middle", "tail")),
+            col("tercile")).as("bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -206,36 +203,55 @@ object TextQueries {
     })
   )
 
+  // LM CTE chain shared by the score and bucket oracles (single-sourced so
+  // the two gates can never drift apart).
+  private val lmCtes =
+    """tk AS (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS tok
+              FROM documents),
+       uni AS (SELECT tok, COUNT(*) AS c1 FROM tk GROUP BY tok),
+       tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v
+               FROM uni),
+       u AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                    ROUND(AVG(LN(CAST(c1 AS DOUBLE) / n)), 6)
+                      AS uni_logprob
+             FROM tk JOIN uni USING (tok) CROSS JOIN tot
+             GROUP BY doc_id),
+       bg AS (SELECT doc_id, t[i] AS t1, t[i + 1] AS t2
+              FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+                    FROM documents),
+                   UNNEST(RANGE(1, LEN(t))) AS r(i)),
+       bic AS (SELECT t1, t2, COUNT(*) AS c12 FROM bg GROUP BY t1, t2),
+       b AS (SELECT doc_id,
+                    ROUND(AVG(LN(CAST(c12 + 1 AS DOUBLE) / (c1 + v))), 6)
+                      AS bi_logprob
+             FROM bg JOIN bic USING (t1, t2)
+                     JOIN uni ON uni.tok = bg.t1
+                     CROSS JOIN tot
+             GROUP BY doc_id)"""
+
   val oracle: Map[String, String] = Map(
     // Same LM replay: unigram counts + add-one-smoothed bigram counts are
     // exact integers; AVG(LN(...)) carries the usual 6dp float-rounding
     // caveat (accumulation order unpinned in both engines — see the
     // DedupQueries embedding-oracle note).
     "text_lm_score" ->
-      """WITH tk AS (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS tok
-                     FROM documents),
-         uni AS (SELECT tok, COUNT(*) AS c1 FROM tk GROUP BY tok),
-         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v
-                 FROM uni),
-         u AS (SELECT doc_id, COUNT(*) AS n_tokens,
-                      ROUND(AVG(LN(CAST(c1 AS DOUBLE) / n)), 6)
-                        AS uni_logprob
-               FROM tk JOIN uni USING (tok) CROSS JOIN tot
-               GROUP BY doc_id),
-         bg AS (SELECT doc_id, t[i] AS t1, t[i + 1] AS t2
-                FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
-                      FROM documents),
-                     UNNEST(RANGE(1, LEN(t))) AS r(i)),
-         bic AS (SELECT t1, t2, COUNT(*) AS c12 FROM bg GROUP BY t1, t2),
-         b AS (SELECT doc_id,
-                      ROUND(AVG(LN(CAST(c12 + 1 AS DOUBLE) / (c1 + v))), 6)
-                        AS bi_logprob
-               FROM bg JOIN bic USING (t1, t2)
-                       JOIN uni ON uni.tok = bg.t1
-                       CROSS JOIN tot
-               GROUP BY doc_id)
+      s"""WITH $lmCtes
          SELECT doc_id, n_tokens, uni_logprob, bi_logprob
          FROM u LEFT JOIN b USING (doc_id) ORDER BY doc_id""",
+    // Same ranking key and doc_id tie-break as the engine's window, so the
+    // tercile assignment is deterministic in both engines even when two
+    // docs share a rounded score.
+    "curation_lm_buckets" ->
+      s"""WITH $lmCtes,
+         ranked AS (
+           SELECT u.doc_id, d.lang, u.uni_logprob,
+                  NTILE(3) OVER (PARTITION BY d.lang
+                                 ORDER BY u.uni_logprob DESC, u.doc_id)
+                    AS tercile
+           FROM u JOIN documents d ON d.doc_id = u.doc_id)
+         SELECT doc_id, lang, uni_logprob,
+                (['head', 'middle', 'tail'])[tercile] AS bucket
+         FROM ranked ORDER BY doc_id""",
     "text_quality" ->
       """SELECT doc_id,
                 CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
@@ -376,4 +392,37 @@ object TextQueries {
       SELECT source, lang, ${signedSql("u")} AS corpus_simhash, n_docs
       FROM sim JOIN nd USING (source, lang) ORDER BY source, lang"""
   )
+
+  /** Corpus-trained LM scores per document: (doc_id, n_tokens, uni_logprob,
+    * bi_logprob), unordered. Unigram MLE + add-one-smoothed bigram; exact
+    * integer counts, floats only in the final LN/AVG (6dp both engines).
+    * Shared by text_lm_score and curation_lm_buckets.
+    */
+  private def lmScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tk = docs.select(col("doc_id"), explode(expr(toks)).as("tok"))
+    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    // bigram stream: zip each token with its successor (empty for
+    // single-token docs — slice(…, 1, 0) is [])
+    val bg = docs.select(col("doc_id"), explode(expr(
+      s"""zip_with(slice($toks, 1, size($toks) - 1),
+                   slice($toks, 2, size($toks) - 1),
+                   (a, b) -> named_struct('t1', a, 't2', b))""")).as("b"))
+      .select(col("doc_id"), col("b.t1"), col("b.t2"))
+    val bic = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+    val uniScore = tk.join(uni, "tok").crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c1").cast("double") / col("n"))), 6)
+          .as("uni_logprob"))
+    val biScore = bg.join(bic, Seq("t1", "t2"))
+      .join(uni.select(col("tok").as("t1"), col("c1")), "t1")
+      .crossJoin(broadcast(tot.select(col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log((col("c12") + lit(1)).cast("double") /
+        (col("c1") + col("v")))), 6).as("bi_logprob"))
+    uniScore.join(biScore, Seq("doc_id"), "left")
+  }
 }

@@ -36,5 +36,12 @@ class TextLmSpec extends SparkSuite {
     assert(out(2L)._3 == r6(math.log(2.0 / 7)))
     // The quality-filter direction: common-token text scores higher.
     assert(out(1L)._2 > out(2L)._2 && out(1L)._3 > out(2L)._3)
+
+    // CCNet-style bucketing ranks by that same score within language:
+    // the fluent doc lands in an earlier tercile than the rare-token doc.
+    val buckets = TextQueries.queries("curation_lm_buckets")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(buckets(1L) == "head", s"buckets: $buckets")
+    assert(buckets(2L) == "middle", s"buckets: $buckets")
   }
 }
