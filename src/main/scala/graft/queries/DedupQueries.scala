@@ -59,6 +59,12 @@ object DedupQueries {
   // longer" — a subset-duplicate signal Jaccard misses when the union is
   // dominated by the longer side.
   private val ContainMin = 0.8
+  // Repeated-span detection: span length in tokens (Lee et al. use ~50
+  // BPE tokens; 8 words is the equivalent scale for the short synthetic
+  // docs) and the positional encoding base (pos < 1e6 — a 1M-token doc
+  // bound, asserted nowhere because the slice index can't exceed the doc's
+  // token count, which parquet caps far below that here).
+  private val SpanLen = 8
 
   // Winnowing near-dup knobs, shared by the Spark query AND its oracle.
   // k=24 (not the per-doc-stats default 8): an 8-char window minimum is a
@@ -116,6 +122,38 @@ object DedupQueries {
         .filter(col("containment") >= ContainMin)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("containment"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Repeated-span detection: the exact-substring dedup signal (public
+    // technique: Lee et al. 2022 dedupe verbatim spans repeated anywhere
+    // in the corpus via a suffix array; the distributed analog indexes
+    // fixed-length token spans WITH their positions). Every 8-token span
+    // occurring in ≥2 documents is reported with its occurrence count and
+    // first location — the spans a substring-level deduper would cut.
+    // Scale: one exchange keyed by the span text (partial counts map-side);
+    // the top-k is TakeOrderedAndProject (per-partition heap + driver
+    // merge of k rows), never a global sort. First-location is an integer
+    // min over doc_id*1e6+pos — a single agg, no second pass.
+    "dedup_span_detect" -> ((s, dir) =>
+      load(s, dir, "documents")
+        // docs shorter than the span have no spans — and must be dropped
+        // BEFORE the sequence(), whose (1, n<=0) form would descend
+        .filter(expr(s"size($toks) >= $SpanLen"))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size($toks) - $SpanLen + 1),
+                        i -> struct(i as pos,
+                          array_join(slice($toks, i, $SpanLen), ' ') as gram))"""))
+          .as("g"))
+        .select(col("doc_id"), col("g.pos"), col("g.gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_occ"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id") * lit(1000000L) + col("pos")).as("enc"))
+        .filter(col("n_docs") >= 2)
+        .select(col("gram"), col("n_occ"), col("n_docs"),
+          expr("enc div 1000000").as("first_doc"),
+          (col("enc") % 1000000L).as("first_pos"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+        .limit(100)),
 
     // Near-dup CLUSTERS: transitive closure of the Jaccard pairs via
     // distributed connected components (large-star/small-star,
@@ -566,6 +604,23 @@ object DedupQueries {
           JOIN sizes nb ON nb.doc_id = doc_b
           WHERE CAST(inter AS DOUBLE) / LEAST(na.nsh, nb.nsh) >= $ContainMin
           ORDER BY doc_a, doc_b""",
+    "dedup_span_detect" ->
+      s"""WITH g AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[i:i + $SpanLen - 1], ' ') AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+                 UNNEST(RANGE(1, GREATEST(LEN(t) - $SpanLen + 1, 0) + 1))
+                   AS r(i)),
+          agg AS (
+            SELECT gram, COUNT(*) AS n_occ,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   MIN(doc_id * 1000000 + pos) AS enc
+            FROM g GROUP BY gram)
+          SELECT gram, n_occ, n_docs,
+                 enc // 1000000 AS first_doc, enc % 1000000 AS first_pos
+          FROM agg WHERE n_docs >= 2
+          ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100""",
     // Semantic dedup: the full engine dataflow replayed in SQL — LSH
     // buckets (same plane weights as sim_lsh_buckets), label+bucket
     // candidates with the 200 cap, exact 6dp cosine gate, recursive-CTE

@@ -71,6 +71,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(cont.contains((3L, 4L)) && jacc.contains((3L, 4L)))
   }
 
+  test("span detection finds the repeated 8-token span with its first " +
+      "position, and short docs are span-free (not a crash)") {
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val rows = Seq(
+      (1L, s"pre1 pre2 $span post1", "en", "src0"),   // span at pos 3
+      (2L, s"$span tail1 tail2 tail3", "en", "src0"), // span at pos 1
+      (3L, "too short for spans", "en", "src0"))      // 4 tokens: no spans
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = DedupQueries.queries("dedup_span_detect")(spark, dir).collect()
+    // Only the shared span repeats across >=2 docs on this fixture.
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getString(0) == span)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L) // n_occ, n_docs
+    assert(r.getLong(3) == 1L && r.getLong(4) == 3L) // first_doc, first_pos
+  }
+
   test("leak-proof split: near-dup clusters never straddle splits, " +
       "every doc assigned exactly once, proportions near 80/10/10") {
     val out = DedupQueries.queries("dedup_split_leakproof")(spark, dir)
