@@ -25,6 +25,33 @@ object TextQueries {
   // identical fragments.
   import OracleSql.{fnvSql, signedSql}
 
+  // PII patterns (public C4/Dolma-style scrub shapes), restricted to the
+  // Java∩RE2 regex dialect both engines implement identically. Canonical
+  // single-backslash form — used verbatim by the Column API and DuckDB
+  // (whose quoted literals are raw), doubled via sqlEsc for Spark SQL
+  // literals (which process backslash escapes).
+  private[graft] val PiiEmail =
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  // No '.' in the phone class: dotted digit runs are IPv4s (and version
+  // strings), and letting the phone pass eat them would double-count every
+  // IP and mis-attribute the mask.
+  private[graft] val PiiPhone = """\+?[0-9][0-9() -]{7,}[0-9]"""
+  private[graft] val PiiIpv4 =
+    """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  private def sqlEsc(re: String): String = re.replace("\\", "\\\\")
+
+  /** Masks email → phone → IPv4 (fixed order — the phone pattern would
+    * otherwise match digit runs inside a longer not-yet-masked hit) with
+    * `<PII>`. Shared by the gate query and the fixture spec.
+    */
+  private[graft] def piiScrub(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(PiiEmail), lit("<PII>")),
+        lit(PiiPhone), lit("<PII>")),
+      lit(PiiIpv4), lit("<PII>"))
+
   val queries: Map[String, Q] = Map(
     // Quality scoring: length / word / stopword-ratio features
     "text_quality" -> ((s, dir) =>
@@ -85,6 +112,27 @@ object TextQueries {
             col("tercile")).as("bucket"))
         .orderBy(col("doc_id"))
     }),
+
+    // PII scrub (the C4/Dolma-style masking pass a public-web corpus runs
+    // before training): count and mask email / phone / IPv4 patterns per
+    // document. The gated synthetic corpus is digit-free, so every count
+    // is 0 and clean_len == n_chars there (the oracle still replays the
+    // full regex pipeline bit-exactly); the masking semantics themselves
+    // are pinned on a constructed fixture (TextLmSpec-style) in
+    // TextPiiSpec. Patterns stay in the Java∩RE2 common dialect so Spark
+    // and DuckDB agree. Scale: narrow per-row map, no shuffle at all
+    // except the final ORDER BY for the gate.
+    "text_pii_scrub" -> ((s, dir) =>
+      load(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"cast(regexp_count(text, '${sqlEsc(PiiEmail)}') as bigint)")
+          .as("n_emails"),
+        expr(s"cast(regexp_count(text, '${sqlEsc(PiiPhone)}') as bigint)")
+          .as("n_phones"),
+        expr(s"cast(regexp_count(text, '${sqlEsc(PiiIpv4)}') as bigint)")
+          .as("n_ips"),
+        length(piiScrub(col("text"))).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))),
 
     // Language-ID heuristic: stopword-profile scoring with deterministic
     // argmax tie-break (n-gram/stopword profiling — public technique)
@@ -252,6 +300,22 @@ object TextQueries {
          SELECT doc_id, lang, uni_logprob,
                 (['head', 'middle', 'tail'])[tercile] AS bucket
          FROM ranked ORDER BY doc_id""",
+    // Full regex replay: DuckDB quoted literals are raw, so the canonical
+    // single-backslash patterns interpolate verbatim; the 'g' flag matches
+    // Spark regexp_replace's replace-all default.
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+                CAST(LEN(regexp_extract_all(text, '$PiiEmail')) AS BIGINT)
+                  AS n_emails,
+                CAST(LEN(regexp_extract_all(text, '$PiiPhone')) AS BIGINT)
+                  AS n_phones,
+                CAST(LEN(regexp_extract_all(text, '$PiiIpv4')) AS BIGINT)
+                  AS n_ips,
+                CAST(LEN(regexp_replace(regexp_replace(regexp_replace(text,
+                    '$PiiEmail', '<PII>', 'g'),
+                    '$PiiPhone', '<PII>', 'g'),
+                    '$PiiIpv4', '<PII>', 'g')) AS BIGINT) AS clean_len
+         FROM documents ORDER BY doc_id""",
     "text_quality" ->
       """SELECT doc_id,
                 CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
