@@ -297,6 +297,15 @@ object SimilarityQueries {
     // ivfAssign/ivfProbes when labels don't exist. Iterative float
     // training ⇒ rows-only; cluster recovery + objective-improvement are
     // pinned by KMeansSpec.
+    // Diverse coreset: greedy farthest-point selection (k-center 2-approx)
+    // of 16 maximally spread vectors — the "keep the spread" complement of
+    // the dedup family. Iterative driver loop (like the k-means trainer) ⇒
+    // rows-only check; exact per-step argmax self-consistency, separation
+    // monotonicity and determinism are pinned by CoresetSpec.
+    "sim_diverse_coreset" -> ((s, dir) =>
+      graft.operators.Coreset.farthestPoint(
+        load(s, dir, "embeddings"), "vec_id", "embedding", k = 16)),
+
     "sim_kmeans_cells" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       val model = graft.operators.KMeans.fit(
