@@ -32,6 +32,18 @@ object CurationQueries {
 
   private val toks = "split(text, ' ')"
 
+  // Gopher-filter knobs (bounds adapted from Rae et al. 2021 §A1.1 to this
+  // corpus's 20–80-word documents), interpolated into BOTH the Spark query
+  // and its oracle. GopherTopFrac10 is tenths (2 = Gopher's 20%
+  // dominant-gram cap) so the repetition rule stays in integer
+  // cross-multiplication.
+  private val GopherMinWords = 10
+  private val GopherMaxWords = 1000
+  private val GopherMinWordLen = 3
+  private val GopherMaxWordLen = 10
+  private val GopherMinStop = 2
+  private val GopherTopFrac10 = 2
+
   /** The shared curation dataflow: per-corpus-doc stage flags
     * q (quality), k (dedup keeper), c (decontaminated), m (mix-sampled) —
     * each conjunctive with the previous stage. Consumed by
@@ -108,6 +120,39 @@ object CurationQueries {
           col("tm.top_cnt").cast("bigint").as("top_cnt"),
           (col("tm.top_cnt").cast("double") / col("n_words"))
             .as("top_word_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style rule-battery quality filter (Rae et al. 2021's
+    // heuristic battery, adapted to this corpus's feature set): word-count
+    // range, mean-word-length range, stopword presence, dominant-token
+    // repetition cap — each failure named in `reasons` so the funnel is
+    // auditable per document, pass = empty reasons. ALL comparisons are
+    // integer-only (the word-length and repetition bounds are
+    // cross-multiplied instead of divided), so the verdicts are bit-exact
+    // in any engine — no float-threshold knife edges. Same zero-shuffle
+    // shape as text_repetition: every rule is a per-row function of the
+    // token array; the corpus never leaves its scan partition.
+    "curation_gopher_filter" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"size($toks)").cast("bigint").as("n_words"),
+          expr("length(replace(text, ' ', ''))").cast("bigint")
+            .as("n_lchars"),
+          expr(s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of'))")
+            .cast("bigint").as("n_stop"),
+          expr(s"token_mode($toks).top_cnt").cast("bigint").as("top_cnt"))
+        .select(col("doc_id"), col("n_words"), col("n_stop"), col("top_cnt"),
+          concat_ws(",",
+            when(col("n_words") < GopherMinWords, "too_short"),
+            when(col("n_words") > GopherMaxWords, "too_long"),
+            when(col("n_lchars") < col("n_words") * GopherMinWordLen,
+              "short_words"),
+            when(col("n_lchars") > col("n_words") * GopherMaxWordLen,
+              "long_words"),
+            when(col("n_stop") < GopherMinStop, "no_stopwords"),
+            when(col("top_cnt") * 10 > col("n_words") * GopherTopFrac10,
+              "repetitive")).as("reasons"))
+        .withColumn("pass", col("reasons") === "")
         .orderBy(col("doc_id"))),
 
     // Exact substring-window duplication: 64-char windows at stride 32;
@@ -263,6 +308,44 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Integer-only rule replay; reasons built in the same fixed rule order.
+    "curation_gopher_filter" ->
+      s"""WITH tc AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok),
+          top AS (SELECT doc_id, MAX(c) AS top_cnt FROM tc GROUP BY doc_id),
+          f AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(LEN(REPLACE(text, ' ', '')) AS BIGINT) AS n_lchars,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     t -> t = 'the' OR t = 'a' OR t = 'of')) AS BIGINT)
+                     AS n_stop
+            FROM documents),
+          r AS (
+            SELECT f.doc_id, n_words, n_stop,
+                   CAST(top_cnt AS BIGINT) AS top_cnt,
+                   -- DuckDB's array_to_string of an EMPTY list is NULL,
+                   -- not '' — coalesce to match Spark's concat_ws
+                   COALESCE(array_to_string(list_filter([
+                     CASE WHEN n_words < $GopherMinWords
+                          THEN 'too_short' END,
+                     CASE WHEN n_words > $GopherMaxWords THEN 'too_long' END,
+                     CASE WHEN n_lchars < $GopherMinWordLen * n_words
+                          THEN 'short_words' END,
+                     CASE WHEN n_lchars > $GopherMaxWordLen * n_words
+                          THEN 'long_words' END,
+                     CASE WHEN n_stop < $GopherMinStop
+                          THEN 'no_stopwords' END,
+                     CASE WHEN top_cnt * 10 > n_words * $GopherTopFrac10
+                          THEN 'repetitive' END],
+                     x -> x IS NOT NULL), ','), '') AS reasons
+            FROM f JOIN top ON top.doc_id = f.doc_id)
+          SELECT doc_id, n_words, n_stop, top_cnt, reasons,
+                 reasons = '' AS pass
+          FROM r ORDER BY doc_id""",
     "text_repetition" ->
       """WITH wc AS (SELECT doc_id, token, COUNT(*) AS cnt
                      FROM (SELECT doc_id,

@@ -187,4 +187,35 @@ class CurationSpec extends SparkSuite {
       }
     }
   }
+
+  test("curation_gopher_filter: every rule fires in its intended direction " +
+      "on a constructed fixture (the gated corpus only exercises " +
+      "no_stopwords/repetitive)") {
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    val ok = "the cat sat on a mat of straw and felt quite fine today yes"
+    val rows = Seq(
+      (1L, ok, "en", "src0"),                               // passes all
+      (2L, "the of a", "en", "src0"),                       // too_short
+      (3L, ("the of " + Seq.fill(1200)("word").mkString(" ")), "en",
+        "src0"),                                            // too_long
+      (4L, "a a b a c " + "the of x y z w", "en", "src0"),  // short_words
+      (5L, "the of " + Seq.fill(10)("extraordinarily").mkString(" "),
+        "en", "src0"),                    // long_words + repetitive
+      (6L, ok + " " + Seq.fill(20)("spam").mkString(" "), "en",
+        "src0"))                                            // repetitive
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = CurationQueries.queries("curation_gopher_filter")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == (("", true)), out(1L))
+    assert(out(2L)._1.contains("too_short") && !out(2L)._2)
+    assert(out(3L)._1.contains("too_long"))
+    assert(out(4L)._1.contains("short_words"))
+    assert(out(5L)._1.contains("long_words") &&
+      out(5L)._1.contains("repetitive"))
+    assert(out(6L) == (("repetitive", false)), out(6L))
+  }
 }

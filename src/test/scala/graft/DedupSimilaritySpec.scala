@@ -93,6 +93,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(r.getLong(3) == 1L && r.getLong(4) == 3L) // first_doc, first_pos
   }
 
+  test("span detection matches a naive in-memory reference on randomized " +
+      "tie-rich corpora") {
+    // Tiny vocabulary so identical 8-token spans actually recur across
+    // docs and (n_docs, n_occ) ties exercise the gram tie-break. Seeded:
+    // deterministic, not flaky.
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "dd", "e")
+      val docs = (0 until 40).map { id =>
+        val n = rnd.nextInt(31)
+        (id.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), "en", "src0")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"spanprop$seed")
+        .toString
+      docs.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$dir/documents.parquet")
+
+      val naive = docs.flatMap { case (id, text, _, _) =>
+        val t = text.split(' ')
+        if (text.isEmpty || t.length < 8) Nil
+        else (0 to t.length - 8).map(i =>
+          (t.slice(i, i + 8).mkString(" "), id, i + 1L))
+      }
+        .groupBy(_._1).toSeq
+        .map { case (gram, occ) =>
+          val enc = occ.map { case (_, id, pos) => id * 1000000L + pos }.min
+          (gram, occ.size.toLong, occ.map(_._2).distinct.size.toLong,
+            enc / 1000000L, enc % 1000000L)
+        }
+        .filter(_._3 >= 2)
+        .sortBy { case (gram, nOcc, nDocs, _, _) => (-nDocs, -nOcc, gram) }
+        .take(100)
+
+      val got = DedupQueries.queries("dedup_span_detect")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == naive,
+        s"seed $seed: got ${got.take(5)}... want ${naive.take(5)}...")
+    }
+  }
+
   test("leak-proof split: near-dup clusters never straddle splits, " +
       "every doc assigned exactly once, proportions near 80/10/10") {
     val out = DedupQueries.queries("dedup_split_leakproof")(spark, dir)
