@@ -44,6 +44,36 @@ object CurationQueries {
   private val GopherMinStop = 2
   private val GopherTopFrac10 = 2
 
+  /** Gopher rule-battery annotation over any documents frame (batch OR
+    * streaming — every rule is a stateless per-row expression): appends
+    * n_words/n_lchars/n_stop/top_cnt, the named-failure `reasons` string
+    * (fixed rule order) and the `pass` verdict, keeping the input columns.
+    * Shared by curation_gopher_filter and streaming.StreamingCuration so
+    * stream-time and batch verdicts cannot drift (parity spec-pinned).
+    */
+  private[graft] def gopherAnnotate(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df
+      .withColumn("n_words", expr(s"size($toks)").cast("bigint"))
+      .withColumn("n_lchars",
+        expr("length(replace(text, ' ', ''))").cast("bigint"))
+      .withColumn("n_stop",
+        expr(s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of'))")
+          .cast("bigint"))
+      .withColumn("top_cnt",
+        expr(s"token_mode($toks).top_cnt").cast("bigint"))
+      .withColumn("reasons", concat_ws(",",
+        when(col("n_words") < GopherMinWords, "too_short"),
+        when(col("n_words") > GopherMaxWords, "too_long"),
+        when(col("n_lchars") < col("n_words") * GopherMinWordLen,
+          "short_words"),
+        when(col("n_lchars") > col("n_words") * GopherMaxWordLen,
+          "long_words"),
+        when(col("n_stop") < GopherMinStop, "no_stopwords"),
+        when(col("top_cnt") * 10 > col("n_words") * GopherTopFrac10,
+          "repetitive")))
+      .withColumn("pass", col("reasons") === "")
+
   /** The shared curation dataflow: per-corpus-doc stage flags
     * q (quality), k (dedup keeper), c (decontaminated), m (mix-sampled) —
     * each conjunctive with the previous stage. Consumed by
@@ -133,26 +163,9 @@ object CurationQueries {
     // shape as text_repetition: every rule is a per-row function of the
     // token array; the corpus never leaves its scan partition.
     "curation_gopher_filter" -> ((s, dir) =>
-      load(s, dir, "documents")
-        .select(col("doc_id"),
-          expr(s"size($toks)").cast("bigint").as("n_words"),
-          expr("length(replace(text, ' ', ''))").cast("bigint")
-            .as("n_lchars"),
-          expr(s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'of'))")
-            .cast("bigint").as("n_stop"),
-          expr(s"token_mode($toks).top_cnt").cast("bigint").as("top_cnt"))
+      gopherAnnotate(load(s, dir, "documents"))
         .select(col("doc_id"), col("n_words"), col("n_stop"), col("top_cnt"),
-          concat_ws(",",
-            when(col("n_words") < GopherMinWords, "too_short"),
-            when(col("n_words") > GopherMaxWords, "too_long"),
-            when(col("n_lchars") < col("n_words") * GopherMinWordLen,
-              "short_words"),
-            when(col("n_lchars") > col("n_words") * GopherMaxWordLen,
-              "long_words"),
-            when(col("n_stop") < GopherMinStop, "no_stopwords"),
-            when(col("top_cnt") * 10 > col("n_words") * GopherTopFrac10,
-              "repetitive")).as("reasons"))
-        .withColumn("pass", col("reasons") === "")
+          col("reasons"), col("pass"))
         .orderBy(col("doc_id"))),
 
     // Exact substring-window duplication: 64-char windows at stride 32;
