@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   * per trial (deterministic seed) so a sustained neighbor load cannot
   * penalize the same alphabetical block in every trial. The artifact is
   * self-identifying: it records /proc/loadavg at start/end, each query's
-  * median/min spread, and a "contaminated" list of queries whose spread
-  * exceeds 1.5x — a run whose timings were disturbed says so itself
-  * instead of masquerading as a regression.
+  * median/min spread, a "contaminated" list of queries whose spread
+  * exceeds 1.5x, and fixed CPU reference timings (single-thread + all-core,
+  * cpu_ref_* fields) so host-neighbor slowdowns that guest loadavg can't
+  * see are still visible — a run whose timings were disturbed says so
+  * itself instead of masquerading as a regression.
   */
 object Bench {
 
@@ -22,6 +24,41 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+").head.toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Fixed single-thread CPU reference (xorshift64*, 200M steps): timed at
+    * start and end so the artifact self-reports MACHINE speed. Guest
+    * loadavg and steal stay flat under host-level cache/membw contention
+    * from co-tenant VMs, yet every query slows uniformly (observed 45 →
+    * 80 s for the identical binary within one round) — comparing
+    * query_sec / cpu_ref_sec across runs cancels that factor out.
+    */
+  private def cpuRef(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      i += 1
+    }
+    if (x == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The same reference workload on every core at once: host-neighbor
+    * cache/membw contention barely moves the single-thread figure but
+    * shows directly in parallel wall time — the slice the Spark stages
+    * actually run in. par/single ≈ 1 on an uncontended box.
+    */
+  private def cpuRefPar(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { _ =>
+      val t = new Thread(() => cpuRef(): Unit)
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,6 +81,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
     val loadStart = loadavg()
+    val cpuRefStart = cpuRef()
+    val cpuRefParStart = cpuRefPar()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val timings =
@@ -66,6 +105,8 @@ object Bench {
       }
     }
     val loadEnd = loadavg()
+    val cpuRefEnd = cpuRef()
+    val cpuRefParEnd = cpuRefPar()
 
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -121,7 +162,7 @@ object Bench {
     val errs2 = errors.keys.toList.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errs2,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"spread":$spreads,"contaminated":$contaminated}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errs2,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_ref_start":$cpuRefStart,"cpu_ref_end":$cpuRefEnd,"cpu_ref_par_start":$cpuRefParStart,"cpu_ref_par_end":$cpuRefParEnd,"spread":$spreads,"contaminated":$contaminated}"""
     println(line)
     // The driver's stdout capture truncated round 5's per-query tail
     // (56/96 timings survived) — persist the full line to a file too so
