@@ -28,8 +28,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores ts as TIMESTAMP(NANOS): Spark 4 rejects it
-      // unless read as raw long nanos (converted where event-time matters).
+      // Older testdata generations stored events.ts as TIMESTAMP(NANOS),
+      // which Spark 4 rejects unless read as raw long nanos; newer ones
+      // use TIMESTAMP(MICROS). The flag keeps the nanos generation
+      // readable; EventsCdc.normalizeTs canonicalizes either at load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object EventsCdc {
 
+  /** Normalize the event-time column to a canonical TIMESTAMP (micros,
+    * UTC session): the driver's testdata has stored `ts` as parquet
+    * TIMESTAMP(NANOS) (read as raw long nanos under the legacy
+    * nanosAsLong flag) in some generations and as TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ) in others. Accepting either at the load
+    * boundary keeps every downstream operator and oracle working across
+    * regenerations — exact integer math in both branches, no float.
+    */
+  def normalizeTs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    events.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // legacy nanos → micros → timestamp
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampType) => events
+      case Some(_) => // TIMESTAMP_NTZ: UTC session makes the cast lossless
+        events.withColumn("ts", col("ts").cast(TimestampType))
+      case None => events
+    }
+  }
+
   /** Publishable operation analogs — internal/mongo/client.go:33-38. */
   val Publishable: Seq[String] = Seq("click", "purchase", "signup", "view")
 
@@ -152,7 +172,7 @@ object EventsCdc {
     * non-publishable slice of the stream).
     */
   def toEnvelopes(events: DataFrame): DataFrame =
-    events.select(
+    normalizeTs(events).select(
       struct(lpad(col("event_id").cast("string"), 12, "0").as("_data"))
         .as("_id"),
       expr("""CASE event_type WHEN 'click' THEN 'insert'
@@ -160,8 +180,8 @@ object EventsCdc {
               WHEN 'signup' THEN 'replace'
               WHEN 'view' THEN 'delete'
               ELSE 'drop' END""").as("operationType"),
-      timestamp_micros(expr("ts div 1000")).as("clusterTime"),
-      timestamp_micros(expr("ts div 1000")).as("wallTime"),
+      col("ts").as("clusterTime"),
+      col("ts").as("wallTime"),
       struct(lit("bench").as("db"), lit("events").as("coll")).as("ns"),
       col("props").as("documentKey"),
       col("props").as("fullDocument"),

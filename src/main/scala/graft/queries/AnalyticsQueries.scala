@@ -532,8 +532,7 @@ object AnalyticsQueries {
     // co-partitioned on user_id.
     "events_cohort_retention" -> ((s, dir) => {
       val ev = load(s, dir, "events")
-        .select(col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("t"))
+        .select(col("user_id"), col("ts").as("t"))
       val first = ev.groupBy(col("user_id")).agg(min(col("t")).as("t0"))
       ev.join(first, "user_id")
         .select(col("user_id"),
@@ -583,8 +582,7 @@ object AnalyticsQueries {
     // engine-exact compare.
     "events_session_windows" -> ((s, dir) =>
       load(s, dir, "events")
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
-        .groupBy(col("user_id"), session_window(col("t"), "1 day").as("w"))
+        .groupBy(col("user_id"), session_window(col("ts"), "1 day").as("w"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
         .select(col("user_id"),
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -597,7 +595,7 @@ object AnalyticsQueries {
     "events_hourly_window" -> ((s, dir) =>
       load(s, dir, "events")
         .groupBy(
-          window(timestamp_micros(expr("ts div 1000")), "1 hour").as("w"),
+          window(col("ts"), "1 hour").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
         .select(
@@ -606,13 +604,12 @@ object AnalyticsQueries {
         .orderBy(col("hour_start"), col("event_type"))),
 
     // Event-time bucketing (tumbling day windows, batch form): count+sum per
-    // day per type. `ts` arrives as raw nanos (nanosAsLong read of the
-    // parquet TIMESTAMP(NANOS) column) — integer-divide to micros, then
-    // truncate; exact integer math, no float risk.
+    // day per type. `ts` is the loader-normalized TIMESTAMP (micros, UTC)
+    // — date truncation is exact, no float risk.
     "events_daily_rollup" -> ((s, dir) =>
       load(s, dir, "events")
         .groupBy(
-          to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+          to_date(col("ts")).as("day"),
           col("event_type")).agg(
           count(lit(1)).as("n"),
           moneySum(col("value")).as("sum_value"))

@@ -109,8 +109,8 @@ object CdcQueries {
             """to_extended_json(struct(
                  struct(cast(event_id as string) as _data) as _id,
                  event_type as operationType,
-                 timestamp_micros(ts div 1000) as clusterTime,
-                 timestamp_micros(ts div 1000) as wallTime,
+                 ts as clusterTime,
+                 ts as wallTime,
                  props as fullDocument))""").as("data"))
         .orderBy(col("msg_id"))
     })

@@ -38,8 +38,15 @@ import org.apache.spark.sql.types.DecimalType
 object Tables {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Load a testdata table. The `events` table's `ts` column is
+    * normalized to a canonical TIMESTAMP at this boundary (the driver's
+    * testdata has shipped it as both TIMESTAMP(NANOS)-as-long and
+    * TIMESTAMP(MICROS) across regenerations) — every query downstream
+    * sees one type. See EventsCdc.normalizeTs.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.operators.EventsCdc.normalizeTs(
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Exact money sum: SUM(CAST(x AS DECIMAL(18,2))) rounded to 2, as double. */
   def moneySum(c: Column): Column =

@@ -11,8 +11,9 @@ import Tables._
   * DuckDB's *native* `ASOF JOIN` — two independent implementations (Spark
   * union+window vs DuckDB's specialized join) agreeing bit-exactly.
   *
-  * `ts` arrives as raw nanos (nanosAsLong read of parquet TIMESTAMP(NANOS));
-  * all window arithmetic is integer micros — exact on both engines.
+  * `ts` is the loader-normalized TIMESTAMP (micros, UTC —
+  * EventsCdc.normalizeTs); all window arithmetic is integer micros
+  * (`unix_micros`, = DuckDB's `epoch_us`) — exact on both engines.
   */
 object TemporalQueries {
 
@@ -24,7 +25,7 @@ object TemporalQueries {
     // tie-breaks are deterministic on both engines.
     "events_asof_purchase" -> ((s, dir) => {
       val ev = load(s, dir, "events")
-        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("tus", unix_micros(col("ts")))
         .select(col("event_id"), col("user_id"), col("tus"),
           col("event_type"), col("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -44,7 +45,8 @@ object TemporalQueries {
     // bound), never a θ-join — see operators/Temporal.scala. Inner
     // semantics: purchases with a clean preceding hour don't appear.
     "events_range_errors" -> ((s, dir) => {
-      val ev = load(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+      val ev = load(s, dir, "events")
+        .withColumn("tus", unix_micros(col("ts")))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tus"))
       val errors = ev.filter(col("event_type") === "error")
@@ -70,7 +72,7 @@ object TemporalQueries {
         .orderBy(col("tus"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val staged = load(s, dir, "events")
-        .withColumn("tus", expr("ts div 1000"))
+        .withColumn("tus", unix_micros(col("ts")))
         .select(col("user_id"), col("event_id"), col("tus"),
           col("event_type"))
         .withColumn("t1",

@@ -150,8 +150,9 @@ class TemporalSpec extends SparkSuite {
   }
 
   test("AsOf.join matches a θ-join + max_by reference on real events data") {
-    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("tus", expr("ts div 1000"))
+    val ev = graft.operators.EventsCdc
+      .normalizeTs(spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+      .withColumn("tus", unix_micros($"ts"))
       .select($"event_id", $"user_id", $"tus", $"event_type", $"value")
     val marks = ev.filter($"event_type" === "purchase")
       .groupBy($"user_id", $"tus")
@@ -210,8 +211,9 @@ class TemporalSpec extends SparkSuite {
     assert(nUsers >= n1 && n1 >= n2 && n2 >= n3, row.toString)
     assert(n3 > 0, "sf0.001 should contain full-funnel conversions")
     // independent truth: per-user ordered scan on the driver (test-only)
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("tus", expr("ts div 1000"))
+    val events = graft.operators.EventsCdc
+      .normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("tus", unix_micros($"ts"))
       .select($"user_id", $"event_id", $"tus", $"event_type").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val perUser = events.groupBy(_._1).map { case (u, es) =>
