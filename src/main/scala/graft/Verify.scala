@@ -40,6 +40,10 @@ object Verify {
     // the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // A query that fails both attempts must not vanish from the round's
+    // record (the driver's correctness artifact only has rows for outputs
+    // that exist): collect failures and publish them as an artifact.
+    val failures = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -54,6 +58,7 @@ object Verify {
         catch { case e2: Throwable =>
           System.err.println(s"[verify] $name failed: $e2")
           e2.printStackTrace()
+          failures(name) = e2.toString.take(500)
         }
       }
     }
@@ -72,6 +77,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-identifying artifact (same philosophy as Bench's loadavg/spread
+    // fields): an empty object means every query produced output; any
+    // entry is a query the correctness gate would otherwise silently skip.
+    val errJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }
