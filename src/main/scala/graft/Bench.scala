@@ -139,8 +139,17 @@ object Bench {
     val streamingJson =
       try {
         val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+        // Range-partition the envelope fixture by resume token (like the
+        // fault-injection matrix): the source admits whole files in token
+        // order, so this models a change stream arriving as many ordered
+        // batches — and keeps the fixture's parallelism independent of
+        // how many row groups the driver's testdata writer happened to
+        // produce (a regeneration collapsed it to ONE file → the whole
+        // streaming slice ran as a single serial task).
         graft.operators.EventsCdc
           .toEnvelopes(spark.read.parquet(s"$sfDir/events.parquet"))
+          .repartitionByRange(16,
+            org.apache.spark.sql.functions.col("_id").getField("_data"))
           .write.mode("overwrite").parquet(s"$root/in")
         val cnt = spark.read.parquet(s"$root/in").count()
         val cfgS = graft.streaming.StreamingCdc.StreamConfig(
