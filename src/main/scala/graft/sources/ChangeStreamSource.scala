@@ -66,10 +66,22 @@ final class ChangeStreamTable(path: String) extends Table with SupportsRead {
 
 final class ChangeStreamScanBuilder(path: String,
     maxRowsPerTrigger: Option[Long] = None)
-  extends ScanBuilder with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
 
   private var opFilter: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Model.changeEventSchema
+
+  /** Column pruning: the reader projects the parquet read schema down to
+    * the requested fields (plus the token and operationType it needs for
+    * range/op filtering), so a narrow query — the invalidate probe, a
+    * token top-1, a per-op count — never decodes the document payloads.
+    * At change-log scale the payload columns ARE the bytes; this is the
+    * difference between scanning metadata and scanning the corpus.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   /** F1 pushdown: operationType In/EqualTo are evaluated in the reader. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -93,18 +105,20 @@ final class ChangeStreamScanBuilder(path: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new ChangeStreamScan(path, opFilter, maxRowsPerTrigger)
+    new ChangeStreamScan(path, opFilter, required, maxRowsPerTrigger)
 }
 
 final class ChangeStreamScan(path: String, opFilter: Option[Set[String]],
-    maxRowsPerTrigger: Option[Long] = None)
+    required: StructType, maxRowsPerTrigger: Option[Long] = None)
   extends Scan {
-  override def readSchema(): StructType = Model.changeEventSchema
+  override def readSchema(): StructType = required
   override def description(): String =
-    s"changestream($path) pushedOps=${opFilter.map(_.mkString(",")).getOrElse("*")}"
-  override def toBatch: Batch = new ChangeStreamBatch(path, opFilter)
+    s"changestream($path) pushedOps=" +
+      s"${opFilter.map(_.mkString(",")).getOrElse("*")} " +
+      s"readSchema=${required.fieldNames.mkString(",")}"
+  override def toBatch: Batch = new ChangeStreamBatch(path, opFilter, required)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeStreamMicroBatch(path, opFilter, maxRowsPerTrigger)
+    new ChangeStreamMicroBatch(path, opFilter, required, maxRowsPerTrigger)
 }
 
 /** Offset = resume token (empty string ⇒ from the beginning). */
@@ -187,6 +201,7 @@ object ChangeStreamFiles {
 }
 
 final class ChangeStreamMicroBatch(path: String, opFilter: Option[Set[String]],
+    required: StructType = Model.changeEventSchema,
     maxRowsPerTrigger: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
@@ -257,7 +272,7 @@ final class ChangeStreamMicroBatch(path: String, opFilter: Option[Set[String]],
       // oplog-index pruning: token order is lexicographic; a file whose
       // max token ≤ start holds nothing new, one whose min > end is ahead
       .filter(r => r.maxToken > s && (e.isEmpty || r.minToken <= e))
-      .map(r => ChangeStreamPartition(r.path, s, e, opFilter)
+      .map(r => ChangeStreamPartition(r.path, s, e, opFilter, required)
         : InputPartition).toArray
   }
 
@@ -267,11 +282,12 @@ final class ChangeStreamMicroBatch(path: String, opFilter: Option[Set[String]],
   override def stop(): Unit = ()
 }
 
-final class ChangeStreamBatch(path: String, opFilter: Option[Set[String]])
+final class ChangeStreamBatch(path: String, opFilter: Option[Set[String]],
+    required: StructType = Model.changeEventSchema)
   extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     ChangeStreamFiles.listRanges(path, new Configuration())
-      .map(r => ChangeStreamPartition(r.path, "", "", opFilter)
+      .map(r => ChangeStreamPartition(r.path, "", "", opFilter, required)
         : InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangeStreamReaderFactory()
@@ -279,7 +295,8 @@ final class ChangeStreamBatch(path: String, opFilter: Option[Set[String]])
 
 final case class ChangeStreamPartition(
     file: String, startToken: String, endToken: String,
-    opFilter: Option[Set[String]]) extends InputPartition
+    opFilter: Option[Set[String]],
+    required: StructType = Model.changeEventSchema) extends InputPartition
 
 final class ChangeStreamReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -288,13 +305,50 @@ final class ChangeStreamReaderFactory extends PartitionReaderFactory {
 
 /** Row-at-a-time envelope reader (the per-event cursor of the reference's
   * watch loop, client.go:217): parquet Group API → InternalRow, applying
-  * the token range and the pushed op filter.
+  * the token range, the pushed op filter and the pruned read schema —
+  * page data for unrequested columns (the document payloads, typically
+  * the bulk of the bytes) is never decoded.
   */
 final class ChangeStreamReader(p: ChangeStreamPartition)
   extends PartitionReader[InternalRow] {
 
-  private val reader = org.apache.parquet.hadoop.ParquetReader
-    .builder(new GroupReadSupport(), new Path(p.file)).build()
+  /** Parquet read projection: the required columns plus the token and
+    * operationType fields the reader always filters on, intersected with
+    * what the file actually has (files written by older envelope schemas
+    * stay readable — absent fields read as null, as before).
+    */
+  private val projection: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{GroupType, MessageType}
+    val fileSchema = {
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p.file), new Configuration()))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val names = (p.required.fieldNames ++ Array("_id", "operationType"))
+      .distinct.filter(fileSchema.containsField)
+    val types = names.map { n =>
+      val t = fileSchema.getType(Seq(n): _*)
+      p.required.find(_.name == n).map(_.dataType) match {
+        case Some(sub: StructType) if !t.isPrimitive =>
+          val g = t.asGroupType()
+          val keep = (if (n == "_id") sub.fieldNames :+ "_data"
+            else sub.fieldNames).distinct
+            .filter(g.containsField).map(g.getType(_))
+          new GroupType(t.getRepetition, n, keep: _*)
+        case _ => t
+      }
+    }
+    new MessageType(fileSchema.getName, types: _*)
+  }
+
+  private val reader = {
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf).build()
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -351,17 +405,18 @@ final class ChangeStreamReader(p: ChangeStreamPartition)
     }
   }
 
-  private def nested(g: Group, field: String, subfields: String*): InternalRow =
+  private def nested(g: Group, field: String, sub: StructType): InternalRow =
     if (g.getType.containsField(field) &&
         g.getFieldRepetitionCount(field) > 0) {
-      val sub = g.getGroup(field, 0)
+      val s = g.getGroup(field, 0)
       new GenericInternalRow(
-        subfields.map(f => str(sub, f): Any).toArray)
+        sub.fieldNames.map(f => str(s, f): Any))
     } else null
 
   /** null ⇒ filtered out (token range, pushed op filter, or a dirty row
     * missing the token — unorderable, uncommittable, dropped like the
-    * reference's lookup-miss would be).
+    * reference's lookup-miss would be). The emitted row matches the
+    * PRUNED schema, in its field order.
     */
   private def convert(g: Group): InternalRow = {
     if (g.getFieldRepetitionCount("_id") == 0) return null
@@ -373,15 +428,19 @@ final class ChangeStreamReader(p: ChangeStreamPartition)
     if (g.getFieldRepetitionCount("operationType") == 0) return null
     val op = g.getString("operationType", 0)
     if (p.opFilter.exists(!_.contains(op))) return null
-    new GenericInternalRow(Array[Any](
-      new GenericInternalRow(Array[Any](UTF8String.fromString(token))),
-      UTF8String.fromString(op),
-      ts(g, "clusterTime"),
-      ts(g, "wallTime"),
-      nested(g, "ns", "db", "coll"),
-      str(g, "documentKey"),
-      str(g, "fullDocument"),
-      str(g, "fullDocumentBeforeChange"),
-      str(g, "updateDescription")))
+    new GenericInternalRow(p.required.fields.map[Any] { f =>
+      f.name match {
+        case "_id" =>
+          val sub = f.dataType.asInstanceOf[StructType]
+          new GenericInternalRow(sub.fieldNames.map[Any] {
+            case "_data" => UTF8String.fromString(token)
+            case other => str(idGroup, other)
+          })
+        case "operationType" => UTF8String.fromString(op)
+        case "clusterTime" | "wallTime" => ts(g, f.name)
+        case "ns" => nested(g, "ns", f.dataType.asInstanceOf[StructType])
+        case other => str(g, other)
+      }
+    })
   }
 }

@@ -164,6 +164,46 @@ class ChangeStreamSourceSpec extends SparkSuite {
       .contains("000040"))
   }
 
+  test("column pruning: a narrow projection reaches the source scan and " +
+      "returns the same values as the full read") {
+    val dir = Files.createTempDirectory("css").toString + "/in"
+    write(dir, (1 to 15).map(i => ev(i, if (i % 3 == 0) "update" else "insert")))
+    val narrow = spark.read.format(fmt).load(dir)
+      .select("operationType")
+    // the scan itself reports the pruned schema (not a Project on top of
+    // a full-width scan): payload columns are never decoded
+    val scanDesc = narrow.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("readSchema=operationType"), scanDesc)
+    val full = spark.read.format(fmt).load(dir)
+      .select("operationType")
+    assert(narrow.as[String].collect().sorted.toSeq ==
+      full.as[String].collect().sorted.toSeq)
+    // nested pruning keeps the token usable standalone
+    val tokens = spark.read.format(fmt).load(dir).select("_id._data")
+    assert(tokens.as[String].collect().sorted.head == "000001")
+    // pruning composes with F1 pushdown
+    val combo = spark.read.format(fmt).load(dir)
+      .filter(col("operationType") === "update")
+      .select("_id._data")
+    assert(combo.as[String].collect().length == 5)
+  }
+
+  test("column pruning applies on the micro-batch path too") {
+    val root = Files.createTempDirectory("css").toString
+    write(s"$root/in", (1 to 8).map(ev(_, "insert")))
+    val q = spark.readStream.format(fmt).load(s"$root/in")
+      .select("_id", "operationType")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.schema.fieldNames.toSeq == Seq("_id", "operationType"))
+    assert(out.select("_id._data").as[String].collect().sorted.toSeq ==
+      (1 to 8).map(i => f"$i%06d"))
+  }
+
   test("end-to-end through StreamingCdc with sourceFormat=changestream") {
     val root = Files.createTempDirectory("css").toString
     val c = graft.streaming.StreamingCdc.StreamConfig(
