@@ -278,6 +278,24 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental near-dup: a ~10% md5-selected "delta" of newly-arrived
+    // docs probed against the MinHash band INDEX of the other 90% — the
+    // shard-arrival dedup a continuously-ingesting pipeline runs, with
+    // corpus text never rescanned (operators/IncrementalDedup.scala).
+    // Same signature kernels as dedup_minhash_pairs, so the estimates
+    // replay bit-exactly in the oracle; same 2..DfCap bucket cap.
+    "dedup_incremental_pairs" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      val isDelta = conv(substring(md5(concat(lit("delta:"),
+        col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int") < 26
+      val docs = load(s, dir, "documents")
+      IncrementalDedup.probe(
+          IncrementalDedup.buildIndex(docs.filter(!isDelta)),
+          IncrementalDedup.buildIndex(docs.filter(isDelta)),
+          cap = DfCap)
+        .orderBy(col("delta_id"), col("base_id"))
+    }),
+
     // Embedding exact dedup: bit-identical vectors collapse to one keeper.
     // Groups directly on the vector value — at scale, group on a 128-bit
     // content hash of the vector bytes instead; same plan shape.
@@ -796,6 +814,57 @@ object DedupQueries {
     // (the engine compares Longs), short docs get Long.MaxValue sigs, bands
     // = the raw 4-long slices (list-equality join — the engine groups on
     // the slice itself), ≤DfCap buckets, est = matching positions / 32.
+    // Incremental probe: identical signature/band/cap CTE chain as
+    // dedup_minhash_pairs; the only additions are the md5 delta tag and
+    // the cross-side (corpus × delta) join restriction.
+    "dedup_incremental_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts
+                       FROM documents),
+          gram AS (
+            SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+            FROM tok, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) u),
+          gh AS (SELECT doc_id, ${OracleSql.fnvSql("g")} AS h FROM gram),
+          mx AS (${OracleSql.mix64ChainSql("doc_id, p",
+              s"h + p * ${graft.functions.TextHashImpl.Prime}::HUGEINT",
+              "gh, (SELECT unnest(range(0, 32)) AS p) ps", "mixed")}),
+          smin AS (SELECT doc_id, p, MIN(${OracleSql.signedSql("mixed")}) AS mv
+                   FROM mx GROUP BY doc_id, p),
+          sigs AS (
+            SELECT d.doc_id,
+                   LIST(COALESCE(s.mv, 9223372036854775807) ORDER BY pp.p)
+                     AS sig
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS p) pp
+            LEFT JOIN smin s ON s.doc_id = d.doc_id AND s.p = pp.p
+            GROUP BY d.doc_id),
+          tag AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(
+                     md5('delta:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                     AS INTEGER) < 26 AS is_delta
+            FROM documents),
+          bands AS (
+            SELECT doc_id, sig, band,
+                   list_slice(sig, band * 4 + 1, band * 4 + 4) AS bkey
+            FROM sigs, (SELECT unnest(range(0, 8)) AS band) bb),
+          grp AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+          cand AS (
+            SELECT b.doc_id AS delta_id, a.doc_id AS base_id,
+                   a.sig AS sa, b.sig AS sb
+            FROM bands a
+            JOIN tag ta ON ta.doc_id = a.doc_id AND NOT ta.is_delta
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+            JOIN tag tb ON tb.doc_id = b.doc_id AND tb.is_delta
+            JOIN grp g ON g.band = a.band AND g.bkey = a.bkey
+            WHERE g.n BETWEEN 2 AND $DfCap),
+          est AS (
+            SELECT delta_id, base_id,
+                   MAX(len(list_filter(range(1, 33), i -> sa[i] = sb[i]))
+                       / 32.0) AS est_jaccard
+            FROM cand GROUP BY delta_id, base_id)
+          SELECT delta_id, base_id, CAST(est_jaccard AS DOUBLE) AS est_jaccard
+          FROM est WHERE est_jaccard >= 0.5 ORDER BY delta_id, base_id""",
+
     "dedup_minhash_pairs" ->
       s"""WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts
                        FROM documents),

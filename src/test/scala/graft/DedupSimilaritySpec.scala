@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.queries.{DedupQueries, SimilarityQueries}
 
@@ -21,6 +22,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(exact.nonEmpty, "test data should contain near-dup pairs")
     val recall = exact.intersect(cand).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall; missed ${exact.diff(cand)}")
+  }
+
+  test("incremental probe ≡ batch generator restricted to cross-side " +
+      "pairs: same buckets, same signatures, same estimates") {
+    // the batch path over the full corpus, pairs relabeled by which side
+    // each doc falls on under the md5 delta tag
+    val tag = graft.queries.DedupQueries.queries
+    val isDelta = (id: Column) => conv(substring(md5(concat(lit("delta:"),
+      id.cast("string"))), 1, 2), 16, 10).cast("int") < 26
+    val batch = tag("dedup_minhash_pairs")(spark, dir)
+      .withColumn("a_delta", isDelta(col("doc_a")))
+      .withColumn("b_delta", isDelta(col("doc_b")))
+      .filter(col("a_delta") =!= col("b_delta")) // exactly one side new
+      .select(
+        when(col("a_delta"), col("doc_a")).otherwise(col("doc_b"))
+          .as("delta_id"),
+        when(col("a_delta"), col("doc_b")).otherwise(col("doc_a"))
+          .as("base_id"),
+        col("est_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = tag("dedup_incremental_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == batch,
+      s"only-incremental=${incr.diff(batch)} only-batch=${batch.diff(incr)}")
   }
 
   test("SimHash banding finds the high-similarity pairs too") {
