@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.IncrementalDedup
+
+/** Streaming NEAR-dedup for the document ingest path: every arriving
+  * micro-batch is probed against the persisted MinHash band index of
+  * everything ingested before it, near-dup pairs are published, and the
+  * batch's own band rows are appended to the index — so the index stays
+  * current as the stream flows and corpus text is never rescanned. The
+  * streaming twin of `operators/IncrementalDedup` (exact-dedup twin:
+  * StreamingDedup), and the same batch-granular commit discipline as the
+  * CDC runtime: pairs append (K1 analog) BEFORE the index append (K2
+  * analog, the commit marker). A crash between the two replays the
+  * batch — re-published pairs land with the same (batch_id, delta_id,
+  * base_id) key and `pairsView` restores exactly-once, exactly like the
+  * msgId dedup view over the published stream.
+  *
+  * State design for 100 TB/day: unlike watermark-bounded exact dedup,
+  * the index is NOT state-store state — it is a plain parquet table
+  * (`bands` rows per doc, signatures only, never text), append-only,
+  * readable by the batch path too. Intra-batch duplicates are the batch
+  * pass's business (same contract as IncrementalDedup.probe).
+  */
+object StreamingNearDedup {
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bkey", ArrayType(LongType, containsNull = false),
+      nullable = true),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false),
+      nullable = true),
+    StructField("batch_id", LongType, nullable = false)))
+
+  val pairsSchema: StructType = StructType(Seq(
+    StructField("delta_id", LongType, nullable = false),
+    StructField("base_id", LongType, nullable = false),
+    StructField("est_jaccard", DoubleType, nullable = true),
+    StructField("batch_id", LongType, nullable = false)))
+
+  /** Exactly-once view over the at-least-once pairs table. */
+  def pairsView(spark: SparkSession, pairsDir: String): DataFrame =
+    spark.read.parquet(pairsDir)
+      .groupBy(col("batch_id"), col("delta_id"), col("base_id"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+
+  private def processBatch(pairsDir: String, indexDir: String,
+      cap: Int, threshold: Double)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val index = spark.read.parquet(indexDir)
+    // replay guard: the index append is the commit marker — a batch whose
+    // rows are already indexed is fully processed (a point filter on
+    // batch_id; parquet row-group stats prune it without a data scan)
+    if (!index.filter(col("batch_id") === batchId).isEmpty) return
+    val deltaIdx = IncrementalDedup
+      .buildIndex(batch.select(col("doc_id"), col("text")))
+    IncrementalDedup
+      .probe(index.drop("batch_id"), deltaIdx, cap, threshold = threshold)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(pairsDir)
+    deltaIdx.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(indexDir)
+  }
+
+  def start(spark: SparkSession, inputDir: String, pairsDir: String,
+      indexDir: String, checkpointDir: String,
+      cap: Int = 50, threshold: Double = 0.5,
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = false): StreamingQuery = {
+    Ddl.ensureTable(spark, indexDir, indexSchema)
+    Ddl.ensureTable(spark, pairsDir, pairsSchema)
+    val w = spark.readStream
+      .schema(StreamingDedup.inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processBatch(pairsDir, indexDir, cap, threshold) _)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** Run to completion over the currently-available input (AvailableNow). */
+  def runOnce(spark: SparkSession, inputDir: String, pairsDir: String,
+      indexDir: String, checkpointDir: String, cap: Int = 50,
+      threshold: Double = 0.5, maxFilesPerTrigger: Int = 1): Unit =
+    start(spark, inputDir, pairsDir, indexDir, checkpointDir, cap,
+      threshold, maxFilesPerTrigger, availableNow = true).awaitTermination()
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalDedup
+import graft.streaming.StreamingNearDedup
+
+/** Streaming near-dedup: per-arrival probe against the persisted band
+  * index must agree with the batch IncrementalDedup run at every step,
+  * the index must accumulate exactly once, and a no-new-data restart
+  * must be a no-op.
+  */
+class StreamingNearDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docsSlice(lo: Long, hi: Long): DataFrame =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+          .as("ingest_ts"))
+
+  test("arrival-order probes match the batch operator at every step; " +
+      "index accumulates exactly once; empty restart is a no-op") {
+    val root = Files.createTempDirectory("snd").toString
+    val slices = Seq(docsSlice(0, 40), docsSlice(40, 80), docsSlice(80, 200))
+
+    var expected = Set.empty[(Long, Long, Double)]
+    var indexedSoFar: Option[DataFrame] = None
+    for ((slice, k) <- slices.zipWithIndex) {
+      // reference: batch probe of this arrival against everything before
+      val deltaIdx = IncrementalDedup.buildIndex(slice)
+      indexedSoFar.foreach { idx =>
+        expected ++= IncrementalDedup.probe(idx, deltaIdx, cap = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      indexedSoFar = Some(indexedSoFar
+        .map(_.unionByName(deltaIdx)).getOrElse(deltaIdx)
+        .localCheckpoint())
+
+      // stream: the arrival lands as a new file, the query drains it
+      slice.coalesce(1).write.mode("append").parquet(s"$root/in")
+      StreamingNearDedup.runOnce(spark, s"$root/in", s"$root/pairs",
+        s"$root/index", s"$root/ckpt")
+
+      val got = StreamingNearDedup.pairsView(spark, s"$root/pairs")
+        .select("delta_id", "base_id", "est_jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == expected,
+        s"step $k: stream-only=${got.diff(expected)} " +
+          s"batch-only=${expected.diff(got)}")
+    }
+    assert(expected.nonEmpty,
+      "fixture should contain cross-arrival near-dup pairs")
+
+    // every doc indexed exactly once (8 band rows each)
+    val nDocs = slices.map(_.count()).sum
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.count() == nDocs * 8)
+    assert(idx.select("doc_id").distinct().count() == nDocs)
+
+    // a restart with nothing new changes neither pairs nor index
+    val pairsBefore = spark.read.parquet(s"$root/pairs").count()
+    StreamingNearDedup.runOnce(spark, s"$root/in", s"$root/pairs",
+      s"$root/index", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/pairs").count() == pairsBefore)
+    assert(spark.read.parquet(s"$root/index").count() == nDocs * 8)
+  }
+}
