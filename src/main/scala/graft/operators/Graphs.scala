@@ -44,12 +44,24 @@ object ConnectedComponents {
     * @param dst    long-typed (or castable) destination-node column name
     * @param maxIter safety bound on rounds; the algorithm needs
     *                O(log² n) — 30 covers any realistic corpus
+    * @param driverBound adaptive cutover: a DEDUPED edge set at or below
+    *               this size is solved by driver-side union-find in one
+    *               collect (an AQE-style runtime choice — the edge count
+    *               is already on hand from the first convergence
+    *               signature, so the check is free). Near-dup pair sets
+    *               are usually tiny relative to the corpus; paying
+    *               O(log² n) distributed rounds of per-round jobs for a
+    *               few thousand edges is pure overhead. Above the bound,
+    *               the large-star/small-star alternation runs unchanged —
+    *               the driver never sees an edge list it can't hold
+    *               (~1M edges ≈ tens of MB).
     * @return (node, component) — one row per distinct node appearing in
     *         `edges`, component = the minimum node id of its component.
     *         Nodes absent from `edges` (singletons) are the caller's to
     *         re-attach.
     */
-  def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 30): DataFrame = {
+  def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 30,
+      driverBound: Long = 1L << 20): DataFrame = {
     // Materialize the normalized input once: round 1 references `e` three
     // times (both large-star directions + the signature) — without this,
     // an expensive upstream (e.g. the Jaccard pair pipeline) re-executes
@@ -61,6 +73,7 @@ object ConnectedComponents {
       .localCheckpoint(false) // materialized by the signature action below
 
     var sig = signature(e)
+    if (sig._1 <= driverBound) return unionFind(e)
     var it = 0
     var converged = sig._1 == 0L // empty graph is already converged
     while (!converged && it < maxIter) {
@@ -83,6 +96,33 @@ object ConnectedComponents {
     e.select(col("src").as("node"), col("dst").as("component"))
       .union(e.select(col("dst").as("node"), col("dst").as("component")))
       .distinct()
+  }
+
+  /** Small-graph fast path: classic union-find with path compression,
+    * roots kept at the component MINIMUM so the result is identical to
+    * the converged star graph of the distributed path. Input is the
+    * already-normalized, already-bounded edge set.
+    */
+  private def unionFind(e: DataFrame): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    val pairs = e.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // attach the larger root under the smaller
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n))).toDF("node", "component")
   }
 
   /** Large-star: connect every neighbor larger than `u` to the minimum of

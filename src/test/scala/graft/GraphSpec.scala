@@ -14,9 +14,22 @@ import graft.operators.ConnectedComponents
 class GraphSpec extends SparkSuite {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+  /** Runs BOTH execution paths (driver union-find fast path and the
+    * distributed large-star/small-star alternation, forced via
+    * driverBound = 0) and asserts they agree before returning — every
+    * graph in this suite pins the adaptive cutover's result identity.
+    */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val fast = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents
+      .run(edges.toDF("a", "b"), "a", "b", driverBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist,
+      s"fast-path/distributed divergence: ${fast.toSet.diff(dist.toSet)} " +
+        s"vs ${dist.toSet.diff(fast.toSet)}")
+    dist
+  }
 
   /** Driver-side truth: path-compressed union-find, component = min id. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
