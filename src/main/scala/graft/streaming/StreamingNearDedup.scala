@@ -43,6 +43,15 @@ object StreamingNearDedup {
     StructField("est_jaccard", DoubleType, nullable = true),
     StructField("batch_id", LongType, nullable = false)))
 
+  /** Test seam (same contract as StreamingCdc.faultpoint): invoked
+    * between the pairs append (at-least-once) and the index append (the
+    * commit marker) — throwing here simulates a crash in the duplicate
+    * window; replay must re-publish the batch's pairs and `pairsView`
+    * must still be exactly-once. No-op in production.
+    */
+  @volatile private[graft]
+  var faultpoint: Long => Unit = _ => ()
+
   /** Exactly-once view over the at-least-once pairs table. */
   def pairsView(spark: SparkSession, pairsDir: String): DataFrame =
     spark.read.parquet(pairsDir)
@@ -63,6 +72,7 @@ object StreamingNearDedup {
       .probe(index.drop("batch_id"), deltaIdx, cap, threshold = threshold)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(pairsDir)
+    faultpoint(batchId)
     deltaIdx.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(indexDir)
   }
