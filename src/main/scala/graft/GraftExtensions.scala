@@ -97,5 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_agg",
         "simhash_agg(array<string>) - group-level 64-bit SimHash aggregate"),
       (es: Seq[Expression]) => SimHashAgg(es.head)))
+    ext.injectFunction((FunctionIdentifier("mg_candidates"),
+      info("mg_candidates",
+        "mg_candidates(token, capacity) - Misra-Gries frequent-items " +
+          "candidate set (bounded-memory, mergeable)"),
+      (es: Seq[Expression]) => MisraGriesAgg(es(0), es(1))))
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextHashes
 import graft.operators.ConnectedComponents
@@ -122,6 +123,56 @@ object DedupQueries {
         .filter(col("containment") >= ContainMin)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("containment"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // EXACT all-pairs Jaccard ≥ t with NO df-cap and NO candidate loss,
+    // via prefix filtering (Chaudhuri et al. ICDE'06; Bayardo et al.
+    // WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al.
+    // ppjoin): order every document's shingles by a single global total
+    // order (document frequency ascending, hash ascending — rare first),
+    // and index ONLY each doc's first |d| − ⌈t·|d|⌉ + 1 shingles. The
+    // prefix lemma makes this lossless: if J(A,B) ≥ t then the globally
+    // smallest shingle of A∩B lies inside BOTH prefixes (every A-shingle
+    // ordered before it is outside B and there are at most
+    // |A| − ⌈t·|A|⌉ of those — symmetric for B), so the pair surfaces in
+    // some prefix bucket. Candidates are then verified EXACTLY against
+    // the full per-doc shingle-set arrays (array_intersect of two
+    // doc-length-bounded arrays — a keyed join, no re-scan of the
+    // index). Complements the df-capped dedup_ngram_jaccard: that one
+    // trades completeness on boilerplate-heavy pairs for a hard fan-out
+    // bound; this one is complete, with the fan-out tamed by rare-first
+    // ordering (hot shingles enter only the prefixes of docs that have
+    // nothing rarer — at t=0.5, 60% of each doc's postings never enter
+    // the index at all). The oracle is the BRUTE-FORCE pair set — the
+    // gate proves losslessness, not just self-consistency.
+    "dedup_prefix_pairs" -> ((s, dir) => {
+      val ex = load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr(s"shingle_hashes($toks, 3)")).as("s"))
+      val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val ranked = ex.join(dfreq, "s")
+        .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
+        .withColumn("nsh", count(lit(1)).over(byDoc))
+      val prefix = ranked.filter(
+        col("rk") <= col("nsh") - ceil(lit(JaccardMin) * col("nsh")) + 1)
+      val cand = prefix.groupBy(col("s"))
+        .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr("ordered_pairs(ds)")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      val sets = ex.groupBy(col("doc_id"))
+        .agg(expr("sort_array(collect_list(s))").as("ss"))
+      cand
+        .join(sets.toDF("doc_a", "sa"), "doc_a")
+        .join(sets.toDF("doc_b", "sb"), "doc_b")
+        .withColumn("inter",
+          expr("cast(size(array_intersect(sa, sb)) as bigint)"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jaccard") >= JaccardMin)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // Repeated-span detection: the exact-substring dedup signal (public
     // technique: Lee et al. 2022 dedupe verbatim spans repeated anywhere
@@ -608,6 +659,24 @@ object DedupQueries {
           JOIN sizes na ON na.doc_id = doc_a
           JOIN sizes nb ON nb.doc_id = doc_b
           WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= $JaccardMin
+          ORDER BY doc_a, doc_b""",
+    // BRUTE-FORCE all-pairs (no prefix logic, no cap): matching this is
+    // the losslessness proof of the engine's prefix-filtered form.
+    "dedup_prefix_pairs" ->
+      s"""WITH ex AS (
+            SELECT doc_id, unnest($duckShingles) AS s FROM documents),
+          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM ex GROUP BY doc_id),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, inter,
+                 CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jaccard
+          FROM p
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter)
+                  >= $JaccardMin
           ORDER BY doc_a, doc_b""",
     "dedup_containment_pairs" ->
       s"""WITH ex AS (

@@ -248,8 +248,106 @@ object TextQueries {
         expr("cast(size(winnow_fingerprint(text)) as bigint)").as("n_winnow"),
         expr(s"simhash64($toks)").as("simhash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // EXACT frequent tokens (support ≥ n/256) via the scalable two-phase
+    // shape: phase 1 runs the native Misra-Gries aggregate
+    // (graft.functions.MisraGriesAgg, capacity 512 — mergeable partial
+    // summaries, so the token stream itself never shuffles; each task
+    // ships one ≤512-entry summary) and the corpus token count in ONE
+    // scan; phase 2 recounts ONLY the candidates exactly (an In-set
+    // filter — ≤512 keys — then a tiny keyed agg) and applies the exact
+    // integer support threshold cnt*256 ≥ n. MG's deterministic guarantee
+    // (undercount ≤ n/513 < n/256) makes the candidate set a superset of
+    // the true answer under ANY partitioning, so the final output is
+    // exact and bit-checks against the brute-force oracle — the classic
+    // sketch-then-verify pattern that replaces a full-vocabulary shuffle
+    // with two narrow scans at 100 TB. The collected candidate row is
+    // bounded model-style bookkeeping (≤512 strings + one long), like the
+    // k-means centroids.
+    "text_heavy_hitters" -> ((s, dir) => {
+      graft.functions.MisraGriesAgg.register(s)
+      val tk = load(s, dir, "documents")
+        .select(explode(expr(toks)).as("tok"))
+      val sk = tk.agg(expr("mg_candidates(tok, 512)").as("cs"),
+        count(lit(1)).as("n")).head()
+      val cand = sk.getSeq[String](0)
+      val n = sk.getLong(1)
+      val base = if (cand.isEmpty) tk.filter(lit(false))
+        else tk.filter(col("tok").isin(cand: _*))
+      base.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 256 >= lit(n))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    // BPE tokenizer TRAINING (Sennrich et al. 2016): the full iterative
+    // merge-table learner, not just the first pair count
+    // (text_bpe_merge_pairs). Corpus-scale work happens ONCE — the word
+    // frequency groupBy; every merge round then runs over the cached
+    // VOCABULARY-sized (word, cnt) table: count adjacent symbol pairs
+    // weighted by word frequency (partial agg), take the argmax merge
+    // (count desc, pair asc — deterministic; a 1-row driver collect per
+    // round, bounded bookkeeping like the Lloyd iterations), and rewrite
+    // each word's symbol array with a leftmost-greedy fold (exactly BPE's
+    // merge application; a merged symbol can never re-match as the left
+    // side mid-pass since L+R ≠ L for nonempty R). At 100 TB the loop
+    // cost is O(merges × vocab), independent of corpus size — the reason
+    // real BPE trainers work from a word-count table. Output = the
+    // ranked merge table (the trained tokenizer artifact). Iterative +
+    // driver-built output ⇒ rows-only; pinned bit-exact against a naive
+    // single-node reference trainer in TextHashesSpec.
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = load(s, dir, "documents")
+        .select(explode(expr(toks)).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      var syms = words.select(col("cnt"), split(col("w"), "").as("sy"))
+        .persist()
+      syms.count()
+      val merges = scala.collection.mutable.Buffer
+        .empty[(Long, String, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= BpeMerges && !done) {
+        val top = syms
+          .filter(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(sy) - 2), " +
+              "i -> struct(sy[i] AS l, sy[i + 1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (l, rr, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          val m = l + rr
+          merges += ((r.toLong, l, rr, m, c))
+          val next = syms.withColumn("sy",
+            aggregate(col("sy"), lit(Array.empty[String]),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, size(acc)) === lit(l) && (x === lit(rr)),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+                .otherwise(concat(acc, array(x))))).persist()
+          next.count()
+          syms.unpersist()
+          syms = next
+          r += 1
+        }
+      }
+      syms.unpersist()
+      merges.toSeq.toDF("rank", "left", "right", "merged", "cnt")
+        .orderBy(col("rank"))
     })
   )
+
+  // Merge rounds the BPE trainer runs (the learned tokenizer's merge-table
+  // size). Small here; a production vocab would use thousands — the loop
+  // cost is O(merges × vocab) either way.
+  private[graft] val BpeMerges = 8
 
   // LM CTE chain shared by the score and bucket oracles (single-sourced so
   // the two gates can never drift apart).
@@ -278,6 +376,16 @@ object TextQueries {
              GROUP BY doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    // Brute force: the full token count table — exactly what the two-phase
+    // MG sketch-then-recount avoids shuffling at scale. Integer support
+    // threshold (cnt*256 ≥ n): no float compare anywhere.
+    "text_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+          c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+          t AS (SELECT COUNT(*) AS n FROM tk)
+          SELECT tok, cnt FROM c, t WHERE cnt * 256 >= n
+          ORDER BY cnt DESC, tok""",
     // Same LM replay: unigram counts + add-one-smoothed bigram counts are
     // exact integers; AVG(LN(...)) carries the usual 6dp float-rounding
     // caveat (accumulation order unpinned in both engines — see the
