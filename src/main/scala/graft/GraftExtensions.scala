@@ -97,6 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_agg",
         "simhash_agg(array<string>) - group-level 64-bit SimHash aggregate"),
       (es: Seq[Expression]) => SimHashAgg(es.head)))
+    ext.injectFunction((FunctionIdentifier("bpe_apply"),
+      info("bpe_apply",
+        "bpe_apply(word, merges_string) - encode a word with a learned " +
+          "BPE merge table ('l r l r …', space-joined)"),
+      (es: Seq[Expression]) => BpeImpl.builder(es)))
     ext.injectFunction((FunctionIdentifier("mg_candidates"),
       info("mg_candidates",
         "mg_candidates(token, capacity) - Misra-Gries frequent-items " +

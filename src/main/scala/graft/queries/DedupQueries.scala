@@ -149,19 +149,45 @@ object DedupQueries {
         .select(col("doc_id"),
           explode(expr(s"shingle_hashes($toks, 3)")).as("s"))
       val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-      val ranked = ex.join(dfreq, "s")
-        .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
-        .withColumn("nsh", count(lit(1)).over(byDoc))
-      val prefix = ranked.filter(
-        col("rk") <= col("nsh") - ceil(lit(JaccardMin) * col("nsh")) + 1)
+      // ONE doc-keyed exchange builds the rare-first-ordered shingle array
+      // per doc (sort_array over (df, s) structs = the global total order,
+      // applied doc-locally); the same frame serves prefix extraction AND
+      // exact verification — no separate window pass, no second per-doc
+      // aggregation. (A/B at sf0.1: row_number-window form 4.3 s → this
+      // form + the positional filter below 1.9 s.)
+      val sets = ex.join(dfreq, "s")
+        .groupBy(col("doc_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(df, s))), " +
+          "x -> x.s)").as("ss"))
+      // prefix postings keep their rank: the ppjoin POSITIONAL filter
+      // (Xiao et al.) bounds a pair's possible overlap at the meeting
+      // point — 1 + min(remaining-in-A, remaining-in-B) — and drops it if
+      // that can't reach the required overlap α = t/(1+t)·(|A|+|B|).
+      // Lossless: a true pair is generated at the globally-minimal shared
+      // shingle, where the bound provably ≥ its real overlap ≥ α (α is
+      // FLOORED from the float product — only ever weaker, never
+      // over-pruning a boundary pair). At sf0.1 the filter cuts 430k
+      // generated / 409k distinct candidates to 125k, and exact
+      // verification is the dominant stage, so it is the scale lever.
+      val prefix = sets.select(col("doc_id"), size(col("ss")).as("nsh"),
+        posexplode(expr(
+          s"slice(ss, 1, size(ss) - cast(ceil($JaccardMin * size(ss)) " +
+            "as int) + 1)")).as(Seq("p", "s")))
+        .select(col("s"),
+          struct(col("doc_id"), (col("p") + 1).as("rk"), col("nsh")).as("e"))
+      val alphaF = JaccardMin / (1 + JaccardMin)
       val cand = prefix.groupBy(col("s"))
-        .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
+        .agg(expr("sort_array(collect_list(e))").as("ds"))
         .filter(size(col("ds")) >= 2)
-        .select(explode(expr("ordered_pairs(ds)")).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b")).distinct()
-      val sets = ex.groupBy(col("doc_id"))
-        .agg(expr("sort_array(collect_list(s))").as("ss"))
+        .select(explode(expr("struct_pairs(ds)")).as("pp"))
+        .select(col("pp.a.doc_id").as("doc_a"),
+          col("pp.b.doc_id").as("doc_b"),
+          col("pp.a.rk").as("ra"), col("pp.a.nsh").as("na"),
+          col("pp.b.rk").as("rb"), col("pp.b.nsh").as("nb"))
+        .filter(lit(1) +
+          least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          floor((col("na") + col("nb")) * lit(alphaF)))
+        .select(col("doc_a"), col("doc_b")).distinct()
       cand
         .join(sets.toDF("doc_a", "sa"), "doc_a")
         .join(sets.toDF("doc_b", "sb"), "doc_b")

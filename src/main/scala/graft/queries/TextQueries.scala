@@ -297,52 +297,94 @@ object TextQueries {
     // ranked merge table (the trained tokenizer artifact). Iterative +
     // driver-built output ⇒ rows-only; pinned bit-exact against a naive
     // single-node reference trainer in TextHashesSpec.
-    "text_bpe_train" -> ((s, dir) => {
-      import s.implicits._
-      val words = load(s, dir, "documents")
-        .select(explode(expr(toks)).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      var syms = words.select(col("cnt"), split(col("w"), "").as("sy"))
-        .persist()
-      syms.count()
-      val merges = scala.collection.mutable.Buffer
-        .empty[(Long, String, String, String, Long)]
-      var r = 1
-      var done = false
-      while (r <= BpeMerges && !done) {
-        val top = syms
-          .filter(size(col("sy")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(0, size(sy) - 2), " +
-              "i -> struct(sy[i] AS l, sy[i + 1] AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty) done = true
-        else {
-          val (l, rr, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          val m = l + rr
-          merges += ((r.toLong, l, rr, m, c))
-          val next = syms.withColumn("sy",
-            aggregate(col("sy"), lit(Array.empty[String]),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, size(acc)) === lit(l) && (x === lit(rr)),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-                .otherwise(concat(acc, array(x))))).persist()
-          next.count()
-          syms.unpersist()
-          syms = next
-          r += 1
-        }
-      }
-      syms.unpersist()
-      merges.toSeq.toDF("rank", "left", "right", "merged", "cnt")
-        .orderBy(col("rank"))
+    "text_bpe_train" -> ((s, dir) =>
+      bpeTrain(s, dir).orderBy(col("rank"))),
+
+    // BPE ENCODE with the trained table — the inference half closing the
+    // tokenizer loop: train on the corpus, then tokenize the corpus with
+    // the learned merges. The merge table (≤ BpeMerges pairs — the model
+    // artifact) is flattened into one space-joined literal (symbols come
+    // from whitespace-split words, so a space can never occur inside one)
+    // and baked into the native bpe_apply expression
+    // (graft.functions.BpeApply): the per-word encode is a whole-stage-
+    // codegen static call — no join against a merge table, no interpreted
+    // lambda chain, the corpus is scanned once. Output per doc: word
+    // count, char count and the BPE token count — the sequence-length
+    // audit a tokenization pipeline runs before packing. Rows-only
+    // (trained artifact upstream); the encode itself is pinned in
+    // BpeEncodeSpec: equivalence with the trainer's per-round fold chain
+    // (two independent algorithms), lossless segmentation (concat of
+    // tokens rebuilds the word), and count bounds.
+    "text_bpe_encode" -> ((s, dir) => {
+      val flat = bpeTrain(s, dir).orderBy(col("rank")).collect()
+        .flatMap(r => Seq(r.getString(1), r.getString(2))).mkString(" ")
+      load(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("w"))
+        .select(col("doc_id"), col("w"),
+          call_function("bpe_apply", col("w"), lit(flat)).as("enc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum(length(col("w"))).cast("bigint").as("n_chars"),
+          sum(size(col("enc"))).cast("bigint").as("n_bpe"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Iterative BPE trainer core (shared by text_bpe_train and the encode
+    * query): returns the UNSORTED merge table
+    * (rank, left, right, merged, cnt).
+    */
+  private def bpeTrain(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val words = load(s, dir, "documents")
+      .select(explode(expr(toks)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var syms = words.select(col("cnt"), split(col("w"), "").as("sy"))
+      .persist()
+    // no eager materialization: each round's ONE action (the argmax
+    // collect) both computes the round's answer and populates the current
+    // table's cache; the parent cache is released only after that action
+    // has run, so no lineage is ever recomputed and no extra job is spent
+    var prev: org.apache.spark.sql.DataFrame = null
+    val merges = scala.collection.mutable.Buffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= BpeMerges && !done) {
+      val top = syms
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), " +
+            "i -> struct(sy[i] AS l, sy[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = l + rr
+        merges += ((r.toLong, l, rr, m, c))
+        val next = syms.withColumn("sy",
+          aggregate(col("sy"), lit(Array.empty[String]),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, size(acc)) === lit(l) && (x === lit(rr)),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+              .otherwise(concat(acc, array(x))))).persist()
+        prev = syms
+        syms = next
+        r += 1
+      }
+    }
+    syms.unpersist()
+    if (prev != null) prev.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "cnt")
+  }
 
   // Merge rounds the BPE trainer runs (the learned tokenizer's merge-table
   // size). Small here; a production vocab would use thousands — the loop
