@@ -67,6 +67,12 @@ object DedupQueries {
   // token count, which parquet caps far below that here).
   private val SpanLen = 8
 
+  // Negative-sampling pool target for mix_contrastive_pairs: the
+  // deterministic md5-prefix sample keeps ~PoolTarget docs regardless of
+  // corpus size (threshold = exact integer cross-multiply, shared with
+  // the oracle).
+  private val PoolTarget = 16384L
+
   // Winnowing near-dup knobs, shared by the Spark query AND its oracle.
   // k=24 (not the per-doc-stats default 8): an 8-char window minimum is a
   // vocabulary-common substring, so its posting list grows with CORPUS
@@ -284,6 +290,62 @@ object DedupQueries {
           .when(bucket < 230, "val").otherwise("test"))
         .select(col("doc_id"), col("cluster_id"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Contrastive training-pair generation (the retrieval/embedding-model
+    // data a dedup pipeline's by-product feeds): POSITIVES are the
+    // near-dup Jaccard pairs (label 1), NEGATIVES are deterministic
+    // hash-sampled partners for every anchor doc appearing in a positive
+    // (label 0) — the (anchor, positive, negative) triplet shape of
+    // contrastive/triplet-loss training, flattened to labeled pairs.
+    // Negative sampling is RNG-free and scale-bounded: a ~16k-doc
+    // representative pool is drawn by a deterministic md5-prefix
+    // predicate whose threshold is the exact integer cross-multiply
+    // hash·n < 2^16·target (no float, replays in SQL; the KMeans trainer's
+    // sample-bounding trick), pool docs land in 256 hash buckets (~64
+    // each), each (anchor, j) probe picks the md5-argmin pool member of
+    // its probe bucket (row_number over a ≤64-row partition), and
+    // accidental true-pair collisions are removed by an anti-join against
+    // the positives. Everything is md5 arithmetic ⇒ fully oracle-checked.
+    // At 100 TB: pool build is one scan + one bounded filter, probes are
+    // a keyed join against a 16k-row broadcast-sized pool — negatives
+    // cost O(anchors), never O(corpus²).
+    "mix_contrastive_pairs" -> ((s, dir) => {
+      val pos = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val docs = load(s, dir, "documents").select(col("doc_id"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val pool = docs.crossJoin(broadcast(nRow))
+        .filter(
+          conv(substring(md5(concat(lit("cp:"), col("doc_id").cast("string"))),
+            1, 4), 16, 10).cast("bigint") * col("n") <
+            lit(65536L) * lit(PoolTarget))
+        .select(col("doc_id"),
+          conv(substring(md5(concat(lit("cb:"), col("doc_id").cast("string"))),
+            1, 2), 16, 10).cast("bigint").as("bucket"))
+      val anchors = pos.select(col("doc_a").as("a"))
+        .union(pos.select(col("doc_b").as("a"))).distinct()
+      val probes = anchors
+        .select(col("a"), explode(array(lit(1L), lit(2L))).as("j"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("nb:"), col("a").cast("string"),
+            lit(":"), col("j").cast("string"))), 1, 2), 16, 10)
+            .cast("bigint"))
+      val w = Window.partitionBy(col("a"), col("j"))
+        .orderBy(col("h"), col("doc_id"))
+      val neg = probes.join(pool, "bucket")
+        .filter(col("doc_id") =!= col("a"))
+        .withColumn("h", md5(concat(lit("np:"), col("a").cast("string"),
+          lit(":"), col("j").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(least(col("a"), col("doc_id")).as("doc_a"),
+          greatest(col("a"), col("doc_id")).as("doc_b"))
+        .distinct()
+        .join(pos, Seq("doc_a", "doc_b"), "left_anti")
+        .withColumn("label", lit(0L))
+      pos.withColumn("label", lit(1L)).union(neg)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Content-defined chunking dedup (Gear rolling hash, FastCDC family):
@@ -685,6 +747,65 @@ object DedupQueries {
           JOIN sizes na ON na.doc_id = doc_a
           JOIN sizes nb ON nb.doc_id = doc_b
           WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= $JaccardMin
+          ORDER BY doc_a, doc_b""",
+    // Full replay of the contrastive-pair generator: the positives CTE is
+    // the dedup_ngram_jaccard chain; pool/probe/argmin are md5 integer
+    // arithmetic ('0x'||hex cast = Spark's conv(...,16,10)).
+    "mix_contrastive_pairs" ->
+      s"""WITH ex AS (
+            SELECT doc_id, unnest($duckShingles) AS s FROM documents),
+          rare AS (
+            SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $DfCap),
+          e2 AS (SELECT ex.* FROM ex JOIN rare USING (s)),
+          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM e2 GROUP BY doc_id),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM e2 a JOIN e2 b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          jp AS (
+            SELECT doc_a, doc_b FROM p
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter)
+                    >= $JaccardMin),
+          nn AS (SELECT COUNT(*) AS n FROM documents),
+          pool AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('cb:' || CAST(doc_id AS VARCHAR)),
+                     1, 2)) AS BIGINT) AS bucket
+            FROM documents CROSS JOIN nn
+            WHERE CAST(('0x' || substr(md5('cp:' || CAST(doc_id AS VARCHAR)),
+                    1, 4)) AS BIGINT) * n < 65536 * $PoolTarget),
+          anchors AS (
+            SELECT DISTINCT a FROM (
+              SELECT doc_a AS a FROM jp UNION SELECT doc_b FROM jp)),
+          probes AS (
+            SELECT a, j,
+                   CAST(('0x' || substr(md5('nb:' || CAST(a AS VARCHAR) ||
+                     ':' || CAST(j AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket
+            FROM anchors, (SELECT unnest([1, 2]) AS j)),
+          cand AS (
+            SELECT pr.a, pr.j, po.doc_id,
+                   md5('np:' || CAST(pr.a AS VARCHAR) || ':' ||
+                     CAST(pr.j AS VARCHAR) || ':' ||
+                     CAST(po.doc_id AS VARCHAR)) AS h
+            FROM probes pr JOIN pool po USING (bucket)
+            WHERE po.doc_id <> pr.a),
+          pick AS (
+            SELECT a, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY a, j
+                     ORDER BY h, doc_id) AS rn
+            FROM cand),
+          negpairs AS (
+            SELECT DISTINCT LEAST(a, doc_id) AS doc_a,
+                   GREATEST(a, doc_id) AS doc_b
+            FROM pick WHERE rn = 1),
+          neg AS (
+            SELECT np.doc_a, np.doc_b FROM negpairs np
+            ANTI JOIN jp ON jp.doc_a = np.doc_a AND jp.doc_b = np.doc_b)
+          SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS label FROM jp
+          UNION ALL
+          SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS label FROM neg
           ORDER BY doc_a, doc_b""",
     // BRUTE-FORCE all-pairs (no prefix logic, no cap): matching this is
     // the losslessness proof of the engine's prefix-filtered form.
