@@ -24,7 +24,7 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       TemporalQueries.queries ++ RankMixQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ ClassifierQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
       TemporalQueries.oracle ++ RankMixQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++ ClassifierQueries.oracle
 }

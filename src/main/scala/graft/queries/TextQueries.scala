@@ -217,6 +217,33 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
         .orderBy(col("doc_id"))),
 
+    // Context-window chunking for LLM training: each document's token
+    // stream is cut into fixed-size windows (CHUNK=32 tokens) with stride
+    // 24 (8-token overlap so no next-token context is lost at a boundary),
+    // the sequence-preparation step between curation and pack_shards.
+    // Narrow per-doc map + explode — NO shuffle at any corpus size; the
+    // only exchange is the output sort. Tail windows shorter than 8 tokens
+    // are dropped unless they are the document's only chunk (every doc
+    // must survive into training). All arithmetic is integer-exact.
+    "text_train_chunks" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"), expr(toks).as("tokens"),
+          expr(s"cast(size($toks) as bigint)").as("n"))
+        .select(col("doc_id"), col("tokens"), col("n"),
+          explode(expr("sequence(0, cast((n - 1) div 24 as int))")).as("k"))
+        .select(col("doc_id"),
+          col("k").cast("long").as("chunk_id"),
+          (col("k").cast("long") * 24 + 1).as("start_tok"),
+          least(lit(32L), col("n") - col("k").cast("long") * 24)
+            .as("chunk_len"),
+          col("tokens"))
+        .filter(col("chunk_len") >= 8 || col("chunk_id") === 0)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("chunk_len"),
+          expr("array_join(slice(tokens, cast(start_tok as int), " +
+            "cast(chunk_len as int)), ' ')").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Document-frequency vocabulary: top-100 tokens by how many documents
     // contain them — the vocab-building / stopword-discovery pass. Explode
     // of per-doc DISTINCT tokens, partial-agg counts, TakeOrdered top-k.
@@ -528,6 +555,26 @@ object TextQueries {
          SELECT doc_id, n_tokens,
                 CAST((run - n_tokens) // 2048 AS BIGINT) AS shard_id
          FROM r ORDER BY doc_id""",
+    "text_train_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens,
+                  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         k AS (
+           SELECT doc_id, tokens, n,
+                  UNNEST(RANGE(0, (n - 1) // 24 + 1)) AS k
+           FROM t),
+         c AS (
+           SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                  CAST(k * 24 + 1 AS BIGINT) AS start_tok,
+                  CAST(LEAST(32, n - k * 24) AS BIGINT) AS chunk_len,
+                  tokens
+           FROM k)
+         SELECT doc_id, chunk_id, start_tok, chunk_len,
+                ARRAY_TO_STRING(LIST_SLICE(tokens, start_tok,
+                  start_tok + chunk_len - 1), ' ') AS chunk_text
+         FROM c WHERE chunk_len >= 8 OR chunk_id = 0
+         ORDER BY doc_id, chunk_id""",
     "text_doc_freq" ->
       """SELECT token, COUNT(*) AS df
          FROM (SELECT unnest(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
