@@ -243,6 +243,48 @@ object DedupQueries {
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
         .limit(100)),
 
+    // Repeated-span REMOVAL — the cut step that turns dedup_span_detect's
+    // signal into a cleaned corpus (Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better", ExactSubstr: delete
+    // every verbatim span that also occurs in another document). A token
+    // is dropped iff some duplicated SpanLen-gram covers it; survivors
+    // keep their original order. Scale: the gram index is built and
+    // counted ONCE (one exchange keyed by gram, partial aggs map-side);
+    // duplicated grams join back by KEY (no broadcast assumption — the
+    // dup-gram set grows with the corpus); coverage is then applied
+    // DOC-LOCALLY — only the per-doc start-position list (ints, ≤
+    // tokens/doc) shuffles to the doc, never exploded token rows. The
+    // kept-token pass is O(n) per doc: array_except(position-range,
+    // covered) builds a hashed set once, and each survivor is an O(1)
+    // element_at — not O(n·|covered|) membership scans.
+    "dedup_span_removal" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        posexplode(expr(s"word_ngrams($toks, $SpanLen)"))
+          .as(Seq("p", "gram")))
+        .select(col("doc_id"), (col("p") + 1).as("pos"), col("gram"))
+      val dup = grams.groupBy(col("gram"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("gram"))
+      val starts = grams.join(dup, "gram")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("pos"))).as("starts"))
+      docs.select(col("doc_id"), col("text"))
+        .join(starts, Seq("doc_id"), "left")
+        .withColumn("t", expr(toks))
+        .withColumn("cov",
+          expr(s"array_distinct(flatten(transform(coalesce(starts, " +
+            s"array()), st -> sequence(st, st + $SpanLen - 1))))"))
+        .withColumn("kept",
+          expr("transform(array_except(sequence(1, size(t)), cov), " +
+            "i -> element_at(t, i))"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(col("kept")).cast("long").as("kept_tokens"),
+          expr("array_join(kept, ' ')").as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup CLUSTERS: transitive closure of the Jaccard pairs via
     // distributed connected components (large-star/small-star,
     // graft.operators.ConnectedComponents) — the pairs → clusters step an
@@ -860,6 +902,35 @@ object DedupQueries {
                  enc // 1000000 AS first_doc, enc % 1000000 AS first_pos
           FROM agg WHERE n_docs >= 2
           ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100""",
+    // Span removal: same gram replay as span_detect, then per-doc covered
+    // positions and an order-preserving comprehension over the kept ones.
+    "dedup_span_removal" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          g AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[i:i + $SpanLen - 1], ' ') AS gram
+            FROM t,
+                 UNNEST(RANGE(1, GREATEST(LEN(t) - $SpanLen + 1, 0) + 1))
+                   AS r(i)),
+          dup AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+          cov AS (
+            SELECT g.doc_id, LIST(DISTINCT cp) AS cov
+            FROM g JOIN dup USING (gram),
+                 UNNEST(generate_series(pos, pos + $SpanLen - 1)) AS u(cp)
+            GROUP BY g.doc_id),
+          k AS (
+            SELECT t.doc_id, CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+                   [t.t[ki] FOR ki IN generate_series(1, LEN(t.t))
+                    IF NOT list_contains(COALESCE(cov.cov, []), ki)] AS kept
+            FROM t LEFT JOIN cov USING (doc_id))
+          SELECT doc_id, n_tokens, CAST(LEN(kept) AS BIGINT) AS kept_tokens,
+                 -- DuckDB: array_to_string([]) is NULL, Spark array_join
+                 -- of an empty array is '' — pin the Spark behavior
+                 COALESCE(array_to_string(kept, ' '), '') AS clean_text
+          FROM k ORDER BY doc_id""",
     // Semantic dedup: the full engine dataflow replayed in SQL — LSH
     // buckets (same plane weights as sim_lsh_buckets), label+bucket
     // candidates with the 200 cap, exact 6dp cosine gate, recursive-CTE

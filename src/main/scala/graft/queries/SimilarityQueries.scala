@@ -36,6 +36,11 @@ object SimilarityQueries {
 
   private val NQueries = 10 // vec_id < 10 are the query vectors
   private val TopK = 5
+  // kNN-graph bucket cap: same role (and value) as DedupQueries'
+  // VecBucketCap — bounds the worst bucket's pair fan-out (≤ cap²/2 pairs
+  // per task) without assuming the bucket histogram; replayed verbatim in
+  // the oracle so the cap is part of the checked contract.
+  private val GraphBucketCap = 200
 
   /** Collected coarse quantizer: (cell, centroid, L2 norm), sorted by cell
     * ascending so the assignment fold's strict `>` keeps the smallest cell
@@ -349,6 +354,51 @@ object SimilarityQueries {
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("rank"), col("nid"), col("cos"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Corpus-wide approximate kNN GRAPH — every vector's top-k neighbors
+    // (not just a query set's), the structure graph-based curation needs:
+    // SemDeDup-style cluster pruning, mutual-kNN community detection,
+    // graph-diversity sampling all consume exactly this edge list.
+    // Candidates come from the same 4×6 LSH tables as sim_knn_lsh, but
+    // ALL-PAIRS within a bucket (capped like dedup_embedding_near — an
+    // over-full bucket would explode n²/2 pairs in one task), so the
+    // corpus is never self-joined: pair fan-out is Σ min(n_b,cap)²/2 over
+    // buckets, linear in corpus size for hash-balanced buckets. Each
+    // undirected pair is scored ONCE (normalize-first vec_dot, exact,
+    // 6 dp), then symmetrized and ranked per node — the row_number window
+    // partitions by node, so no global sort. `mutual` marks edges whose
+    // reverse is also a top-k edge (one keyed self-join of the k·n edge
+    // list — tiny next to candidate generation); mutual-kNN edges are the
+    // usual community-detection backbone. Deterministic given the plane
+    // weights ⇒ the WHOLE dataflow (buckets, cap, cosine, ranks, mutual
+    // flags) replays in the DuckDB oracle bit-exactly.
+    "sim_knn_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sigs = load(s, dir, "embeddings")
+        .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
+          posexplode(expr("lsh_buckets(embedding, 4, 6)"))
+            .as(Seq("table_id", "bucket")))
+      val pairs = sigs.groupBy(col("table_id"), col("bucket"))
+        .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
+        .filter(size(col("vs")).between(2, GraphBucketCap))
+        .select(explode(expr("struct_pairs(vs)")).as("p"))
+        .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"),
+          round(expr("vec_dot(p.a.ne, p.b.ne)"), 6).as("cos"))
+        .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos"))
+      val sym = pairs.unionByName(pairs.select(col("vb").as("va"),
+        col("va").as("vb"), col("cos")))
+      val w = Window.partitionBy(col("va"))
+        .orderBy(col("cos").desc, col("vb"))
+      val edges = sym.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("va"), col("vb"), col("cos"), col("rank"))
+      val rev = edges.select(col("vb").as("va"), col("va").as("vb"),
+        lit(true).as("m"))
+      edges.join(rev, Seq("va", "vb"), "left")
+        .select(col("va").as("vec_id"), col("rank"), col("vb").as("nid"),
+          col("cos"), coalesce(col("m"), lit(false)).as("mutual"))
+        .orderBy(col("vec_id"), col("rank"))
     })
   )
 
@@ -503,6 +553,62 @@ object SimilarityQueries {
                                       ORDER BY cos DESC, nid) AS rank
             FROM scored)
           SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos
-          FROM ranked WHERE rank <= $TopK ORDER BY qid, rank"""
+          FROM ranked WHERE rank <= $TopK ORDER BY qid, rank""",
+    // sim_knn_graph: the full dataflow replays — LSH buckets (p = t*6+j,
+    // same weights as sim_knn_lsh), the 2..cap bucket filter, one exact
+    // normalized cosine per undirected pair, symmetrize, per-node
+    // row_number, and the mutual-edge self-join.
+    "sim_knn_graph" ->
+      s"""WITH d AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+          planes AS (SELECT t, j, t * 6 + j AS p
+                     FROM (SELECT unnest(range(0, 4)) AS t),
+                          (SELECT unnest(range(0, 6)) AS j)),
+          proj AS (
+            SELECT vec_id, t, j,
+                   SUM(x * CAST((p * 2654435761 + dim * 2246822519)
+                                % 251 % 7 - 3 AS DOUBLE)) AS s
+            FROM d CROSS JOIN planes GROUP BY vec_id, t, j),
+          bkt AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id, t),
+          grp AS (SELECT t, bucket, COUNT(*) AS n FROM bkt GROUP BY 1, 2),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM bkt a
+            JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+            JOIN grp g ON g.t = a.t AND g.bucket = a.bucket
+            WHERE g.n BETWEEN 2 AND $GraphBucketCap),
+          nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm
+                  FROM d GROUP BY vec_id),
+          nd AS (SELECT d.vec_id, d.dim, d.x / nrm.nrm AS xn
+                 FROM d JOIN nrm USING (vec_id)),
+          pairs AS (
+            SELECT c.va, c.vb, ROUND(SUM(na.xn * nb.xn), 6) AS cos
+            FROM cand c
+            JOIN nd na ON na.vec_id = c.va
+            JOIN nd nb ON nb.vec_id = c.vb AND nb.dim = na.dim
+            GROUP BY c.va, c.vb),
+          sym AS (
+            SELECT va, vb, cos FROM pairs
+            UNION ALL SELECT vb AS va, va AS vb, cos FROM pairs),
+          edges AS (
+            SELECT va, vb, cos, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT va, vb, cos,
+                         ROW_NUMBER() OVER (PARTITION BY va
+                                            ORDER BY cos DESC, vb) AS rank
+                  FROM sym)
+            WHERE rank <= $TopK)
+          SELECT e.va AS vec_id, e.rank, e.vb AS nid, e.cos,
+                 COALESCE(m.m, FALSE) AS mutual
+          FROM edges e
+          LEFT JOIN (SELECT vb AS va, va AS vb, TRUE AS m FROM edges) m
+            ON m.va = e.va AND m.vb = e.vb
+          ORDER BY vec_id, rank"""
   )
 }
