@@ -513,10 +513,19 @@ object DedupQueries {
       // vectors hash to the same cell in every table) would otherwise
       // explode n²/2 pairs in one task AND collect n full 64-float vectors
       // into a single aggregation buffer. Dropped buckets' pairs are
-      // recovered by the other 5 tables (recall pinned).
-      val cands = b.groupBy(col("table_id"), col("bucket"))
+      // recovered by the other 5 tables (recall pinned). Bucket IDS are
+      // pre-filtered via a broadcast (6×2⁶ = 384 keys, fixed at any
+      // corpus size; the count agg ships only partial counts), so
+      // over-full buckets' vectors never enter the vector exchange —
+      // collect-then-drop would shuffle every dropped bucket's 64-float
+      // vectors first.
+      val good = broadcast(b.groupBy(col("table_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, VecBucketCap))
+        .select(col("table_id"), col("bucket")))
+      val cands = b.join(good, Seq("table_id", "bucket"))
+        .groupBy(col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
-        .filter(size(col("vs")).between(2, VecBucketCap))
         // struct_pairs + vec_dot: fully native pair path
         .select(explode(expr("struct_pairs(vs)")).as("p"))
         .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
@@ -541,10 +550,17 @@ object DedupQueries {
       val b = emb.select(col("vec_id"), col("label"), col("embedding"),
         posexplode(expr(s"lsh_buckets(embedding, $LshTables, $LshPlanes)"))
           .as(Seq("table_id", "bucket")))
-      val pairs = b.groupBy(col("label"), col("table_id"), col("bucket"))
+      // same broadcast bucket-id pre-filter as dedup_embedding_near —
+      // keyed by (label, table, bucket): labels × 384 keys, still tiny
+      val good = broadcast(
+        b.groupBy(col("label"), col("table_id"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, VecBucketCap))
+          .select(col("label"), col("table_id"), col("bucket")))
+      val pairs = b.join(good, Seq("label", "table_id", "bucket"))
+        .groupBy(col("label"), col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, embedding)))")
           .as("vs"))
-        .filter(size(col("vs")).between(2, VecBucketCap))
         .select(explode(expr("struct_pairs(vs)")).as("p"))
         .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"),
           round(expr("vec_cos(p.a.embedding, p.b.embedding)"), 6).as("cos"))

@@ -379,9 +379,21 @@ object SimilarityQueries {
         .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
           posexplode(expr("lsh_buckets(embedding, 4, 6)"))
             .as(Seq("table_id", "bucket")))
-      val pairs = sigs.groupBy(col("table_id"), col("bucket"))
+      // Pre-filter bucket IDS before shuffling vectors: the bucket
+      // population is fixed (4 tables × 2⁶ buckets = 256 keys) so the
+      // qualifying-bucket list always broadcasts, the count agg ships
+      // only (table, bucket, partial count), and over-full buckets'
+      // vectors never enter the exchange at all — collect-then-drop
+      // would shuffle every 64-float vector of every dropped bucket
+      // first (at sf0.1 most buckets exceed the cap: that's most of the
+      // corpus × 4 tables of avoided shuffle).
+      val good = broadcast(sigs.groupBy(col("table_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, GraphBucketCap))
+        .select(col("table_id"), col("bucket")))
+      val pairs = sigs.join(good, Seq("table_id", "bucket"))
+        .groupBy(col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
-        .filter(size(col("vs")).between(2, GraphBucketCap))
         .select(explode(expr("struct_pairs(vs)")).as("p"))
         .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"),
           round(expr("vec_dot(p.a.ne, p.b.ne)"), 6).as("cos"))
