@@ -373,7 +373,39 @@ object SimilarityQueries {
     // usual community-detection backbone. Deterministic given the plane
     // weights ⇒ the WHOLE dataflow (buckets, cap, cosine, ranks, mutual
     // flags) replays in the DuckDB oracle bit-exactly.
-    "sim_knn_graph" -> ((s, dir) => {
+    "sim_knn_graph" -> ((s, dir) =>
+      knnGraphEdges(s, dir).orderBy(col("vec_id"), col("rank"))),
+
+    // Mutual-kNN communities — the clustering the graph exists FOR: keep
+    // only edges present in BOTH endpoints' top-k (the standard
+    // spurious-edge filter: a hub can enter everyone's list, but its
+    // reverse edges don't fit its own k), then collapse connected
+    // components. Every vector gets an assignment; vectors with no
+    // mutual edge are their own singleton community. Same distributed CC
+    // (large-star/small-star) and recursive-CTE oracle discipline as
+    // dedup_clusters — the WHOLE chain (LSH graph, mutual filter,
+    // transitive closure) replays bit-exactly.
+    "sim_graph_clusters" -> ((s, dir) => {
+      val mutual = knnGraphEdges(s, dir)
+        .filter(col("mutual") && col("vec_id") < col("nid"))
+        .select(col("vec_id").as("va"), col("nid").as("vb"))
+      val comp = graft.operators.ConnectedComponents
+        .run(mutual, "va", "vb")
+        .withColumnRenamed("node", "vec_id")
+        .withColumnRenamed("component", "cid")
+      load(s, dir, "embeddings").select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cid"), col("vec_id")).as("cluster_id"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  /** The capped-LSH kNN-graph edge list shared by sim_knn_graph and
+    * sim_graph_clusters: (vec_id, rank, nid, cos, mutual).
+    */
+  private def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val sigs = load(s, dir, "embeddings")
         .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
@@ -410,9 +442,7 @@ object SimilarityQueries {
       edges.join(rev, Seq("va", "vb"), "left")
         .select(col("va").as("vec_id"), col("rank"), col("vb").as("nid"),
           col("cos"), coalesce(col("m"), lit(false)).as("mutual"))
-        .orderBy(col("vec_id"), col("rank"))
-    })
-  )
+  }
 
   // DuckDB-side cosine with the same double math; DuckDB 1.0 lacks indexed
   // list lambdas, so dims are unnested with generate_subscripts and summed —
@@ -571,7 +601,47 @@ object SimilarityQueries {
     // normalized cosine per undirected pair, symmetrize, per-node
     // row_number, and the mutual-edge self-join.
     "sim_knn_graph" ->
-      s"""WITH d AS (
+      s"""WITH $duckKnnGraphCtes
+          SELECT e.va AS vec_id, e.rank, e.vb AS nid, e.cos,
+                 COALESCE(m.m, FALSE) AS mutual
+          FROM edges e
+          LEFT JOIN (SELECT vb AS va, va AS vb, TRUE AS m FROM edges) m
+            ON m.va = e.va AND m.vb = e.vb
+          ORDER BY vec_id, rank""",
+    // sim_graph_clusters: the same edge chain, mutual filter via the
+    // reversed-edge join, then the recursive-CTE transitive closure and
+    // singleton completion over the full embeddings table.
+    "sim_graph_clusters" ->
+      s"""WITH RECURSIVE $duckKnnGraphCtes,
+          me AS (SELECT e.va AS a, e.vb AS b FROM edges e
+                 JOIN edges r ON r.va = e.vb AND r.vb = e.va
+                 WHERE e.va < e.vb),
+          -- MATERIALIZED: eg feeds the recursive member; without the
+          -- hint DuckDB inlines the CTE chain and re-evaluates the
+          -- ENTIRE kNN-graph dataflow on every closure iteration
+          -- (observed: hours of CPU at the 10x SF vs seconds with it)
+          eg AS MATERIALIZED (
+            SELECT a, b FROM me UNION SELECT b, a FROM me),
+          ng AS (SELECT DISTINCT a AS id FROM eg),
+          reach(id, r) AS (
+            SELECT id, id FROM ng
+            UNION
+            SELECT reach.id, eg.b FROM reach JOIN eg ON reach.r = eg.a),
+          comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+          SELECT emb.vec_id,
+                 COALESCE(comp.cluster_id, emb.vec_id) AS cluster_id
+          FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
+          ORDER BY vec_id"""
+  )
+
+  /** CTE chain ending in `edges` (va, vb, cos, rank ≤ $TopK) — the DuckDB
+    * replay of knnGraphEdges minus the mutual flag, shared by the
+    * sim_knn_graph and sim_graph_clusters oracles. A `def` (not a val):
+    * it is referenced from the `oracle` initializer above, and a
+    * same-object forward val reference would read null at init.
+    */
+  private def duckKnnGraphCtes: String =
+    s"""d AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings),
@@ -615,12 +685,5 @@ object SimilarityQueries {
                          ROW_NUMBER() OVER (PARTITION BY va
                                             ORDER BY cos DESC, vb) AS rank
                   FROM sym)
-            WHERE rank <= $TopK)
-          SELECT e.va AS vec_id, e.rank, e.vb AS nid, e.cos,
-                 COALESCE(m.m, FALSE) AS mutual
-          FROM edges e
-          LEFT JOIN (SELECT vb AS va, va AS vb, TRUE AS m FROM edges) m
-            ON m.va = e.va AND m.vb = e.vb
-          ORDER BY vec_id, rank"""
-  )
+            WHERE rank <= $TopK)"""
 }

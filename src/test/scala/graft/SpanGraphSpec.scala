@@ -74,6 +74,26 @@ class SpanGraphSpec extends SparkSuite {
     }
   }
 
+  test("graph clusters: mutual edges share a community, representatives " +
+      "are component minima, non-mutual vectors self-cluster") {
+    val g = SimilarityQueries.queries("sim_knn_graph")(spark, dir)
+      .filter(col("mutual")).select("vec_id", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.nonEmpty, "fixture should produce mutual edges")
+    val cl = SimilarityQueries.queries("sim_graph_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl.size ==
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    assert(cl.forall { case (v, c) => c <= v }, "rep must be a minimum")
+    g.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"mutual edge ($a,$b) straddles communities")
+    }
+    val inMutual = g.flatMap { case (a, b) => Seq(a, b) }.toSet
+    cl.foreach { case (v, c) =>
+      if (!inMutual(v)) assert(c == v, s"non-mutual $v not a singleton")
+    }
+  }
+
   test("knn graph recall@5 vs brute force on the query panel") {
     val brute = SimilarityQueries.queries("sim_knn_brute")(spark, dir)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
