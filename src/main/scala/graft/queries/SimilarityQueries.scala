@@ -403,13 +403,22 @@ object SimilarityQueries {
 
   /** The capped-LSH kNN-graph edge list shared by sim_knn_graph and
     * sim_graph_clusters: (vec_id, rank, nid, cos, mutual).
+    *
+    * `planes` is the SCALE knob (SCALING.md "fixed-space saturation"):
+    * buckets/table = 2^planes, so a production run sizes planes ≈
+    * log2(corpus / target_occupancy) to keep mean bucket occupancy — and
+    * with it candidate recall under the cap — constant as the corpus
+    * grows, exactly as IVF sizes its cell count. The registered queries
+    * pin (4, 6, 200) because those constants are replayed verbatim in
+    * the DuckDB oracle.
     */
-  private def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+  def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String, tables: Int = 4, planes: Int = 6,
+      cap: Int = GraphBucketCap, k: Int = TopK): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val sigs = load(s, dir, "embeddings")
         .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
-          posexplode(expr("lsh_buckets(embedding, 4, 6)"))
+          posexplode(expr(s"lsh_buckets(embedding, $tables, $planes)"))
             .as(Seq("table_id", "bucket")))
       // Pre-filter bucket IDS before shuffling vectors: the bucket
       // population is fixed (4 tables × 2⁶ buckets = 256 keys) so the
@@ -421,7 +430,7 @@ object SimilarityQueries {
       // corpus × 4 tables of avoided shuffle).
       val good = broadcast(sigs.groupBy(col("table_id"), col("bucket"))
         .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, GraphBucketCap))
+        .filter(col("n").between(2, cap))
         .select(col("table_id"), col("bucket")))
       val pairs = sigs.join(good, Seq("table_id", "bucket"))
         .groupBy(col("table_id"), col("bucket"))
@@ -435,7 +444,7 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("va"))
         .orderBy(col("cos").desc, col("vb"))
       val edges = sym.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
+        .filter(col("rank") <= k)
         .select(col("va"), col("vb"), col("cos"), col("rank"))
       val rev = edges.select(col("vb").as("va"), col("va").as("vb"),
         lit(true).as("m"))

@@ -94,6 +94,19 @@ class SpanGraphSpec extends SparkSuite {
     }
   }
 
+  test("knn graph plane knob: non-default (tables, planes, cap, k) run " +
+      "keeps the structural contract — the scale knob is live code") {
+    val g = SimilarityQueries
+      .knnGraphEdges(spark, dir, tables = 4, planes = 8, cap = 100, k = 3)
+      .collect()
+    assert(g.nonEmpty, "8-plane graph should still retrieve neighbors")
+    g.groupBy(_.getLong(0)).foreach { case (v, es) =>
+      assert(es.length <= 3, s"node $v exceeds k=3")
+      val ranks = es.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to es.length).toSeq)
+    }
+  }
+
   test("knn graph recall@5 vs brute force on the query panel") {
     val brute = SimilarityQueries.queries("sim_knn_brute")(spark, dir)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
