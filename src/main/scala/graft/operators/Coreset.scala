@@ -23,8 +23,13 @@ object Coreset {
     * sep_dist): rank is selection order (1-based), sep_dist the cosine
     * distance (1 − cos) from the picked row to its nearest
     * previously-selected row — the non-increasing separation sequence;
-    * null for the seed, 6dp-rounded. Seed = smallest id; every argmax
-    * breaks ties on smallest id, so the result is fully deterministic.
+    * null for the seed, 6dp-quantized. Seed = smallest id; every argmax
+    * ranks candidates by the 6dp-QUANTIZED separation (half-up,
+    * floor(d·1e6 + 0.5) — the repo's cross-engine rounding) with ties
+    * broken on smallest id, so the result is fully deterministic AND
+    * robust to float summation-order differences between engines: a
+    * full-precision argmax could flip picks on ~1e-15 near-ties, which
+    * is what kept this operator rows-only before the oracle replay.
     */
   def farthestPoint(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -50,12 +55,14 @@ object Coreset {
         .filter(!col("id").isInCollection(ids))
         .withColumn("d", array_min(transform(sel,
           c => lit(1.0) - call_function("vec_cos", col("v"), c))))
-        .orderBy(col("d").desc, col("id"))
+        .withColumn("dq",
+          floor(col("d") * lit(1e6) + lit(0.5)).cast("long"))
+        .orderBy(col("dq").desc, col("id"))
         .limit(1)
         .collect()
       next.foreach { r =>
         picked += ((step.toLong, r.getLong(0),
-          Some(math.rint(r.getDouble(2) * 1e6) / 1e6)))
+          Some(r.getLong(3) / 1e6)))
         vecs += r.getSeq[Float](1).map(_.toDouble)
         step += 1
       }

@@ -41,6 +41,9 @@ object SimilarityQueries {
   // per task) without assuming the bucket histogram; replayed verbatim in
   // the oracle so the cap is part of the checked contract.
   private val GraphBucketCap = 200
+  // Farthest-point coreset size — single-sourced into the engine query
+  // AND the unrolled oracle so the two sides cannot desynchronize.
+  private val CoresetK = 16
 
   /** Collected coarse quantizer: (cell, centroid, L2 norm), sorted by cell
     * ascending so the assignment fold's strict `>` keeps the smallest cell
@@ -304,12 +307,16 @@ object SimilarityQueries {
     // pinned by KMeansSpec.
     // Diverse coreset: greedy farthest-point selection (k-center 2-approx)
     // of 16 maximally spread vectors — the "keep the spread" complement of
-    // the dedup family. Iterative driver loop (like the k-means trainer) ⇒
-    // rows-only check; exact per-step argmax self-consistency, separation
-    // monotonicity and determinism are pinned by CoresetSpec.
+    // the dedup family. An iterative driver loop like the k-means trainer,
+    // but UNLIKE the float-averaging trainers every step is an argmax over
+    // 6dp-QUANTIZED separations with id tie-breaks — deterministic and
+    // summation-order-robust — so the whole k-step traversal replays in
+    // the oracle as 16 unrolled argmax CTEs (promoted from rows-only).
+    // Per-step self-consistency, separation monotonicity and determinism
+    // additionally pinned by CoresetSpec.
     "sim_diverse_coreset" -> ((s, dir) =>
       graft.operators.Coreset.farthestPoint(
-        load(s, dir, "embeddings"), "vec_id", "embedding", k = 16)),
+        load(s, dir, "embeddings"), "vec_id", "embedding", k = CoresetK)),
 
     "sim_kmeans_cells" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
@@ -640,8 +647,59 @@ object SimilarityQueries {
           SELECT emb.vec_id,
                  COALESCE(comp.cluster_id, emb.vec_id) AS cluster_id
           FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
-          ORDER BY vec_id"""
+          ORDER BY vec_id""",
+    "sim_diverse_coreset" -> coresetOracleSql(CoresetK)
   )
+
+  /** The farthest-point traversal unrolled to k argmax CTEs (no recursion
+    * — each step's pick feeds the next step's LEAST over per-pick
+    * distances). Quantization mirrors the engine exactly: the argmax key
+    * is floor(min-dist · 1e6 + 0.5) (half-up in both engines), ties on
+    * smallest id; sep_dist is the quantized value. A def — referenced
+    * from the `oracle` initializer.
+    */
+  private def coresetOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH d AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        n AS MATERIALIZED (
+          SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM d GROUP BY vec_id),
+        p1 AS MATERIALIZED (
+          SELECT MIN(vec_id) AS vec_id, CAST(NULL AS BIGINT) AS dq
+          FROM embeddings)"""
+    for (j <- 2 to k) {
+      val i = j - 1
+      sb ++= s""",
+        c$i AS MATERIALIZED (
+          SELECT a.vec_id,
+                 1 - SUM(a.x * b.x) / (MIN(na.nrm) * MIN(nb.nrm)) AS dist
+          FROM d a
+          JOIN (SELECT dim, x, vec_id FROM d
+                WHERE vec_id = (SELECT vec_id FROM p$i)) b
+            ON b.dim = a.dim
+          JOIN n na ON na.vec_id = a.vec_id
+          JOIN n nb ON nb.vec_id = b.vec_id
+          GROUP BY a.vec_id),
+        p$j AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(FLOOR(LEAST(${(1 to i).map(t => s"c$t.dist")
+        .mkString(", ")}) * 1000000 + 0.5) AS BIGINT) AS dq
+          FROM c1 ${(2 to i).map(t => s"JOIN c$t USING (vec_id)")
+        .mkString(" ")}
+          WHERE vec_id NOT IN (${(1 to i).map(t => s"SELECT vec_id FROM p$t")
+        .mkString(" UNION ALL ")})
+          ORDER BY dq DESC, vec_id LIMIT 1)"""
+    }
+    sb ++= s"""
+        SELECT * FROM (
+          ${(1 to k).map(j => s"SELECT CAST($j AS BIGINT) AS rank, vec_id, " +
+      s"CAST(dq AS DOUBLE) / 1000000 AS sep_dist FROM p$j")
+        .mkString("\n          UNION ALL ")}
+        ) ORDER BY rank"""
+    sb.toString
+  }
 
   /** CTE chain ending in `edges` (va, vb, cos, rank ≤ $TopK) — the DuckDB
     * replay of knnGraphEdges minus the mutual flag, shared by the

@@ -41,15 +41,18 @@ class CoresetSpec extends SparkSuite {
       sel.map(s => cosDist(byId(id), byId(s))).min
 
     assert(out.head._2 == corpus.head._1, "seed must be the smallest id")
+    // The operator's argmax key: 6dp half-up quantized separation — the
+    // cross-engine rounding that lets the oracle replay the traversal.
+    def quant(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong
     val sel = scala.collection.mutable.ArrayBuffer(out.head._2)
     for ((rank, id, dist) <- out.drop(1)) {
       val best = corpus.iterator.filterNot(c => sel.contains(c._1))
-        .map { case (cid, _) => (cid, minDist(cid, sel.toSeq)) }
+        .map { case (cid, _) => (cid, quant(minDist(cid, sel.toSeq))) }
         .reduce((a, b) =>
           if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
       assert(id == best._1, s"rank $rank picked $id, replay says $best")
-      assert(dist.get == math.rint(best._2 * 1e6) / 1e6,
-        s"rank $rank sep_dist ${dist.get} vs replayed ${best._2}")
+      assert(dist.get == best._2 / 1e6,
+        s"rank $rank sep_dist ${dist.get} vs replayed ${best._2 / 1e6}")
       sel += id
     }
 
