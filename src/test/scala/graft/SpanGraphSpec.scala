@@ -53,6 +53,64 @@ class SpanGraphSpec extends SparkSuite {
     assert(out(5L) == ((9L, 9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
   }
 
+  test("span removal ≡ independent local reference on seeded random " +
+      "corpora (heavy token reuse + grafted shared spans)") {
+    import spark.implicits._
+    val L = 8
+    def reference(docs: Seq[(Long, String)])
+        : Map[Long, (Long, Long, String)] = {
+      val toksOf = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).toSeq
+      }.toMap
+      val gramsOf = toksOf.view.mapValues(ts =>
+        (0 to ts.length - L).map(i => ts.slice(i, i + L).mkString(" ")))
+        .toMap
+      val dup = gramsOf.toSeq
+        .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).collect {
+          case (g, xs) if xs.map(_._2).distinct.size >= 2 => g
+        }.toSet
+      docs.map { case (id, _) =>
+        val ts = toksOf(id)
+        val covered = gramsOf(id).zipWithIndex
+          .collect { case (g, i) if dup(g) => i until (i + L) }
+          .flatten.toSet
+        val kept = ts.zipWithIndex
+          .collect { case (tok, i) if !covered(i) => tok }
+        id -> (ts.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }.toMap
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector("aa", "bb", "cc", "dd", "ee")
+      val base = (0 until 12).map { i =>
+        (i.toLong,
+          Seq.fill(rnd.between(1, 24))(words(rnd.nextInt(words.size))))
+      }
+      // graft shared spans: copy a slice of one doc into another so some
+      // (but not all) grams duplicate across docs
+      val grafted = base.map { case (id, ts) =>
+        if (id % 3 == 2 && ts.length > L) {
+          val src = base((id.toInt + 1) % base.length)._2
+          val take = math.min(src.length, L + rnd.nextInt(4))
+          (id, ts.take(rnd.nextInt(ts.length)) ++ src.take(take))
+        } else (id, ts)
+      }
+      val docs = grafted.map { case (id, ts) => (id, ts.mkString(" ")) }
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"span-prop-$seed").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val got = graft.queries.DedupQueries
+        .queries("dedup_span_removal")(spark, tmp)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      val want = reference(docs)
+      assert(got == want,
+        s"seed $seed mismatch: ${got.toSet.diff(want.toSet)} vs " +
+          s"${want.toSet.diff(got.toSet)}")
+    }
+  }
+
   test("knn graph: ranks consecutive from 1, cos non-increasing in rank, " +
       "≤ k edges per node, mutual ≡ reverse edge present") {
     val g = SimilarityQueries.queries("sim_knn_graph")(spark, dir)
