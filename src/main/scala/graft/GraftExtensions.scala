@@ -86,6 +86,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cos"),
       info("vec_cos", "vec_cos(a, b) - cosine similarity over embeddings"),
       (es: Seq[Expression]) => VectorOps.cosBuilder(es)))
+    ext.injectFunction((FunctionIdentifier("vec_quantize6"),
+      info("vec_quantize6",
+        "vec_quantize6(a) - half-up 6dp micro-unit quantization " +
+          "(array<bigint>)"),
+      (es: Seq[Expression]) => VectorOps.quantize6Builder(es)))
+    ext.injectFunction((FunctionIdentifier("vec_dotq"),
+      info("vec_dotq",
+        "vec_dotq(a, b) - exact integer dot over micro-unit arrays"),
+      (es: Seq[Expression]) => VectorOps.dotQBuilder(es)))
     ext.injectFunction((FunctionIdentifier("vec_normalize"),
       info("vec_normalize", "vec_normalize(a) - L2-normalize an embedding"),
       (es: Seq[Expression]) => VectorOps.normalizeBuilder(es)))

@@ -43,6 +43,35 @@ object VectorOpsImpl {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** floor(x·1e6 + 0.5) per element — the repo's cross-engine half-up
+    * 6dp quantization, as exact integer micro-units. Input doubles are
+    * bit-identical across engines (float→double widening is exact), so
+    * the quantized lattice is too; every downstream sum/dot over the
+    * longs is then order-free and engine-free.
+    */
+  def quantize6(a: ArrayData, aFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(elem(a, aFloat, i) * 1e6 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact integer dot product over micro-unit arrays (Σ aᵢ·bᵢ as long —
+    * order-free, no rounding; overflow-safe for micro-quantized
+    * embeddings: |xq| ≤ ~1e7 ⇒ Σ over 64 dims ≤ ~6e15 ≪ 2⁶³).
+    */
+  def dotQ(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
   def normalize(a: ArrayData, aFloat: Boolean): ArrayData = {
     val n = a.numElements()
     var s = 0.0
@@ -127,6 +156,46 @@ case class VecNormalize(child: Expression)
     copy(c)
 }
 
+/** vec_quantize6(a) → array<bigint>: half-up 6dp micro-unit lattice. */
+case class VecQuantize6(child: Expression)
+    extends UnaryExpression with VecArg {
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(child.dataType, "a")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def cf = isFloatType(child.dataType)
+  override def nullSafeEval(a: Any): Any =
+    VectorOpsImpl.quantize6(a.asInstanceOf[ArrayData], cf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorOpsImpl.quantize6($a, $cf)")
+  override protected def withNewChildInternal(c: Expression): VecQuantize6 =
+    copy(c)
+}
+
+/** vec_dotq(a, b) → bigint: exact integer dot over micro-unit arrays. */
+case class VecDotQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def checkLongVec(dt: DataType, name: String): TypeCheckResult =
+    dt match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vec_dotq expects $name: array<bigint>, got ${other.simpleString}")
+    }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkLongVec(left.dataType, "a")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else checkLongVec(right.dataType, "b")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.dotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOpsImpl.dotQ($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDotQ = copy(l, r)
+}
+
 object VectorOps {
   private def arity(es: Seq[Expression], n: Int, name: String): Unit =
     if (es.length != n) throw new IllegalArgumentException(
@@ -139,5 +208,11 @@ object VectorOps {
   }
   def normalizeBuilder(es: Seq[Expression]): Expression = {
     arity(es, 1, "vec_normalize"); VecNormalize(es.head)
+  }
+  def quantize6Builder(es: Seq[Expression]): Expression = {
+    arity(es, 1, "vec_quantize6"); VecQuantize6(es.head)
+  }
+  def dotQBuilder(es: Seq[Expression]): Expression = {
+    arity(es, 2, "vec_dotq"); VecDotQ(es(0), es(1))
   }
 }

@@ -45,70 +45,83 @@ object SimilarityQueries {
   // AND the unrolled oracle so the two sides cannot desynchronize.
   private val CoresetK = 16
 
-  /** Collected coarse quantizer: (cell, centroid, L2 norm), sorted by cell
-    * ascending so the assignment fold's strict `>` keeps the smallest cell
-    * on ties (the ORDER BY cos DESC, cell tie-break). Tiny by construction
-    * — n_cells × dim doubles is a model artifact, not data.
+  /** Collected coarse quantizer in EXACT integer micro-units (the round-9
+    * bit-exact contract — see operators/KMeans.scala): per-label centroid
+    * cq[d] = floor(Σxq[d]/cnt + 0.5) from half-up 6dp-quantized
+    * coordinates. (cell, cq, Σcq²) sorted by cell ascending so the
+    * assignment fold's strict `>` keeps the smallest cell on ties. Tiny
+    * by construction — n_cells × dim longs is a model artifact, not data.
     */
-  def ivfCentroids(emb: DataFrame): Array[(Long, Seq[Double], Double)] = emb
-    .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
-    .groupBy(col("label"), col("p"))
-    .agg(avg(col("x").cast("double")).as("c"))
-    .groupBy(col("label"))
-    .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
-      .as("ce"))
-    .select(col("label").cast("long").as("cell"), col("ce"))
+  def ivfCentroids(emb: DataFrame): graft.operators.KMeans.Model = emb
+    .select(col("label").cast("long").as("cell"),
+      posexplode(graft.operators.KMeans.quantize(col("embedding")))
+        .as(Seq("p", "xq")))
+    .groupBy(col("cell"), col("p"))
+    .agg(sum(col("xq")).as("xs"), count(lit(1)).as("cnt"))
     .collect()
-    .map { r =>
-      val ce = r.getSeq[Double](1)
-      (r.getLong(0), ce, math.sqrt(ce.map(x => x * x).sum))
+    .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+    .map { case (cell, rows) =>
+      val cq = rows.sortBy(_.getInt(1)).map(r =>
+        math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble + 0.5)
+          .toLong).toSeq
+      (cell, cq, cq.map(x => x * x).sum)
     }
-    .sortBy(_._1)
-
-  // cos(vector, centroid-struct) against the typedlit element
-  // struct<_1: cell, _2: centroid, _3: norm> — native vec_cos (the norm
-  // field stays in the literal for readers/tools; vec_cos recomputes it
-  // in the same order, bit-identically, in one fused pass)
-  private def cosToCent(e: Column)(c: Column): Column =
-    call_function("vec_cos", e, c.getField("_2"))
 
   /** Nearest-cell assignment — a per-row argmax FOLD over the centroid
-    * literal: zero joins, zero shuffle, stays in whole-stage codegen
-    * (PlanSpec pins the no-Exchange plan). The centroid table rides in the
-    * closure as an array literal (a few KB). A cross join + row_number
-    * window here would shuffle an n_cells×-expanded corpus — 1 PB at
-    * 100 TB — just to argmax n_cells values per row.
+    * literal: zero joins, zero shuffle (PlanSpec pins the no-Exchange
+    * plan). The centroid table rides in the closure as an array literal
+    * (a few KB). A cross join + row_number window here would shuffle an
+    * n_cells×-expanded corpus — 1 PB at 100 TB — just to argmax n_cells
+    * values per row. Output carries the quantized vector + exact squared
+    * norm so the re-rank reuses them: (vec_id, xq, sxx, cell).
     */
   def ivfAssign(emb: DataFrame,
-      centArr: Array[(Long, Seq[Double], Double)]): DataFrame = {
-    val cents = typedlit(centArr.toSeq)
-    emb.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", aggregate(cents,
-        struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("best")),
-        (acc, c) => {
-          val sc = cosToCent(col("embedding"))(c)
-          when(sc > acc.getField("best"),
-            struct(c.getField("_1").as("cell"), sc.as("best")))
-            .otherwise(acc)
-        },
-        acc => acc.getField("cell")))
-      .select(col("vec_id"), col("embedding"), col("cell"))
-  }
+      centArr: graft.operators.KMeans.Model): DataFrame =
+    graft.operators.KMeans.assignQ(
+      emb.select(col("vec_id"),
+          graft.operators.KMeans.quantize(col("embedding")).as("xq"))
+        .withColumn("sxx", call_function("vec_dotq", col("xq"), col("xq"))),
+      "xq", "sxx", centArr, "cell")
+      .select(col("vec_id"), col("xq"), col("sxx"), col("cell"))
 
   /** Query-side probe list: each query's `nprobe` nearest cells — top-n of
-    * the same tiny scored array, still per-row (sorting an n_cells array).
+    * the same tiny scored array, still per-row (sorting an n_cells array
+    * of exact integer scores; ties cell-ascending).
     */
-  def ivfProbes(emb: DataFrame, centArr: Array[(Long, Seq[Double], Double)],
+  def ivfProbes(emb: DataFrame, centArr: graft.operators.KMeans.Model,
       nprobe: Int): DataFrame = {
     val cents = typedlit(centArr.toSeq)
     emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .select(col("qid"), col("qe"),
+      .select(col("vec_id").as("qid"),
+        graft.operators.KMeans.quantize(col("embedding")).as("qxq"))
+      .withColumn("qsxx", call_function("vec_dotq", col("qxq"), col("qxq")))
+      .select(col("qid"), col("qxq"), col("qsxx"),
         explode(slice(sort_array(transform(cents, c =>
-          struct((-cosToCent(col("qe"))(c)).as("neg"),
+          struct((-graft.operators.KMeans.scoreQ(col("qxq"), col("qsxx"),
+            c.getField("_2"), c.getField("_3"))).as("neg"),
             c.getField("_1").as("cell")))), 1, nprobe))
           .as("pr"))
-      .select(col("qid"), col("qe"), col("pr.cell").as("cell"))
+      .select(col("qid"), col("qxq"), col("qsxx"), col("pr.cell").as("cell"))
+  }
+
+  /** Exact re-rank inside the probed cells, scored on the quantized
+    * lattice (bit-exact both engines): sq = quantized cosine, exposed as
+    * cos = double(sq)/1e6; rank by (sq DESC, nid).
+    */
+  private def ivfRerank(assigned: DataFrame, probes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sq").desc, col("nid"))
+    assigned.toDF("nid", "nxq", "nsxx", "cell")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sq", graft.operators.KMeans.scoreQ(
+        col("qxq"), col("qsxx"), col("nxq"), col("nsxx")))
+      .withColumn("cos", col("sq").cast("double") / lit(1e6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -219,32 +232,19 @@ object SimilarityQueries {
     // corpus is PARTITIONED BY cell, so a probe reads 3/10 of the data —
     // the scan pruning is the point of IVF.
     //
-    // The quantizer is TINY by construction (n_cells × dim doubles — a
+    // The quantizer is TINY by construction (n_cells × dim longs — a
     // model artifact, not data), so assignment is a per-row argmax FOLD
-    // over the collected centroid literal: zero joins, zero shuffle, stays
-    // in whole-stage codegen. (The previous form cross-joined every corpus
-    // vector with the broadcast centroids and ranked with a row_number
-    // window — a full shuffle of the 10×-expanded corpus just to argmax 10
-    // values per row; at 100 TB that shuffle is 1 PB.) Rows-only
-    // (approximate); recall pinned by SimilaritySpec; the no-Exchange
-    // assignment plan is pinned by PlanSpec.
+    // over the collected centroid literal: zero joins, zero shuffle. (A
+    // cross join + row_number window would shuffle a 10×-expanded corpus
+    // — 1 PB at 100 TB — to argmax 10 values per row.) PROMOTED to a
+    // bit-exact oracle in round 9: centroids, assignment, probes and
+    // re-rank all run on the exact micro-unit lattice (KMeans.scoreQ),
+    // so the whole dataflow replays in DuckDB; recall additionally
+    // pinned by DedupSimilaritySpec.
     "sim_knn_ivf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = load(s, dir, "embeddings")
       val cents = ivfCentroids(emb)
-      val assigned = ivfAssign(emb, cents)
-      val probes = ivfProbes(emb, cents, nprobe = 3)
-      // exact re-rank inside the probed cells only
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid"))
-      assigned.toDF("nid", "ne", "cell")
-        .join(broadcast(probes), Seq("cell"))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("cos", round(expr(cosExpr("qe", "ne")), 6))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("rank"), col("nid"), col("cos"))
-        .orderBy(col("qid"), col("rank"))
+      ivfRerank(ivfAssign(emb, cents), ivfProbes(emb, cents, nprobe = 3))
     }),
 
     // Product quantization (PQ, Jégou et al. 2011 — the industry-standard
@@ -253,8 +253,10 @@ object SimilarityQueries {
     // k-means — the cosine variant suits normalized embeddings), so every
     // vector compresses to 4 small codes (256 B of floats → 4 B). Encoding
     // is 4 zero-shuffle argmax folds; training cost is 4 independent
-    // sub-quantizer fits. Rows-only (trained codes); ADC-recall pinned in
-    // DedupSimilaritySpec.
+    // sub-quantizer fits. PROMOTED to a bit-exact oracle in round 9: the
+    // quantized trainer (seeding + Lloyd + assignment, all exact integer
+    // micro-units) replays as unrolled MATERIALIZED CTEs; ADC-recall
+    // additionally pinned in DedupSimilaritySpec.
     "sim_pq_codes" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
       val slices = (0 until 4).map(sub =>
@@ -277,34 +279,23 @@ object SimilarityQueries {
     // The full train→index→search loop: IVF ANN over a TRAINED spherical
     // k-means quantizer (no labels consulted) — KMeans.Model drops into
     // the same zero-shuffle assignment fold and probe set as sim_knn_ivf.
-    // Rows-only (iterative float training); recall@5 vs brute force is
-    // pinned in DedupSimilaritySpec.
+    // PROMOTED to a bit-exact oracle in round 9 (quantized trainer —
+    // seeding, Lloyd passes, probes and re-rank replay in DuckDB);
+    // recall@5 vs brute force additionally pinned in DedupSimilaritySpec.
     "sim_knn_ivf_trained" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = load(s, dir, "embeddings")
       val cents = graft.operators.KMeans.fit(
         emb, "vec_id", "embedding", k = 8, iters = 3)
-      val assigned = ivfAssign(emb, cents)
-      val probes = ivfProbes(emb, cents, nprobe = 3)
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid"))
-      assigned.toDF("nid", "ne", "cell")
-        .join(broadcast(probes), Seq("cell"))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("cos", round(expr(cosExpr("qe", "ne")), 6))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("rank"), col("nid"), col("cos"))
-        .orderBy(col("qid"), col("rank"))
+      ivfRerank(ivfAssign(emb, cents), ivfProbes(emb, cents, nprobe = 3))
     }),
 
     // Trained coarse quantizer: spherical k-means (operators/KMeans.scala,
     // Lloyd iterations — assignment is the zero-shuffle argmax fold, the
     // update a k×dim-group aggregation), then the corpus-occupancy
     // histogram per trained cell. The KMeans.Model drops directly into
-    // ivfAssign/ivfProbes when labels don't exist. Iterative float
-    // training ⇒ rows-only; cluster recovery + objective-improvement are
-    // pinned by KMeansSpec.
+    // ivfAssign/ivfProbes when labels don't exist. PROMOTED to a
+    // bit-exact oracle in round 9 (exact micro-unit trainer); cluster
+    // recovery + objective-improvement additionally pinned by KMeansSpec.
     // Diverse coreset: greedy farthest-point selection (k-center 2-approx)
     // of 16 maximally spread vectors — the "keep the spread" complement of
     // the dedup family. An iterative driver loop like the k-means trainer,
@@ -648,8 +639,253 @@ object SimilarityQueries {
                  COALESCE(comp.cluster_id, emb.vec_id) AS cluster_id
           FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
           ORDER BY vec_id""",
-    "sim_diverse_coreset" -> coresetOracleSql(CoresetK)
+    "sim_diverse_coreset" -> coresetOracleSql(CoresetK),
+    // Round-9 promotions: the quantized k-means family (see
+    // operators/KMeans.scala). All arithmetic below is either exact
+    // integer (micro-unit dots/norms/sums) or a mirrored IEEE sequence
+    // (one division + sqrt pair per score, one division per centroid
+    // update), so seeding, Lloyd passes and assignment replay
+    // bit-exactly.
+    "sim_kmeans_cells" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, nsub = 1, subdim = 64, iters = 3)}
+          SELECT cell, COUNT(*) AS n_vecs
+          FROM aF GROUP BY cell ORDER BY cell""",
+    "sim_pq_codes" ->
+      s"""WITH ${kmeansOracleCtes(k = 16, nsub = 4, subdim = 16, iters = 3)}
+          SELECT vec_id,
+                 MAX(CASE WHEN sub = 0 THEN cell END) AS c0,
+                 MAX(CASE WHEN sub = 1 THEN cell END) AS c1,
+                 MAX(CASE WHEN sub = 2 THEN cell END) AS c2,
+                 MAX(CASE WHEN sub = 3 THEN cell END) AS c3
+          FROM aF GROUP BY vec_id ORDER BY vec_id""",
+    "sim_knn_ivf_trained" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, nsub = 1, subdim = 64, iters = 3)},
+          ${ivfProbeRerankCtes(centTable = "cent3", csTable = "csF")}
+          $ivfRerankSelect""",
+    // sim_knn_ivf: label centroids (no training loop) on the same exact
+    // lattice — centroid = half-up integer average of micro-unit
+    // coordinates per (label, dim), then the same assignment / probe /
+    // re-rank replay.
+    "sim_knn_ivf" ->
+      s"""WITH $quantBaseCtes,
+          cent AS MATERIALIZED (
+            SELECT 0 AS sub, CAST(e.label AS BIGINT) AS cell, d.dim,
+                   CAST(FLOOR(CAST(SUM(d.xq) AS DOUBLE) /
+                        CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cq
+            FROM d JOIN embeddings e ON e.vec_id = d.vec_id
+            GROUP BY 2, 3),
+          cs AS MATERIALIZED (
+            SELECT sub, cell, CAST(SUM(cq * cq) AS BIGINT) AS scc
+            FROM cent GROUP BY 1, 2),
+          aF AS MATERIALIZED (
+            SELECT sub, vec_id, cell FROM (
+              SELECT sub, vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY sub, vec_id
+                                        ORDER BY sq DESC, cell) AS rn
+              FROM (SELECT a.sub, a.vec_id, c.cell, $scoreCaseSql AS sq
+                    FROM d a
+                    JOIN cent c ON c.sub = a.sub AND c.dim = a.dim
+                    JOIN sx sa ON sa.vec_id = a.vec_id AND sa.sub = a.sub
+                    JOIN cs ON cs.sub = a.sub AND cs.cell = c.cell
+                    GROUP BY a.sub, a.vec_id, c.cell))
+            WHERE rn = 1),
+          ${ivfProbeRerankCtes(centTable = "cent", csTable = "cs")}
+          $ivfRerankSelect"""
   )
+
+  /** SQL fragment: the quantized cosine score between a row group
+    * (aliased a, joined to sx sa) and a centroid group (joined to cs) —
+    * the op-for-op mirror of KMeans.scoreQ. Zero-norm guard first.
+    */
+  private def scoreCaseSql: String =
+    "CASE WHEN MIN(sa.sxx) = 0 OR MIN(cs.scc) = 0 THEN 0 " +
+      "ELSE CAST(FLOOR(CAST(SUM(a.xq * c.cq) AS DOUBLE) / " +
+      "(SQRT(CAST(MIN(sa.sxx) AS DOUBLE)) * " +
+      "SQRT(CAST(MIN(cs.scc) AS DOUBLE))) " +
+      "* 1000000.0 + 0.5) AS BIGINT) END"
+
+  /** Shared base: micro-unit quantization of every embedding coordinate
+    * (sub always 0 here — single 64-dim space) + exact squared norms.
+    */
+  private def quantBaseCtes: String =
+    """d AS MATERIALIZED (
+            SELECT vec_id, 0 AS sub, CAST(dim0 - 1 AS INTEGER) AS dim,
+                   CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT) AS xq
+            FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim0,
+                         CAST(unnest(embedding) AS DOUBLE) AS x
+                  FROM embeddings)),
+          sx AS MATERIALIZED (
+            SELECT vec_id, sub, CAST(SUM(xq * xq) AS BIGINT) AS sxx
+            FROM d GROUP BY 1, 2)"""
+
+  /** Probe + candidate + pair-score CTEs over a finished centroid table
+    * (requires `d`, `sx`, `aF` in scope): queries score every cell, keep
+    * the nprobe=3 best (ties cell-ascending), candidates are the probed
+    * cells' members, each (qid, nid) pair scored once on the micro-unit
+    * lattice.
+    */
+  private def ivfProbeRerankCtes(centTable: String, csTable: String): String =
+    s"""qs AS MATERIALIZED (
+            SELECT a.vec_id AS qid, c.cell, $scoreCaseSql AS sq
+            FROM d a
+            JOIN $centTable c ON c.sub = a.sub AND c.dim = a.dim
+            JOIN sx sa ON sa.vec_id = a.vec_id AND sa.sub = a.sub
+            JOIN $csTable cs ON cs.sub = a.sub AND cs.cell = c.cell
+            WHERE a.vec_id < $NQueries
+            GROUP BY a.vec_id, c.cell),
+          prb AS MATERIALIZED (
+            SELECT qid, cell FROM (
+              SELECT qid, cell,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY sq DESC, cell) AS rn
+              FROM qs)
+            WHERE rn <= 3),
+          cand AS MATERIALIZED (
+            SELECT p.qid, f.vec_id AS nid
+            FROM aF f JOIN prb p ON p.cell = f.cell
+            WHERE p.qid <> f.vec_id),
+          prs AS MATERIALIZED (
+            SELECT cand.qid, cand.nid,
+                   CASE WHEN MIN(sq_.sxx) = 0 OR MIN(sn.sxx) = 0 THEN 0
+                   ELSE CAST(FLOOR(CAST(SUM(dq_.xq * dn.xq) AS DOUBLE) /
+                     (SQRT(CAST(MIN(sq_.sxx) AS DOUBLE)) *
+                      SQRT(CAST(MIN(sn.sxx) AS DOUBLE)))
+                     * 1000000.0 + 0.5) AS BIGINT) END AS sq
+            FROM cand
+            JOIN d dq_ ON dq_.vec_id = cand.qid
+            JOIN d dn ON dn.vec_id = cand.nid AND dn.sub = dq_.sub
+                     AND dn.dim = dq_.dim
+            JOIN sx sq_ ON sq_.vec_id = cand.qid AND sq_.sub = dq_.sub
+            JOIN sx sn ON sn.vec_id = cand.nid AND sn.sub = dq_.sub
+            GROUP BY 1, 2)"""
+
+  /** Final top-k select over `prs`. */
+  private def ivfRerankSelect: String =
+    s"""SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+                 CAST(sq AS DOUBLE) / 1000000.0 AS cos
+          FROM (SELECT qid, nid, sq,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY sq DESC, nid) AS rank
+                FROM prs)
+          WHERE rank <= $TopK ORDER BY qid, rank"""
+
+  /** The quantized k-means trainer unrolled to SQL (the coreset playbook
+    * at trainer scale): pool seeding (k argmax steps, D²-weighted by the
+    * md5 integer race), `iters` Lloyd passes (assignment argmax + exact
+    * integer centroid update, empty cells keep the previous centroid),
+    * ending in `cent{iters}` / `csF` / final assignment `aF`. All sub-
+    * codebooks (PQ) train in the same CTEs via the `sub` column —
+    * exactly the fused-pass shape of KMeans.fitMany.
+    */
+  private def kmeansOracleCtes(k: Int, nsub: Int, subdim: Int,
+      iters: Int, poolCap: Int = 1024): String = {
+    val p = scala.collection.mutable.ArrayBuffer.empty[String]
+    p += s"""d AS MATERIALIZED (
+  SELECT vec_id, CAST((dim0 - 1) // $subdim AS INTEGER) AS sub,
+         CAST((dim0 - 1) % $subdim AS INTEGER) AS dim,
+         CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT) AS xq
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim0,
+               CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings))"""
+    p += """sx AS MATERIALIZED (
+  SELECT vec_id, sub, CAST(SUM(xq * xq) AS BIGINT) AS sxx
+  FROM d GROUP BY 1, 2)"""
+    p += s"""pool AS MATERIALIZED (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $poolCap)"""
+    p += """race AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 5)) AS BIGINT)
+           + 1 AS race
+  FROM pool)"""
+    p += """s1 AS MATERIALIZED (
+  SELECT sub, vec_id FROM (SELECT DISTINCT sub FROM d),
+       (SELECT MIN(vec_id) AS vec_id FROM pool))"""
+    val seedScore =
+      "CASE WHEN MIN(sa.sxx) = 0 OR MIN(sb.sxx) = 0 THEN 0 " +
+        "ELSE CAST(FLOOR(CAST(SUM(a.xq * b.xq) AS DOUBLE) / " +
+        "(SQRT(CAST(MIN(sa.sxx) AS DOUBLE)) * " +
+        "SQRT(CAST(MIN(sb.sxx) AS DOUBLE))) " +
+        "* 1000000.0 + 0.5) AS BIGINT) END"
+    for (j <- 2 to k) {
+      val t = j - 1
+      p += s"""c$t AS MATERIALIZED (
+  SELECT a.sub, a.vec_id, 1000000 - $seedScore AS dq
+  FROM d a
+  JOIN pool pl ON pl.vec_id = a.vec_id
+  JOIN s$t s ON s.sub = a.sub
+  JOIN d b ON b.vec_id = s.vec_id AND b.sub = a.sub AND b.dim = a.dim
+  JOIN sx sa ON sa.vec_id = a.vec_id AND sa.sub = a.sub
+  JOIN sx sb ON sb.vec_id = s.vec_id AND sb.sub = a.sub
+  GROUP BY a.sub, a.vec_id)"""
+      val lq = s"LEAST(${(1 until j).map(u => s"c$u.dq").mkString(", ")})"
+      val joins = (2 until j).map(u => s"JOIN c$u USING (sub, vec_id)")
+        .mkString(" ")
+      val excl = (1 until j).map(u => s"SELECT sub, vec_id FROM s$u")
+        .mkString(" UNION ALL ")
+      p += s"""s$j AS MATERIALIZED (
+  SELECT sub, vec_id FROM (
+    SELECT sub, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY sub
+             ORDER BY CAST(lq * lq AS DOUBLE) / CAST(race AS DOUBLE) DESC,
+                      vec_id) AS rn
+    FROM (SELECT c1.sub, c1.vec_id, $lq AS lq, r.race
+          FROM c1 $joins
+          JOIN race r ON r.vec_id = c1.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM ($excl) x
+                            WHERE x.sub = c1.sub AND x.vec_id = c1.vec_id)))
+  WHERE rn = 1)"""
+    }
+    val seeds = (1 to k).map(j =>
+      s"SELECT CAST(${j - 1} AS BIGINT) AS cell, d.sub, d.dim, d.xq AS cq " +
+        s"FROM d JOIN s$j ON d.vec_id = s$j.vec_id AND d.sub = s$j.sub")
+      .mkString("\n  UNION ALL ")
+    p += s"cent0 AS MATERIALIZED (\n  $seeds)"
+    for (i <- 1 to iters) {
+      val pr = i - 1
+      p += s"""cs$pr AS MATERIALIZED (
+  SELECT sub, cell, CAST(SUM(cq * cq) AS BIGINT) AS scc
+  FROM cent$pr GROUP BY 1, 2)"""
+      p += s"""a$i AS MATERIALIZED (
+  SELECT sub, vec_id, cell FROM (
+    SELECT sub, vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY sub, vec_id
+                              ORDER BY sq DESC, cell) AS rn
+    FROM (SELECT a.sub, a.vec_id, c.cell,
+                 ${scoreCaseSql.replace("cs.scc", s"cs$pr.scc")} AS sq
+          FROM d a
+          JOIN cent$pr c ON c.sub = a.sub AND c.dim = a.dim
+          JOIN sx sa ON sa.vec_id = a.vec_id AND sa.sub = a.sub
+          JOIN cs$pr ON cs$pr.sub = a.sub AND cs$pr.cell = c.cell
+          GROUP BY a.sub, a.vec_id, c.cell))
+  WHERE rn = 1)"""
+      p += s"""cent$i AS MATERIALIZED (
+  SELECT c.sub, c.cell, c.dim, COALESCE(u.cq, c.cq) AS cq
+  FROM cent$pr c
+  LEFT JOIN (
+    SELECT ai.sub, ai.cell, dd.dim,
+           CAST(FLOOR(CAST(SUM(dd.xq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                      + 0.5) AS BIGINT) AS cq
+    FROM a$i ai JOIN d dd ON dd.vec_id = ai.vec_id AND dd.sub = ai.sub
+    GROUP BY 1, 2, 3) u
+  ON u.sub = c.sub AND u.cell = c.cell AND u.dim = c.dim)"""
+    }
+    p += s"""csF AS MATERIALIZED (
+  SELECT sub, cell, CAST(SUM(cq * cq) AS BIGINT) AS scc
+  FROM cent$iters GROUP BY 1, 2)"""
+    p += s"""aF AS MATERIALIZED (
+  SELECT sub, vec_id, cell FROM (
+    SELECT sub, vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY sub, vec_id
+                              ORDER BY sq DESC, cell) AS rn
+    FROM (SELECT a.sub, a.vec_id, c.cell,
+                 ${scoreCaseSql.replace("cs.scc", "csF.scc")} AS sq
+          FROM d a
+          JOIN cent$iters c ON c.sub = a.sub AND c.dim = a.dim
+          JOIN sx sa ON sa.vec_id = a.vec_id AND sa.sub = a.sub
+          JOIN csF ON csF.sub = a.sub AND csF.cell = c.cell
+          GROUP BY a.sub, a.vec_id, c.cell))
+  WHERE rn = 1)"""
+    p.mkString(",\n")
+  }
 
   /** The farthest-point traversal unrolled to k argmax CTEs (no recursion
     * — each step's pick feeds the next step's LEAST over per-pick

@@ -246,7 +246,9 @@ class DedupSimilaritySpec extends SparkSuite {
       emb, "vec_id",
       (0 until 4).map(sub => expr(s"slice(embedding, ${sub * 16 + 1}, 16)")),
       k = 16, iters = 3)
-      .map(_.map { case (cell, ce, _) => cell -> ce }.toMap)
+      .map(_.map { case (cell, cq, _) =>
+        cell -> cq.map(_ / 1e6) // micro-units → doubles for ADC
+      }.toMap)
     val codes = SimilarityQueries.queries("sim_pq_codes")(spark, dir)
       .collect().map(r => r.getLong(0) ->
         Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
