@@ -16,11 +16,18 @@ import org.apache.spark.sql.types._
   * `transform` costs boxed lambda calls per element. This expression is a
   * tight primitive loop inside whole-stage codegen.
   *
-  * Semantics are IDENTICAL to the HOF form (pinned by FunctionsSpec):
+  * Semantics are pinned by TextHashesSpec against the HOF form:
   * plane p = t·nPlanes + j uses integer weights
   * w(p, d) = ((p·2654435761 + d·2246822519) % 251) % 7 − 3 (multiplicative
-  * mixing — decorrelated planes; d is 1-based), projection = Σ x_d·w(p,d)
-  * accumulated left-to-right in double, bucket_t = Σ_j [proj > 0]·2^j.
+  * mixing — decorrelated planes; d is 1-based). Each coordinate is
+  * quantized ONCE to half-up 6dp micro-units (xq = ⌊x·10⁶ + 0.5⌋, the
+  * same lattice as vec_quantize6), so the projection Σ xq_d·w(p,d) is an
+  * exact integer sum — addition-order free, hence identical no matter how
+  * an engine (Spark partial aggs, DuckDB's SUM) associates it. The former
+  * double accumulation made the sign test `s > 0` a knife-edge: a
+  * projection within rounding error of 0 could bucket differently between
+  * engines and fail the bit-exact gate spuriously (round-8 ADVICE.md).
+  * bucket_t = Σ_j [proj > 0]·2^j.
   */
 object VectorLshImpl {
   def lshBuckets(arr: ArrayData, isFloat: Boolean,
@@ -33,12 +40,13 @@ object VectorLshImpl {
       var j = 0
       while (j < nPlanes) {
         val p = (t * nPlanes + j).toLong
-        var s = 0.0
+        var s = 0L
         var i = 0
         while (i < n) {
           val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          val xq = Math.floor(x * 1000000.0 + 0.5).toLong
           val w = (p * 2654435761L + (i + 1).toLong * 2246822519L) % 251L % 7L - 3L
-          s += x * w.toDouble
+          s += xq * w
           i += 1
         }
         if (s > 0) bucket |= 1L << j

@@ -759,8 +759,9 @@ object DedupQueries {
                           (SELECT unnest(range(0, $LshPlanes)) AS j)),
           proj AS (
             SELECT vec_id, t, j,
-                   SUM(x * CAST((p * 2654435761 + dim * 2246822519)
-                                % 251 % 7 - 3 AS DOUBLE)) AS s
+                   SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)
+                       * ((p * 2654435761 + dim * 2246822519)
+                          % 251 % 7 - 3)) AS s
             FROM d CROSS JOIN planes GROUP BY vec_id, t, j),
           bkt AS (
             SELECT vec_id, t,
@@ -961,8 +962,9 @@ object DedupQueries {
                           (SELECT unnest(range(0, $LshPlanes)) AS j)),
           proj AS (
             SELECT vec_id, t, j,
-                   SUM(x * CAST((p * 2654435761 + dim * 2246822519)
-                                % 251 % 7 - 3 AS DOUBLE)) AS s
+                   SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)
+                       * ((p * 2654435761 + dim * 2246822519)
+                          % 251 % 7 - 3)) AS s
             FROM d CROSS JOIN planes GROUP BY vec_id, t, j),
           bkt AS (
             SELECT vec_id, t,

@@ -41,6 +41,26 @@ object SimilarityQueries {
   // per task) without assuming the bucket histogram; replayed verbatim in
   // the oracle so the cap is part of the checked contract.
   private val GraphBucketCap = 200
+  // kNN-graph LSH sizing, single-sourced into the engine AND the oracle's
+  // pl CTE: tables is fixed; the plane count auto-sizes to the smallest
+  // p in [6, GraphMaxPlanes] with 2^p · GraphOccupancy ≥ corpus, keeping
+  // mean bucket occupancy (recall under the cap) constant as the corpus
+  // grows — SCALING.md's "fixed-space saturation" knob, now automatic.
+  private val GraphTables = 4
+  private val GraphOccupancy = 32
+  private val GraphMaxPlanes = 24
+  private[graft] def autoPlanes(n: Long): Int =
+    (6 to GraphMaxPlanes).find(p => (1L << p) * GraphOccupancy >= n)
+      .getOrElse(GraphMaxPlanes)
+  // Corpus-count cache (same shape as TextQueries' trained-BPE cache):
+  // the count is a parquet-footer-only job, but the graph queries call
+  // knnGraphEdges repeatedly per bench trial.
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(s: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    embCountCache.computeIfAbsent(dir,
+      d => load(s, d, "embeddings").count()).longValue()
   // Farthest-point coreset size — single-sourced into the engine query
   // AND the unrolled oracle so the two sides cannot desynchronize.
   private val CoresetK = 16
@@ -403,33 +423,40 @@ object SimilarityQueries {
     * sim_graph_clusters: (vec_id, rank, nid, cos, mutual).
     *
     * `planes` is the SCALE knob (SCALING.md "fixed-space saturation"):
-    * buckets/table = 2^planes, so a production run sizes planes ≈
-    * log2(corpus / target_occupancy) to keep mean bucket occupancy — and
-    * with it candidate recall under the cap — constant as the corpus
-    * grows, exactly as IVF sizes its cell count. The registered queries
-    * pin (4, 6, 200) because those constants are replayed verbatim in
-    * the DuckDB oracle.
+    * buckets/table = 2^planes, so mean bucket occupancy — and with it
+    * candidate recall under the cap — must stay constant as the corpus
+    * grows, exactly as IVF sizes its cell count. Since round 9 the
+    * default (planes = 0) AUTO-SIZES from the corpus count: the smallest
+    * p in [6, GraphMaxPlanes] with 2^p · GraphOccupancy ≥ n (a pure
+    * integer rule, so the DuckDB oracle derives the SAME value from
+    * COUNT(*) and can never drift from the engine). At the gate SFs
+    * (≤ 2048 vectors) the rule yields the committed 6; at sf10's 200k
+    * vectors it yields 13, keeping occupancy ~24 instead of saturating
+    * 64 fixed buckets (the sf10 edge-contraction finding).
     */
   def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String, tables: Int = 4, planes: Int = 6,
+      dir: String, tables: Int = GraphTables, planes: Int = 0,
       cap: Int = GraphBucketCap, k: Int = TopK): DataFrame = {
       import org.apache.spark.sql.expressions.Window
+      val pl = if (planes > 0) planes else autoPlanes(embCount(s, dir))
       val sigs = load(s, dir, "embeddings")
         .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
-          posexplode(expr(s"lsh_buckets(embedding, $tables, $planes)"))
+          posexplode(expr(s"lsh_buckets(embedding, $tables, $pl)"))
             .as(Seq("table_id", "bucket")))
-      // Pre-filter bucket IDS before shuffling vectors: the bucket
-      // population is fixed (4 tables × 2⁶ buckets = 256 keys) so the
-      // qualifying-bucket list always broadcasts, the count agg ships
-      // only (table, bucket, partial count), and over-full buckets'
-      // vectors never enter the exchange at all — collect-then-drop
-      // would shuffle every 64-float vector of every dropped bucket
+      // Pre-filter bucket IDS before shuffling vectors: the count agg
+      // ships only (table, bucket, partial count), and over-full buckets'
+      // vectors never enter the candidate exchange at all — collect-then-
+      // drop would shuffle every 64-float vector of every dropped bucket
       // first (at sf0.1 most buckets exceed the cap: that's most of the
-      // corpus × 4 tables of avoided shuffle).
-      val good = broadcast(sigs.groupBy(col("table_id"), col("bucket"))
+      // corpus × 4 tables of avoided shuffle). No broadcast hint: with
+      // auto-sized planes the qualifying-bucket list is O(n/occupancy)
+      // keys — KBs at the gate SFs (where AQE's size-based planning
+      // broadcasts it anyway) but too large to FORCE onto the driver at
+      // petabyte corpus sizes, where a shuffle join is the right plan.
+      val good = sigs.groupBy(col("table_id"), col("bucket"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, cap))
-        .select(col("table_id"), col("bucket")))
+        .select(col("table_id"), col("bucket"))
       val pairs = sigs.join(good, Seq("table_id", "bucket"))
         .groupBy(col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
@@ -547,8 +574,9 @@ object SimilarityQueries {
          planes AS (SELECT unnest(range(0, 16)) AS j),
          proj AS (
            SELECT vec_id, j,
-                  SUM(x * CAST((j * 2654435761 + dim * 2246822519) % 251 % 7 - 3
-                               AS DOUBLE)) AS s
+                  SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)
+                      * ((j * 2654435761 + dim * 2246822519) % 251 % 7 - 3))
+                    AS s
            FROM d CROSS JOIN planes GROUP BY 1, 2)
          SELECT vec_id,
                 CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
@@ -570,8 +598,9 @@ object SimilarityQueries {
                           (SELECT unnest(range(0, 6)) AS j)),
           proj AS (
             SELECT vec_id, t, j,
-                   SUM(x * CAST((p * 2654435761 + dim * 2246822519)
-                                % 251 % 7 - 3 AS DOUBLE)) AS s
+                   SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)
+                       * ((p * 2654435761 + dim * 2246822519)
+                          % 251 % 7 - 3)) AS s
             FROM d CROSS JOIN planes GROUP BY vec_id, t, j),
           bkt AS (
             SELECT vec_id, t,
@@ -942,19 +971,32 @@ object SimilarityQueries {
     * sim_knn_graph and sim_graph_clusters oracles. A `def` (not a val):
     * it is referenced from the `oracle` initializer above, and a
     * same-object forward val reference would read null at init.
+    *
+    * All constants interpolated from the SAME vals the engine call uses
+    * (GraphTables/GraphOccupancy/GraphMaxPlanes/GraphBucketCap/TopK), and
+    * the plane count derived IN SQL from COUNT(*) with the engine's exact
+    * integer rule — the oracle cannot drift from the registered query
+    * even if the sizing parameters change (round-8 ADVICE.md).
     */
   private def duckKnnGraphCtes: String =
-    s"""d AS (
+    s"""pl AS (
+            SELECT COALESCE(MIN(p), $GraphMaxPlanes) AS np
+            FROM (SELECT unnest(range(6, ${GraphMaxPlanes + 1})) AS p),
+                 (SELECT COUNT(*) AS n FROM embeddings)
+            WHERE (CAST(1 AS BIGINT) << p) * $GraphOccupancy >= n),
+          d AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings),
-          planes AS (SELECT t, j, t * 6 + j AS p
-                     FROM (SELECT unnest(range(0, 4)) AS t),
-                          (SELECT unnest(range(0, 6)) AS j)),
+          planes AS (SELECT t, j, t * (SELECT np FROM pl) + j AS p
+                     FROM (SELECT unnest(range(0, $GraphTables)) AS t),
+                          (SELECT unnest(range(0, (SELECT np FROM pl)))
+                             AS j)),
           proj AS (
             SELECT vec_id, t, j,
-                   SUM(x * CAST((p * 2654435761 + dim * 2246822519)
-                                % 251 % 7 - 3 AS DOUBLE)) AS s
+                   SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)
+                       * ((p * 2654435761 + dim * 2246822519)
+                          % 251 % 7 - 3)) AS s
             FROM d CROSS JOIN planes GROUP BY vec_id, t, j),
           bkt AS (
             SELECT vec_id, t,
@@ -982,7 +1024,11 @@ object SimilarityQueries {
           sym AS (
             SELECT va, vb, cos FROM pairs
             UNION ALL SELECT vb AS va, va AS vb, cos FROM pairs),
-          edges AS (
+          -- MATERIALIZED: both consumers reference edges twice (the main
+          -- select + the reversed mutual/self-join side); without the
+          -- hint DuckDB inlines the whole LSH/cosine chain into each
+          -- reference and evaluates it twice (round-8 ADVICE.md)
+          edges AS MATERIALIZED (
             SELECT va, vb, cos, CAST(rank AS BIGINT) AS rank
             FROM (SELECT va, vb, cos,
                          ROW_NUMBER() OVER (PARTITION BY va

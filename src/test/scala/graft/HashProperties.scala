@@ -232,8 +232,8 @@ object HashProperties extends Properties("graft.hashes") {
       Gen.listOfN(n, Gen.choose(-10.0, 10.0)).map(_.toArray))
 
   property("vector ops: dot is left-to-right exact, cos bounded, " +
-      "normalize yields unit norm; lsh_buckets invariant under positive " +
-      "scaling") =
+      "normalize yields unit norm; lsh_buckets matches an independent " +
+      "integer mirror (order-free exact projections)") =
     forAll(vec) { v =>
       import graft.functions.{VectorLshImpl, VectorOpsImpl}
       val g = new GenericArrayData(v)
@@ -245,10 +245,26 @@ object HashProperties extends Properties("graft.hashes") {
         val x = nrm.getDouble(i); unit += x * x
       }
       val cosSelf = VectorOpsImpl.cos(g, false, g, false)
-      val scaled = new GenericArrayData(v.map(_ * 3.25))
+      // Independent mirror of the quantized-projection bucket semantics:
+      // 6dp micro-unit quantization makes each plane's projection an exact
+      // BigInt sum — summed here in REVERSE dimension order to prove the
+      // result is addition-order free (the property the quantization buys;
+      // the former double accumulation had a sign-test knife-edge at 0).
+      def mirror(xs: Array[Double]): Array[Long] =
+        Array.tabulate(4) { t =>
+          (0 until 6).foldLeft(0L) { (b, j) =>
+            val p = (t * 6 + j).toLong
+            val s = xs.indices.reverse.map { i =>
+              val xq = BigInt(math.floor(xs(i) * 1000000.0 + 0.5).toLong)
+              val w = (p * 2654435761L + (i + 1).toLong * 2246822519L) %
+                251L % 7L - 3L
+              xq * w
+            }.sum
+            if (s > 0) b | (1L << j) else b
+          }
+        }
       val sameBuckets = VectorLshImpl.lshBuckets(g, false, 4, 6)
-        .toLongArray().sameElements(
-          VectorLshImpl.lshBuckets(scaled, false, 4, 6).toLongArray())
+        .toLongArray().sameElements(mirror(v))
       val nonZero = want > 1e-12 // degenerate all-zero vector excluded
       Prop(!nonZero || (dot == want && math.abs(unit - 1.0) < 1e-9 &&
         math.abs(cosSelf - 1.0) < 1e-12 && sameBuckets)) :|

@@ -124,14 +124,16 @@ class TextHashesSpec extends SparkSuite {
       "normalized-double inputs), validated args") {
     TextHashes.register(spark)
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
-    // 1 table × 16 planes over raw floats (sim_lsh_buckets form)
+    // 1 table × 16 planes over raw floats (sim_lsh_buckets form); the HOF
+    // mirror quantizes each coordinate to 6dp micro-units exactly like the
+    // native kernel, so the projection is an exact integer sum
     val hof = emb.select(col("vec_id"), expr(
       """aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
            acc + IF(aggregate(transform(embedding, (x, i) ->
-                      cast(x as double)
-                        * cast((j * 2654435761 + (i + 1) * 2246822519) % 251 % 7 - 3
-                               as double)),
-                    cast(0 as double), (a, v) -> a + v) > 0,
+                      cast(floor(cast(x as double) * 1000000.0D + 0.5D)
+                           as bigint)
+                        * ((j * 2654435761 + (i + 1) * 2246822519) % 251 % 7 - 3)),
+                    cast(0 as bigint), (a, v) -> a + v) > 0,
              shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""").as("b"))
     val nat = emb.select(col("vec_id"),
       expr("element_at(lsh_buckets(embedding, 1, 16), 1)").as("b2"))
