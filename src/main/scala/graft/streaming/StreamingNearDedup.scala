@@ -25,6 +25,19 @@ import graft.operators.IncrementalDedup
   * (`bands` rows per doc, signatures only, never text), append-only,
   * readable by the batch path too. Intra-batch duplicates are the batch
   * pass's business (same contract as IncrementalDedup.probe).
+  *
+  * Long-stream file hygiene: append-only at one file per trigger means a
+  * months-long stream accumulates millions of KB-sized files (every
+  * probe then pays an open/footer per file). Once the directory exceeds
+  * `compactAfterFiles`, the index is COMPACTED — all rows rewritten
+  * hash-clustered by (band, bkey) so probes of a band key touch few
+  * files — with the same crash-safe append-then-delete as the CDC token
+  * trim: new files land first, superseded ones are deleted after. A
+  * crash in the duplicate window leaves every index row doubled, which
+  * changes nothing that reads the index (replay guard = membership;
+  * probe candidates go through pairsView's keyed dedup), and the next
+  * compaction's DISTINCT converges the table (index rows are unique by
+  * construction: one row per (band, doc)).
   */
 object StreamingNearDedup {
 
@@ -52,6 +65,14 @@ object StreamingNearDedup {
   @volatile private[graft]
   var faultpoint: Long => Unit = _ => ()
 
+  /** Second test seam, inside the compaction's duplicate window: invoked
+    * after the compacted files are appended but before the superseded
+    * files are deleted — throwing simulates a crash that leaves every
+    * index row duplicated. No-op in production.
+    */
+  @volatile private[graft]
+  var compactFaultpoint: Long => Unit = _ => ()
+
   /** Exactly-once view over the at-least-once pairs table. */
   def pairsView(spark: SparkSession, pairsDir: String): DataFrame =
     spark.read.parquet(pairsDir)
@@ -59,7 +80,8 @@ object StreamingNearDedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
 
   private def processBatch(pairsDir: String, indexDir: String,
-      cap: Int, threshold: Double)(batch: DataFrame, batchId: Long): Unit = {
+      cap: Int, threshold: Double, compactAfterFiles: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val index = spark.read.parquet(indexDir)
     // replay guard: the index append is the commit marker — a batch whose
@@ -75,13 +97,43 @@ object StreamingNearDedup {
     faultpoint(batchId)
     deltaIdx.withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(indexDir)
+    compactIndex(spark, indexDir, compactAfterFiles, batchId)
+  }
+
+  /** Rewrite the band index into few hash-clustered files once the
+    * one-file-per-trigger append pattern has accumulated more than
+    * `maxFiles` parquet parts. CONTENT is untouched (every row survives —
+    * this is file hygiene, not retention); DISTINCT only collapses exact
+    * duplicates left by a previous compaction crash. Rows are clustered
+    * by (band, bkey) — the probe join key — so a probe's shuffle reads
+    * land on few co-located files, and sized ~4M rows per file. Crash
+    * order mirrors trimTokens: append new files, only then delete the
+    * superseded ones. Runs AFTER the index commit marker, so batch
+    * commit semantics never depend on it.
+    */
+  private[graft] def compactIndex(spark: SparkSession, indexDir: String,
+      maxFiles: Int, batchId: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(hconf)
+    val oldFiles = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    if (oldFiles.length <= maxFiles) return
+    val all = spark.read.parquet(indexDir).distinct()
+    val n = all.count()
+    val nFiles = (n / 4000000L).toInt + 1
+    all.repartition(nFiles, col("band"), col("bkey"))
+      .write.mode("append").parquet(indexDir)
+    compactFaultpoint(batchId)
+    oldFiles.foreach(p => fs.delete(p, false))
   }
 
   def start(spark: SparkSession, inputDir: String, pairsDir: String,
       indexDir: String, checkpointDir: String,
       cap: Int = 50, threshold: Double = 0.5,
       maxFilesPerTrigger: Int = 1,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      compactAfterFiles: Int = 64): StreamingQuery = {
     Ddl.ensureTable(spark, indexDir, indexSchema)
     Ddl.ensureTable(spark, pairsDir, pairsSchema)
     val w = spark.readStream
@@ -90,14 +142,17 @@ object StreamingNearDedup {
       .parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(processBatch(pairsDir, indexDir, cap, threshold) _)
+      .foreachBatch(
+        processBatch(pairsDir, indexDir, cap, threshold, compactAfterFiles) _)
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
   /** Run to completion over the currently-available input (AvailableNow). */
   def runOnce(spark: SparkSession, inputDir: String, pairsDir: String,
       indexDir: String, checkpointDir: String, cap: Int = 50,
-      threshold: Double = 0.5, maxFilesPerTrigger: Int = 1): Unit =
+      threshold: Double = 0.5, maxFilesPerTrigger: Int = 1,
+      compactAfterFiles: Int = 64): Unit =
     start(spark, inputDir, pairsDir, indexDir, checkpointDir, cap,
-      threshold, maxFilesPerTrigger, availableNow = true).awaitTermination()
+      threshold, maxFilesPerTrigger, availableNow = true,
+      compactAfterFiles = compactAfterFiles).awaitTermination()
 }

@@ -79,6 +79,52 @@ class StreamingHeavyHittersSpec extends SparkSuite {
     assert(got == Map("x" -> 3L, "y" -> 1L, "z" -> 2L), got.toString)
   }
 
+  test("generation trim bounds the summary table across many batches; a " +
+      "crash inside the trim's duplicate window changes no answer and " +
+      "the next trim converges the table") {
+    val root = Files.createTempDirectory("graft-shh4").toString
+    val (in, sum, ckpt) = (s"$root/in", s"$root/sum", s"$root/ckpt")
+    val texts = (0 until 12).map(i => s"hot t$i t$i shared")
+    // crash mid-stream, while batch 5's trim is in its duplicate window
+    // (kept generations re-appended, superseded files not yet deleted)
+    StreamingHeavyHitters.trimFaultpoint =
+      id => if (id == 5L) throw new RuntimeException("injected trim crash")
+    texts.take(6).zipWithIndex.foreach { case (t, i) => write(in, i.toLong, t) }
+    try {
+      intercept[Exception] {
+        StreamingHeavyHitters.runOnce(spark, in, sum, ckpt, capacity = 64,
+          keepGenerations = 3)
+      }
+    } finally StreamingHeavyHitters.trimFaultpoint = _ => ()
+    // batch 5 committed BEFORE its trim → the summary is already correct
+    // despite the duplicated files the crash left behind
+    val afterCrash = StreamingHeavyHitters.summary(spark, sum)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact6 = texts.take(6).flatMap(_.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(afterCrash == exact6, s"$afterCrash vs $exact6")
+    // restart with the remaining batches: replay guard skips batch 5,
+    // later trims converge the duplicates away
+    texts.drop(6).zipWithIndex.foreach { case (t, i) =>
+      write(in, (i + 6).toLong, t)
+    }
+    StreamingHeavyHitters.runOnce(spark, in, sum, ckpt, capacity = 64,
+      keepGenerations = 3)
+    val all = spark.read.parquet(sum)
+    val gens = all.select("batch_id").distinct().as[Long].collect().sorted
+    assert(gens.length <= 3, s"trim failed: ${gens.toSeq}")
+    assert(gens.contains(11L), s"newest generation missing: ${gens.toSeq}")
+    // no duplicates survive the post-crash trims
+    assert(all.count() == all.distinct().count())
+    // capacity 64 > vocab: the summary is the exact count table over ALL
+    // 12 batches — trimming old generations lost nothing
+    val got = StreamingHeavyHitters.summary(spark, sum)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = texts.flatMap(_.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == exact, s"$got vs $exact")
+  }
+
   test("streaming summary + exact recount converges to the batch " +
       "two-phase answer on real testdata") {
     val root = Files.createTempDirectory("graft-shh3").toString

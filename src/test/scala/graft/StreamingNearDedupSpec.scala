@@ -110,4 +110,66 @@ class StreamingNearDedupSpec extends SparkSuite {
     assert(idx.count() == 150 * 8)
     assert(idx.select("doc_id").distinct().count() == 150)
   }
+
+  test("index compaction bounds the file count across many batches; a " +
+      "crash inside the compaction's duplicate window loses no index " +
+      "row, keeps pairsView exactly-once, and the next compaction " +
+      "converges") {
+    val root = Files.createTempDirectory("snd-compact").toString
+    def fileCount(): Int = {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/index")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).map(_.getPath.getName).count(_.startsWith("part-"))
+    }
+    // 4 single-file arrivals; compactAfterFiles=1 forces a compaction
+    // after every batch. Batch 2's compaction crashes in the duplicate
+    // window (compacted files appended, superseded not yet deleted).
+    var crashes = 0
+    StreamingNearDedup.compactFaultpoint = id =>
+      if (id == 2L) { crashes += 1; throw new RuntimeException("injected") }
+    try {
+      for (k <- 0 until 4) {
+        docsSlice(k * 50L, (k + 1) * 50L).coalesce(1)
+          .write.mode("append").parquet(s"$root/in")
+        def run(): Unit = StreamingNearDedup.runOnce(spark, s"$root/in",
+          s"$root/pairs", s"$root/index", s"$root/ckpt",
+          compactAfterFiles = 1)
+        if (k == 2) {
+          intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            run()
+          }
+          // the crash left every index row duplicated — but batch 2 was
+          // committed before compaction, so CONTENT is already complete
+          val dup = spark.read.parquet(s"$root/index")
+          assert(dup.count() > 150 * 8, "duplicate window not exercised")
+          assert(dup.distinct().count() == 150 * 8)
+        } else run()
+      }
+    } finally StreamingNearDedup.compactFaultpoint = _ => ()
+    assert(crashes == 1, s"compaction crash fired $crashes times")
+    // batch 3's compaction converged the duplicates and the file count
+    assert(fileCount() <= 2, s"files=${fileCount()}")
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.count() == 200 * 8, s"rows=${idx.count()}")
+    assert(idx.select("doc_id").distinct().count() == 200)
+    // pairs agree with a single batch IncrementalDedup replay of the
+    // same arrival order (the compaction changed no probe answer)
+    var expected = Set.empty[(Long, Long)]
+    var indexed: Option[DataFrame] = None
+    for (k <- 0 until 4) {
+      val deltaIdx = IncrementalDedup.buildIndex(docsSlice(k * 50L, (k + 1) * 50L))
+      indexed.foreach { i =>
+        expected ++= IncrementalDedup.probe(i, deltaIdx, cap = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      indexed = Some(indexed.map(_.unionByName(deltaIdx))
+        .getOrElse(deltaIdx).localCheckpoint())
+    }
+    val got = StreamingNearDedup.pairsView(spark, s"$root/pairs")
+      .select("delta_id", "base_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"stream-only=${got.diff(expected)} batch-only=${expected.diff(got)}")
+    assert(got.nonEmpty, "fixture should contain cross-arrival pairs")
+  }
 }
