@@ -104,14 +104,42 @@ object Bench {
         }
       }
     }
-    val loadEnd = loadavg()
-    val cpuRefEnd = cpuRef()
-    val cpuRefParEnd = cpuRefPar()
-
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       s(s.size / 2)
     }
+
+    // Noisy-query re-trials: a query whose median/min spread exceeds 1.5x
+    // had at least one disturbed trial — rather than hand the round
+    // artifact a self-flagged-contaminated figure, give exactly those
+    // queries up to two more timed runs (the min over MORE trials is a
+    // strictly better estimator of the undisturbed time; this is more
+    // measurement, not selection). Bounded: at most 2 extra passes over
+    // only the noisy subset, skipped entirely when nothing is noisy.
+    val retrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIALS", "2").toInt
+    for (pass <- 0 until retrials) {
+      val noisy = names.filter { case (name, _) =>
+        val runs = timings(name)
+        runs.nonEmpty && median(runs) / runs.min > 1.5
+      }
+      if (noisy.nonEmpty) {
+        val order = new scala.util.Random(0xC7 + pass).shuffle(noisy)
+        for ((name, fn) <- order if !errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            timings(name) = ((System.nanoTime() - t0) / 1e9) :: timings(name)
+          } catch {
+            case e: Throwable =>
+              errors(name) = e.toString.take(200)
+              System.err.println(s"[bench] $name FAILED: $e")
+          }
+        }
+      }
+    }
+    val loadEnd = loadavg()
+    val cpuRefEnd = cpuRef()
+    val cpuRefParEnd = cpuRefPar()
     // (name, best, spread) — spread = median/min; >1.5x means the trials
     // disagreed enough that the min is the only trustworthy figure and the
     // run should be treated as noisy for that query.
@@ -199,6 +227,19 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
+    // bench_last.json: the SAME line, truncate-on-write — round 8's
+    // BENCH capture lost the stdout tail mid-line ("parsed": null), so
+    // any consumer whose capture window is bounded reads this single-line
+    // file instead of reassembling stdout. bench_full.json (above) stays
+    // the append-only history across the round's multiple runs.
+    val lastFile =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LAST", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(lastFile),
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    catch { case e: Throwable => System.err.println(s"[bench] write $lastFile: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
