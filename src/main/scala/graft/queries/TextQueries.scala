@@ -321,9 +321,10 @@ object TextQueries {
     // side mid-pass since L+R ≠ L for nonempty R). At 100 TB the loop
     // cost is O(merges × vocab), independent of corpus size — the reason
     // real BPE trainers work from a word-count table. Output = the
-    // ranked merge table (the trained tokenizer artifact). Iterative +
-    // driver-built output ⇒ rows-only; pinned bit-exact against a naive
-    // single-node reference trainer in TextHashesSpec.
+    // ranked merge table (the trained tokenizer artifact). Oracle-green
+    // since round 9: the whole loop replays in DuckDB via the
+    // doubled-space replace identity (bpeTrainCtes); ALSO pinned against
+    // a naive single-node reference trainer in BpeTrainSpec.
     "text_bpe_train" -> ((s, dir) =>
       bpeTrain(s, dir).orderBy(col("rank"))),
 
@@ -337,11 +338,12 @@ object TextQueries {
     // codegen static call — no join against a merge table, no interpreted
     // lambda chain, the corpus is scanned once. Output per doc: word
     // count, char count and the BPE token count — the sequence-length
-    // audit a tokenization pipeline runs before packing. Rows-only
-    // (trained artifact upstream); the encode itself is pinned in
-    // BpeEncodeSpec: equivalence with the trainer's per-round fold chain
-    // (two independent algorithms), lossless segmentation (concat of
-    // tokens rebuilds the word), and count bounds.
+    // audit a tokenization pipeline runs before packing. Oracle-green
+    // since round 9 (train CTEs + per-word replace chain in SQL); the
+    // encode is ALSO pinned in BpeEncodeSpec: equivalence with the
+    // trainer's per-round fold chain (two independent algorithms),
+    // lossless segmentation (concat of tokens rebuilds the word), and
+    // count bounds.
     "text_bpe_encode" -> ((s, dir) => {
       val flat = bpeTrain(s, dir).orderBy(col("rank")).collect()
         .flatMap(r => Seq(r.getString(1), r.getString(2))).mkString(" ")
@@ -431,6 +433,53 @@ object TextQueries {
   // size). Small here; a production vocab would use thousands — the loop
   // cost is O(merges × vocab) either way.
   private[graft] val BpeMerges = 8
+
+  /** DuckDB replay of the whole BPE training loop — the round-9 promotion
+    * of text_bpe_train/text_bpe_encode from rows-only to bit-exact.
+    *
+    * The key identity: the engine's leftmost-greedy merge fold over a
+    * symbol array equals ONE left-to-right non-overlapping string
+    * `replace` on the array rendered as ' sym₁  sym₂ … symₙ ' (single
+    * space at each end, DOUBLE space between symbols; symbols are
+    * whitespace-split word fragments, so a space can never occur inside
+    * one). The pattern ' l  r ' can only match two whole adjacent
+    * symbols (each side is anchored by a space a partial symbol cannot
+    * provide), each match consumes one of the two separator spaces and
+    * the replacement ' lr ' restores it — so back-to-back merges chain
+    * exactly like the fold ([a,b,a,b] → [ab,ab], [a,a,a] → [aa,a]), and
+    * the doubled-space representation is a loop invariant. Every count
+    * is an exact integer and the argmax tie-break (cnt DESC, l, r) is
+    * total, so seeding-free training replays round for round. The unroll
+    * assumes the corpus yields all BpeMerges merges (true at every gate
+    * SF; the engine stops early only when NO adjacent pair is left).
+    */
+  private def bpeTrainCtes: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS (
+            SELECT sy[i] AS l, sy[i + 1] AS r, CAST(SUM(c) AS BIGINT) AS cc
+            FROM (SELECT c, STRING_SPLIT(trim(s, ' '), '  ') AS sy
+                  FROM s${k - 1}),
+                 UNNEST(RANGE(1, LEN(sy))) AS u(i)
+            GROUP BY 1, 2),
+          m$k AS MATERIALIZED (
+            SELECT l, r, l || r AS m, cc FROM p$k
+            ORDER BY cc DESC, l, r LIMIT 1),
+          s$k AS MATERIALIZED (
+            SELECT c, replace(s,
+              ' ' || (SELECT l FROM m$k) || '  ' || (SELECT r FROM m$k)
+                  || ' ',
+              ' ' || (SELECT m FROM m$k) || ' ') AS s FROM s${k - 1})"""
+    }
+    s"""w0 AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest(STRING_SPLIT(text, ' ')) AS w FROM documents)
+          WHERE LEN(w) >= 2 GROUP BY w),
+        s0 AS MATERIALIZED (
+          SELECT c, ' ' || array_to_string(list_transform(
+              range(1, LEN(w) + 1), i -> substr(w, i, 1)), '  ') || ' ' AS s
+          FROM w0),
+        """ + rounds.mkString(",\n")
+  }
 
   // LM CTE chain shared by the score and bucket oracles (single-sourced so
   // the two gates can never drift apart).
@@ -602,6 +651,41 @@ object TextQueries {
                     WHERE LEN(word) >= 2)
          SELECT pair, COUNT(*) AS cnt
          FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+
+    // The full iterative trainer and the corpus encode replay in SQL via
+    // the doubled-space replace identity (see bpeTrainCtes) — promoted
+    // from rows-only in round 9.
+    "text_bpe_train" -> {
+      val sel = (1 to BpeMerges).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+                   m AS merged, cc AS cnt FROM m$k""")
+        .mkString("\nUNION ALL ")
+      s"WITH $bpeTrainCtes\nSELECT * FROM ($sel) ORDER BY rank"
+    },
+    "text_bpe_encode" -> {
+      val encRounds = (1 to BpeMerges).map { k =>
+        s"""e$k AS MATERIALIZED (
+              SELECT doc_id, nc, replace(s,
+                ' ' || (SELECT l FROM m$k) || '  ' || (SELECT r FROM m$k)
+                    || ' ',
+                ' ' || (SELECT m FROM m$k) || ' ') AS s FROM e${k - 1})"""
+      }.mkString(",\n")
+      s"""WITH $bpeTrainCtes,
+          aw AS (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS w
+                 FROM documents),
+          e0 AS MATERIALIZED (
+            SELECT doc_id, LEN(w) AS nc,
+                   ' ' || array_to_string(list_transform(
+                       range(1, LEN(w) + 1), i -> substr(w, i, 1)), '  ')
+                     || ' ' AS s
+            FROM aw),
+          $encRounds
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(nc) AS BIGINT) AS n_chars,
+                 CAST(SUM(LEN(STRING_SPLIT(trim(s, ' '), '  '))) AS BIGINT)
+                   AS n_bpe
+          FROM e$BpeMerges GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     // text_fingerprint / text_corpus_fingerprint: FNV-1a 64 is pure
     // integer arithmetic, so the full hash pipeline (whole-doc FNV,

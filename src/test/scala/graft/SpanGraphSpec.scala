@@ -152,6 +152,24 @@ class SpanGraphSpec extends SparkSuite {
     }
   }
 
+  test("autoPlanes sizing rule: floor 6 at gate-SF corpus counts, grows " +
+      "one plane per corpus doubling, monotonic, capped at 24") {
+    import SimilarityQueries.autoPlanes
+    // gate SFs (500 / 2000 vectors) must keep the committed 6-plane shape
+    assert(autoPlanes(500) == 6)
+    assert(autoPlanes(2000) == 6)
+    assert(autoPlanes(2048) == 6) // boundary: 2^6 * 32 = 2048
+    assert(autoPlanes(2049) == 7)
+    // the sf1 / sf10 replica corpora
+    assert(autoPlanes(20000) == 10)
+    assert(autoPlanes(200000) == 13)
+    // monotonic in corpus size, hard cap at 24
+    val ps = Seq(1L, 100L, 10000L, 1000000L, 100000000L, Long.MaxValue)
+      .map(autoPlanes)
+    assert(ps == ps.sorted, s"not monotonic: $ps")
+    assert(ps.last == 24)
+  }
+
   test("knn graph plane knob: non-default (tables, planes, cap, k) run " +
       "keeps the structural contract — the scale knob is live code") {
     val g = SimilarityQueries

@@ -3,13 +3,30 @@
 parquet against DuckDB running oracle_sql.json on the same sf tables.
 Usage: python3 tools/check.py [sfdir] [outdir]
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 import numpy as np
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+# optional third arg: write a driver-artifact-shaped JSON
+# ({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+#   oracle_sec, err}}) alongside the text report
+jsonout = sys.argv[3] if len(sys.argv) > 3 else None
+report = {}
+
+def record(name, ok, spark_rows=None, oracle_rows=None, err=None,
+           schema_ok=None, rows_ok=None, sec=None):
+    report[name] = {
+        "rows_match": bool(rows_ok) if rows_ok is not None else bool(ok),
+        "schema_match": bool(schema_ok) if schema_ok is not None else bool(ok),
+        "hash_match": bool(ok),
+        "spark_rows": None if spark_rows is None else int(spark_rows),
+        "oracle_rows": None if oracle_rows is None else int(oracle_rows),
+        "oracle_sec": None if sec is None else round(sec, 2),
+        "err": err,
+    }
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -28,22 +45,30 @@ for name in names:
         print(f"{name:28s} rows-only: {len(got)} rows")
         if len(got) == 0:
             fails.append(name)
+        record(name, len(got) > 0, spark_rows=len(got), err="no_oracle")
         continue
+    t0 = time.time()
     try:
         want = con.execute(oracle[name]).df()
     except Exception as e:
         print(f"{name:28s} ORACLE SQL ERROR: {e}")
         fails.append(name)
+        record(name, False, spark_rows=len(got), err=str(e)[:300])
         continue
+    osec = time.time() - t0
     got = got[sorted(got.columns)].reset_index(drop=True)
     want = want[sorted(want.columns)].reset_index(drop=True)
     if list(got.columns) != list(want.columns):
         print(f"{name:28s} SCHEMA MISMATCH: {list(got.columns)} vs {list(want.columns)}")
         fails.append(name)
+        record(name, False, spark_rows=len(got), oracle_rows=len(want),
+               schema_ok=False, sec=osec)
         continue
     if len(got) != len(want):
         print(f"{name:28s} ROWS MISMATCH: {len(got)} vs {len(want)}")
         fails.append(name)
+        record(name, False, spark_rows=len(got), oracle_rows=len(want),
+               rows_ok=False, sec=osec)
         continue
     def norm(s):
         # date / datetime-at-midnight → ISO string, so Spark DATE (python
@@ -69,9 +94,16 @@ for name in names:
         c, i, gv, wv = bad
         print(f"{name:28s} VALUE MISMATCH col={c} row={i}: got={gv!r} want={wv!r}")
         fails.append(name)
+        record(name, False, spark_rows=len(got), oracle_rows=len(want),
+               err=f"col={c} row={i}", sec=osec)
     else:
         print(f"{name:28s} OK ({len(got)} rows)")
+        record(name, True, spark_rows=len(got), oracle_rows=len(want),
+               sec=osec)
 print()
+if jsonout:
+    with open(jsonout, "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)
 print(f"{len(names) - len(fails)}/{len(names)} pass" +
       (f"; FAILING: {fails}" if fails else ""))
 sys.exit(1 if fails else 0)
