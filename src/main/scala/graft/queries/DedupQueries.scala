@@ -499,15 +499,19 @@ object DedupQueries {
     // pinned by DedupSimilaritySpec.
     "dedup_embedding_near" -> ((s, dir) => {
       val b = load(s, dir, "embeddings")
-        // native normalize (one norm pass per row; the HOF transform
-        // re-evaluated the norm aggregate per ELEMENT in interpreted mode)
-        .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"))
-        // native codegen'd LSH signatures (graft.functions.LshBuckets) —
-        // bit-identical to the HOF form, ~30× faster (HOFs are
-        // CodegenFallback); bucketing on ne ≡ bucketing on the raw vector
-        // (positive scaling never flips a projection sign)
-        .select(col("vec_id"), col("ne"),
-          posexplode(expr(s"lsh_buckets(ne, $LshTables, $LshPlanes)"))
+        // native codegen'd LSH signatures (graft.functions.LshBuckets) on
+        // the RAW embedding — the form the oracle replays. Bucketing the
+        // normalized vector was equivalent under the old double-sum
+        // semantics (positive scaling never flips an exact-real
+        // projection sign) but is NOT under the round-9 micro-unit
+        // quantization: quantizing x and quantizing x/‖x‖ land on
+        // different lattice points, and a near-zero projection can
+        // bucket differently — the sf10 sampled gate caught exactly
+        // this as a 55-pair divergence at 200k vectors. The normalized
+        // vector (native vec_normalize: one norm pass per row) is still
+        // carried for the exact cosine re-rank.
+        .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
+          posexplode(expr(s"lsh_buckets(embedding, $LshTables, $LshPlanes)"))
             .as(Seq("table_id", "bucket")))
       // Capped like minhash/winnow: an over-full bucket (many identical
       // vectors hash to the same cell in every table) would otherwise
