@@ -98,6 +98,68 @@ class StreamingSessionizationSpec extends SparkSuite {
     assert(byUser == Map(1L -> 2, 2L -> 1, 3L -> 1), byUser.toString)
   }
 
+  test("restart from checkpoint mid-stream: no session lost or re-emitted") {
+    val root = Files.createTempDirectory("graft-sess-rs").toString
+    val in = s"$root/in"
+    val ck = s"$root/ck"
+
+    val phase1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:05:00"), 2.0),
+      (2L, ts("2024-01-01 10:00:00"), 5.0),
+      // closes u1/u2's first sessions once processed (40m > gap)
+      (1L, ts("2024-01-01 10:45:00"), 3.0),
+      (2L, ts("2024-01-01 10:45:00"), 6.0))
+    val phase2 = Seq( // after restart: extends the open 10:45 sessions
+      (1L, ts("2024-01-01 10:50:00"), 4.0),
+      (2L, ts("2024-01-01 10:50:00"), 7.0),
+      // sentinel closes them
+      (1L, ts("2024-01-02 00:00:00"), 0.0),
+      (2L, ts("2024-01-02 00:00:00"), 0.0))
+
+    phase1.toDF("user_id", "ts", "value").coalesce(1)
+      .write.mode("append").parquet(s"$in/p0")
+    val schema = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("user_id", "ts", "value").schema
+
+    def run(): Seq[(Long, String, Long, Double)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, String, Long, Double)]()
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+      val q = StreamingSessionization
+        .sessions(spark, stream, gap = gap, watermarkDelay = "0 seconds")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            StreamingSessionization.SessionRow], _: Long) =>
+          batch.collect().foreach(r =>
+            buf.add((r.user_id, r.session_start, r.n, r.sum_value)))
+        }
+        .option("checkpointLocation", ck).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+
+    val first = run()
+    // the 10:00 sessions closed (watermark passed via the 10:45 events)
+    assert(first.toSet == Set(
+      (1L, "2024-01-01 10:00:00", 2L, 3.0),
+      (2L, "2024-01-01 10:00:00", 1L, 5.0)), first.toString)
+
+    phase2.toDF("user_id", "ts", "value").coalesce(1)
+      .write.mode("append").parquet(s"$in/p1")
+    val second = run()
+
+    // post-restart emissions only: the state (open 10:45 fragments)
+    // survived the checkpoint — merged with 10:50 and closed by the
+    // sentinel; the already-emitted 10:00 sessions do NOT reappear
+    assert(second.toSet == Set(
+      (1L, "2024-01-01 10:45:00", 2L, 7.0),
+      (2L, "2024-01-01 10:45:00", 2L, 13.0)), second.toString)
+  }
+
   test("cents quantization matches DECIMAL(18,2) half-up per value") {
     for (v <- Seq(0.005, 0.015, 1.005, 10.105, 0.125, 2.675, -0.005))
       assert(StreamingSessionization.toCents(v) ==
