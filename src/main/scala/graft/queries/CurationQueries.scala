@@ -32,6 +32,12 @@ object CurationQueries {
 
   private val toks = "split(text, ' ')"
 
+  // Semantic-decontamination cosine floor, interpolated into both the
+  // Spark query and its oracle (same single-sourcing as the Gopher
+  // knobs). Calibrated to the synthetic embedding geometry the same way
+  // DedupQueries' SemCosMin (0.30) / EmbCosMin (0.45) are.
+  private val DecontamCosMin = "0.35"
+
   // Gopher-filter knobs (bounds adapted from Rae et al. 2021 §A1.1 to this
   // corpus's 20–80-word documents), interpolated into BOTH the Spark query
   // and its oracle. GopherTopFrac10 is tenths (2 = Gopher's 20%
@@ -216,6 +222,43 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("eval_doc_id"))
     }),
 
+    // Semantic decontamination: the embedding-space complement of
+    // decontam_overlap — a corpus vector is contaminated when its cosine
+    // to ANY held-out eval vector (vec_id % 37 == 0, the same holdout
+    // convention) reaches DecontamCosMin; emit each contaminated vector
+    // with its best eval match. n-gram overlap misses paraphrases; the
+    // embedding test catches them (the standard second stage of
+    // benchmark-decontamination pipelines).
+    //
+    // Scale shape: eval sets are FIXED-SIZE (benchmarks), so the eval
+    // side is normalized once and broadcast; the corpus is scanned once
+    // with zero shuffle before the per-vector argmax (a window over ≤
+    // |matches per vector| rows). Cost is O(corpus × |eval|) dot
+    // products — linear in the corpus, embarrassingly parallel, the
+    // honest brute baseline (an LSH prefilter drops in exactly as in
+    // dedup_embedding_near when |eval| itself is large). Threshold
+    // calibrated to this synthetic's embedding geometry like
+    // EmbCosMin/SemCosMin (max cross-holdout cosine ≈ 0.39-0.50 at the
+    // gate SFs; real text embeddings would use ~0.9+).
+    "decontam_semantic" -> ((s, dir) => {
+      val emb = load(s, dir, "embeddings")
+      val ev = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("eval_id"),
+          expr("vec_normalize(embedding)").as("en"))
+      val co = emb.filter(col("vec_id") % 37 =!= 0)
+        .select(col("vec_id"), expr("vec_normalize(embedding)").as("cn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("eval_id"))
+      co.join(broadcast(ev),
+          round(expr("vec_dot(cn, en)"), 6) >= DecontamCosMin)
+        .select(col("vec_id"), col("eval_id"),
+          round(expr("vec_dot(cn, en)"), 6).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("eval_id"), col("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Deterministic global training shuffle: md5-keyed shard assignment +
     // within-shard position. Reproducible across engines/runs (no RNG),
     // and the sort is per-shard (partitioned by the row_number window) —
@@ -392,6 +435,25 @@ object CurationQueries {
          SELECT win, CAST(n_docs AS BIGINT) AS n_docs,
                 CAST(n_hits AS BIGINT) AS n_hits
          FROM g WHERE n_docs BETWEEN 2 AND 64 ORDER BY win""",
+    "decontam_semantic" ->
+      s"""WITH d AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                            CAST(unnest(embedding) AS DOUBLE) AS x
+                     FROM embeddings),
+              n AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm
+                    FROM d GROUP BY vec_id),
+              nd AS (SELECT d.vec_id, dim, x / nrm AS xn
+                     FROM d JOIN n USING (vec_id)),
+              cos AS (SELECT c.vec_id, e.vec_id AS eval_id,
+                             ROUND(SUM(c.xn * e.xn), 6) AS cos
+                      FROM nd c JOIN nd e ON c.dim = e.dim
+                      WHERE c.vec_id % 37 <> 0 AND e.vec_id % 37 = 0
+                      GROUP BY c.vec_id, e.vec_id),
+              hit AS (SELECT vec_id, eval_id, cos,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, eval_id) AS rnk
+                      FROM cos WHERE cos >= $DecontamCosMin)
+         SELECT vec_id, eval_id, cos FROM hit WHERE rnk = 1
+         ORDER BY vec_id""",
     "decontam_overlap" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a,
                            LEN(STRING_SPLIT(text, ' ')) AS n
