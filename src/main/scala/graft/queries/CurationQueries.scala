@@ -37,6 +37,14 @@ object CurationQueries {
   // knobs). Calibrated to the synthetic embedding geometry the same way
   // DedupQueries' SemCosMin (0.30) / EmbCosMin (0.45) are.
   private val DecontamCosMin = "0.35"
+  // Benchmarks are FIXED-SIZE while the corpus grows: the eval holdout is
+  // capped at 512 vectors by a pure predicate (vec_id < 512 stride-37
+  // slots), so the brute cost stays O(corpus × const) at any SF. All gate
+  // SFs (≤ 2048 vectors) are unaffected; at the replica-scaled SFs the
+  // eval set is the base corpus's slice and replicas of eval vectors land
+  // on the corpus side — where they are exactly the contamination the
+  // operator must flag.
+  private val DecontamEvalMax = 37 * 512
 
   // Gopher-filter knobs (bounds adapted from Rae et al. 2021 §A1.1 to this
   // corpus's 20–80-word documents), interpolated into BOTH the Spark query
@@ -242,7 +250,8 @@ object CurationQueries {
     // gate SFs; real text embeddings would use ~0.9+).
     "decontam_semantic" -> ((s, dir) => {
       val emb = load(s, dir, "embeddings")
-      val ev = emb.filter(col("vec_id") % 37 === 0)
+      val ev = emb.filter(col("vec_id") % 37 === 0 &&
+          col("vec_id") < DecontamEvalMax)
         .select(col("vec_id").as("eval_id"),
           expr("vec_normalize(embedding)").as("en"))
       val co = emb.filter(col("vec_id") % 37 =!= 0)
@@ -447,6 +456,7 @@ object CurationQueries {
                              ROUND(SUM(c.xn * e.xn), 6) AS cos
                       FROM nd c JOIN nd e ON c.dim = e.dim
                       WHERE c.vec_id % 37 <> 0 AND e.vec_id % 37 = 0
+                        AND e.vec_id < $DecontamEvalMax
                       GROUP BY c.vec_id, e.vec_id),
               hit AS (SELECT vec_id, eval_id, cos,
                              ROW_NUMBER() OVER (PARTITION BY vec_id
