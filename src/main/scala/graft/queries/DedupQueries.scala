@@ -227,15 +227,25 @@ object DedupQueries {
     // array instead of needing a guard against sequence(1, n<=0)
     // descending.
     "dedup_span_detect" -> ((s, dir) =>
+      // Two-phase aggregation instead of count_distinct-alongside-count:
+      // the mixed distinct/non-distinct form makes Spark rewrite through
+      // Expand (every gram row DOUBLED, then re-shuffled on the string
+      // key with no map-side partial for the distinct path). Pre-grouping
+      // by (gram, doc_id) keeps BOTH exchanges partially aggregated —
+      // identical values (Σ per-doc counts = count, count of groups =
+      // count_distinct, min of mins = min); ~3× at sf10 (SCALING.md).
       load(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(expr(s"word_ngrams($toks, $SpanLen)"))
             .as(Seq("p", "gram")))
         .select(col("doc_id"), (col("p") + 1).as("pos"), col("gram"))
-        .groupBy(col("gram"))
-        .agg(count(lit(1)).as("n_occ"),
-          count_distinct(col("doc_id")).as("n_docs"),
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("n_in_doc"),
           min(col("doc_id") * lit(1000000L) + col("pos")).as("enc"))
+        .groupBy(col("gram"))
+        .agg(sum(col("n_in_doc")).as("n_occ"),
+          count(lit(1)).as("n_docs"),
+          min(col("enc")).as("enc"))
         .filter(col("n_docs") >= 2)
         .select(col("gram"), col("n_occ"), col("n_docs"),
           expr("enc div 1000000").as("first_doc"),
