@@ -48,9 +48,27 @@ object DedupQueries {
 
   // Embedding-LSH knobs, shared by dedup_embedding_near and the semantic
   // dedup — interpolated into BOTH the Spark queries and their oracle SQL
-  // so the two sides cannot silently desynchronize.
+  // so the two sides cannot silently desynchronize. Since round 9 the
+  // plane count AUTO-SIZES from the corpus count with the exact integer
+  // rule the kNN graph uses (SimilarityQueries.autoPlanes: smallest p in
+  // [6, 24] with 2^p · 32 ≥ n) — fixed 6-plane tables saturate their 64
+  // buckets at 100× (mean occupancy ~3.1k at 200k vectors, so the cap
+  // drops nearly every bucket and recall collapses); the oracle derives
+  // the SAME value from COUNT(*) in its pl CTE. Gate SFs (≤ 2048
+  // vectors) still get 6, so the committed results are unchanged there.
   private val LshTables = 6
-  private val LshPlanes = 6
+  private def lshPlanes(s: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    SimilarityQueries.autoPlanes(SimilarityQueries.embCount(s, dir))
+  /** The oracle's plane-count CTE — identical integer rule in SQL. */
+  private val duckPl =
+    s"""pl AS (
+            SELECT COALESCE(MIN(p), ${SimilarityQueries.GraphMaxPlanes}) AS np
+            FROM (SELECT unnest(range(6,
+                    ${SimilarityQueries.GraphMaxPlanes + 1})) AS p),
+                 (SELECT COUNT(*) AS n FROM embeddings)
+            WHERE (CAST(1 AS BIGINT) << p)
+                    * ${SimilarityQueries.GraphOccupancy} >= n)"""
   private val SemCosMin = "0.30"
   private val EmbCosMin = "0.45"
   private val JaccardMin = 0.5
@@ -508,6 +526,7 @@ object DedupQueries {
     // promoted from rows-only); precision 1.0 + recall additionally
     // pinned by DedupSimilaritySpec.
     "dedup_embedding_near" -> ((s, dir) => {
+      val pl = lshPlanes(s, dir)
       val b = load(s, dir, "embeddings")
         // native codegen'd LSH signatures (graft.functions.LshBuckets) on
         // the RAW embedding — the form the oracle replays. Bucketing the
@@ -521,22 +540,23 @@ object DedupQueries {
         // vector (native vec_normalize: one norm pass per row) is still
         // carried for the exact cosine re-rank.
         .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
-          posexplode(expr(s"lsh_buckets(embedding, $LshTables, $LshPlanes)"))
+          posexplode(expr(s"lsh_buckets(embedding, $LshTables, $pl)"))
             .as(Seq("table_id", "bucket")))
       // Capped like minhash/winnow: an over-full bucket (many identical
       // vectors hash to the same cell in every table) would otherwise
       // explode n²/2 pairs in one task AND collect n full 64-float vectors
       // into a single aggregation buffer. Dropped buckets' pairs are
       // recovered by the other 5 tables (recall pinned). Bucket IDS are
-      // pre-filtered via a broadcast (6×2⁶ = 384 keys, fixed at any
-      // corpus size; the count agg ships only partial counts), so
-      // over-full buckets' vectors never enter the vector exchange —
-      // collect-then-drop would shuffle every dropped bucket's 64-float
-      // vectors first.
-      val good = broadcast(b.groupBy(col("table_id"), col("bucket"))
+      // pre-filtered before the vector exchange (the count agg ships only
+      // partial counts), so over-full buckets' vectors never shuffle. No
+      // forced broadcast: with auto-sized planes the qualifying list is
+      // O(n/occupancy) keys — KBs at the gate SFs (AQE broadcasts it
+      // there anyway) but not something to pin to the driver at petabyte
+      // corpus sizes (same reasoning as knnGraphEdges).
+      val good = b.groupBy(col("table_id"), col("bucket"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, VecBucketCap))
-        .select(col("table_id"), col("bucket")))
+        .select(col("table_id"), col("bucket"))
       val cands = b.join(good, Seq("table_id", "bucket"))
         .groupBy(col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
@@ -560,17 +580,17 @@ object DedupQueries {
     // generators this one is FULLY oracle-checked: LSH buckets, cosine,
     // and the transitive closure all replay in ANSI SQL.
     "dedup_semantic_survivors" -> ((s, dir) => {
+      val pl = lshPlanes(s, dir)
       val emb = load(s, dir, "embeddings")
       val b = emb.select(col("vec_id"), col("label"), col("embedding"),
-        posexplode(expr(s"lsh_buckets(embedding, $LshTables, $LshPlanes)"))
+        posexplode(expr(s"lsh_buckets(embedding, $LshTables, $pl)"))
           .as(Seq("table_id", "bucket")))
-      // same broadcast bucket-id pre-filter as dedup_embedding_near —
-      // keyed by (label, table, bucket): labels × 384 keys, still tiny
-      val good = broadcast(
-        b.groupBy(col("label"), col("table_id"), col("bucket"))
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n").between(2, VecBucketCap))
-          .select(col("label"), col("table_id"), col("bucket")))
+      // same bucket-id pre-filter as dedup_embedding_near, keyed by
+      // (label, table, bucket); unforced for the same sizing reason
+      val good = b.groupBy(col("label"), col("table_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, VecBucketCap))
+        .select(col("label"), col("table_id"), col("bucket"))
       val pairs = b.join(good, Seq("label", "table_id", "bucket"))
         .groupBy(col("label"), col("table_id"), col("bucket"))
         .agg(expr("sort_array(collect_list(struct(vec_id, embedding)))")
@@ -764,13 +784,15 @@ object DedupQueries {
     // summation-order rounding skew (compare the unrounded cosines), not
     // as an engine bug.
     "dedup_embedding_near" ->
-      s"""WITH d AS (
+      s"""WITH $duckPl,
+          d AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings),
-          planes AS (SELECT t, j, t * $LshPlanes + j AS p
+          planes AS (SELECT t, j, t * (SELECT np FROM pl) + j AS p
                      FROM (SELECT unnest(range(0, $LshTables)) AS t),
-                          (SELECT unnest(range(0, $LshPlanes)) AS j)),
+                          (SELECT unnest(range(0, (SELECT np FROM pl)))
+                             AS j)),
           proj AS (
             SELECT vec_id, t, j,
                    SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)
@@ -967,13 +989,15 @@ object DedupQueries {
     // candidates with the 200 cap, exact 6dp cosine gate, recursive-CTE
     // transitive closure, min-id representative, survivor projection.
     "dedup_semantic_survivors" ->
-      s"""WITH RECURSIVE d AS (
+      s"""WITH RECURSIVE $duckPl,
+          d AS (
             SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings),
-          planes AS (SELECT t, j, t * $LshPlanes + j AS p
+          planes AS (SELECT t, j, t * (SELECT np FROM pl) + j AS p
                      FROM (SELECT unnest(range(0, $LshTables)) AS t),
-                          (SELECT unnest(range(0, $LshPlanes)) AS j)),
+                          (SELECT unnest(range(0, (SELECT np FROM pl)))
+                             AS j)),
           proj AS (
             SELECT vec_id, t, j,
                    SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)

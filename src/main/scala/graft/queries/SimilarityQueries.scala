@@ -47,8 +47,8 @@ object SimilarityQueries {
   // mean bucket occupancy (recall under the cap) constant as the corpus
   // grows — SCALING.md's "fixed-space saturation" knob, now automatic.
   private val GraphTables = 4
-  private val GraphOccupancy = 32
-  private val GraphMaxPlanes = 24
+  private[graft] val GraphOccupancy = 32
+  private[graft] val GraphMaxPlanes = 24
   private[graft] def autoPlanes(n: Long): Int =
     (6 to GraphMaxPlanes).find(p => (1L << p) * GraphOccupancy >= n)
       .getOrElse(GraphMaxPlanes)
@@ -57,7 +57,7 @@ object SimilarityQueries {
   // knnGraphEdges repeatedly per bench trial.
   private val embCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def embCount(s: org.apache.spark.sql.SparkSession,
+  private[graft] def embCount(s: org.apache.spark.sql.SparkSession,
       dir: String): Long =
     embCountCache.computeIfAbsent(dir,
       d => load(s, d, "embeddings").count()).longValue()
