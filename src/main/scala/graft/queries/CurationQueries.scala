@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
+import OracleSql.fnvSql
 
 /** Corpus-curation operators — the remaining pillars of a training-data
   * pipeline beyond dedup/similarity/ranking: repetition quality signals
@@ -45,6 +46,14 @@ object CurationQueries {
   // on the corpus side — where they are exactly the contamination the
   // operator must flag.
   private val DecontamEvalMax = 37 * 512
+
+  // DSIR hashed-feature bucket count (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling" — public technique).
+  // A power of two DIVIDING 2^64, so the unsigned-residue mod the oracle
+  // computes in HUGEINT equals the engine's pmod of the signed Long:
+  // h mod 2^64 ≡ h (mod 1024). The bucket table is O(DsirBuckets)
+  // regardless of corpus size — the whole point of hashed features.
+  private val DsirBuckets = 1024
 
   // Gopher-filter knobs (bounds adapted from Rae et al. 2021 §A1.1 to this
   // corpus's 20–80-word documents), interpolated into BOTH the Spark query
@@ -369,6 +378,55 @@ object CurationQueries {
           cnt(passLang).as("pass_lang"),
           cnt(passLen && passWords && passTtr && passLang).as("pass_all"))
         .orderBy(col("source"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): score every document by
+    // how much more likely its hashed-bigram features are under a TARGET
+    // distribution (here: the corpus's English slice — the "high-quality
+    // domain" stand-in) than under the raw SOURCE (the whole corpus).
+    // w(doc) = Σ_grams [ln p̂_t(b(g)) − ln p̂_s(b(g))] with add-one
+    // smoothing over DsirBuckets hashed buckets; importance resampling
+    // keeps the top-weight docs. Bit-exactness via the k-means playbook:
+    // each bucket's log-ratio is quantized ONCE to half-up 6dp micro-units
+    // (floor(x*1e6+0.5) — identical on both engines), so the per-doc sum
+    // is an exact order-free BIGINT fold and `weight` is one IEEE division
+    // at the end. Scale: the feature table is O(DsirBuckets) no matter the
+    // corpus (counts partial-agg map-side; the gram stream shuffles once
+    // on a 1024-key space), the quantized ratio table is KB-sized so AQE
+    // broadcasts the scoring join, and the doc-side pass is a narrow map.
+    "curation_dsir_weights" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val bg = docs.select(col("doc_id"), col("lang"),
+        explode(expr(s"transform(word_ngrams($toks, 2), " +
+          s"g -> pmod(fnv64(g), ${DsirBuckets}L))")).as("b"))
+      val buckets = bg.groupBy(col("b")).agg(
+        count(lit(1)).as("cs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      // Corpus totals via an unpartitioned window over the BUCKET table —
+      // bounded at DsirBuckets rows at any corpus size (same argument as
+      // the length-histogram cumsum), and one corpus pass cheaper than a
+      // separate scalar-aggregate subtree (DataFrame lineage would re-scan
+      // the corpus to rebuild it).
+      val whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val tq = buckets
+        .withColumn("ns", sum(col("cs")).over(whole))
+        .withColumn("nt", sum(col("ct")).over(whole))
+      val q = tq.select(col("b"),
+        floor((log((col("ct") + 1).cast("double") /
+            (col("nt") + lit(DsirBuckets.toLong))) -
+          log((col("cs") + 1).cast("double") /
+            (col("ns") + lit(DsirBuckets.toLong)))) * 1e6 + 0.5)
+          .cast("long").as("qlr"))
+      val w = bg.join(q, "b").groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_grams"), sum(col("qlr")).as("weight_micro"))
+      docs.select(col("doc_id"), col("lang")).join(w, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("weight_micro"), lit(0L)).as("weight_micro"),
+          (coalesce(col("weight_micro"), lit(0L)).cast("double") / lit(1e6))
+            .as("weight"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -635,6 +693,42 @@ object CurationQueries {
                                AND n_words >= 20 AND ttr >= 0.5
                                AND lang IN ('en','de','fr','es')
                               THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
-         FROM d GROUP BY source ORDER BY source"""
+         FROM d GROUP BY source ORDER BY source""",
+
+    // Full DSIR replay: FNV-1a bucket hashing in HUGEINT (mod 1024 of the
+    // unsigned residue == the engine's pmod — 1024 divides 2^64), exact
+    // integer bucket counts, the SAME parenthesization for the two LNs of
+    // single integer-ratio divisions, half-up 6dp micro-unit quantization,
+    // then an exact BIGINT sum per document.
+    "curation_dsir_weights" -> s"""
+      WITH dtk AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t
+                   FROM documents),
+      g AS (SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS gram
+            FROM dtk, UNNEST(RANGE(1, LEN(t))) AS u(i)),
+      hb AS (SELECT doc_id, lang,
+                    CAST(${fnvSql("gram")} % ${DsirBuckets}::HUGEINT
+                         AS BIGINT) AS b
+             FROM g),
+      bk AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cs,
+                    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS ct
+             FROM hb GROUP BY b),
+      tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS ns,
+                     CAST(SUM(ct) AS BIGINT) AS nt FROM bk),
+      q AS (SELECT b, CAST(FLOOR((
+                LN(CAST(ct + 1 AS DOUBLE) / (nt + $DsirBuckets))
+              - LN(CAST(cs + 1 AS DOUBLE) / (ns + $DsirBuckets))) * 1e6
+              + 0.5) AS BIGINT) AS qlr
+            FROM bk CROSS JOIN tot),
+      w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(qlr) AS BIGINT) AS weight_micro
+            FROM hb JOIN q USING (b) GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id, d.lang AS lang,
+             COALESCE(w.n_grams, 0::BIGINT) AS n_grams,
+             COALESCE(w.weight_micro, 0::BIGINT) AS weight_micro,
+             CAST(COALESCE(w.weight_micro, 0::BIGINT) AS DOUBLE) / 1e6
+               AS weight
+      FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
   )
 }

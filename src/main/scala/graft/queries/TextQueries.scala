@@ -356,8 +356,83 @@ object TextQueries {
           sum(length(col("w"))).cast("bigint").as("n_chars"),
           sum(size(col("enc"))).cast("bigint").as("n_bpe"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    // stream, plus its accuracy audit: build the d×w counter matrix with
+    // FNV row hashes, then for the top-CmsTopK tokens compare the CMS
+    // point estimate (min over the d counters) against the exact count —
+    // est ≥ exact always, and the overcount column IS the collision mass.
+    // Unlike the KLL/HLL wrappers (Spark-internal state ⇒ rows-only),
+    // every CMS cell is a deterministic integer, so the whole sketch
+    // replays in SQL bit-exactly. Scale: the counter matrix is d×w = 2048
+    // cells at ANY corpus size and partial aggregation builds it map-side
+    // (each task ships ≤2048 cells — this merge IS the sketch's
+    // associativity); the exact top-k recount is the same vocab-keyed agg
+    // text_doc_freq runs. The probe side is CmsTopK×d rows — broadcast.
+    "text_cms_counts" -> ((s, dir) => {
+      val cellExpr = (tokCol: String) =>
+        s"""transform(sequence(0, ${CmsDepth - 1}),
+             r -> named_struct('r', r,
+               'c', pmod(fnv64(concat(cast(r as string), '|', $tokCol)),
+                         ${CmsWidth}L)))"""
+      val tk = load(s, dir, "documents").select(explode(expr(toks)).as("tok"))
+      val cells = tk
+        .select(explode(expr(cellExpr("tok"))).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val topk = tk.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(CmsTopK)
+      topk
+        .select(col("tok"), col("exact_cnt"),
+          explode(expr(cellExpr("tok"))).as("rc"))
+        .select(col("tok"), col("exact_cnt"),
+          col("rc.r").as("r"), col("rc.c").as("c"))
+        .join(cells, Seq("r", "c"))
+        .groupBy(col("tok"), col("exact_cnt"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("tok"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
+    // Per-document n-gram novelty — the memorization/duplication audit of
+    // Lee et al. 2022's analysis sections: what fraction of a document's
+    // DISTINCT word trigrams appear in no other document? novelty 1.0 =
+    // fully original; 0.0 = every shingle is shared (boilerplate or a
+    // near-dup). Exact integers + one final IEEE division; docs too short
+    // for a trigram surface with NULL novelty rather than silently
+    // dropping. Scale: one shingle-keyed exchange (explode distinct
+    // shingles → df groupBy → join back), the same cost class as
+    // text_doc_freq — no candidate blow-up since df is a count, never a
+    // pair list.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(expr(s"array_distinct(word_ngrams($toks, 3))")).as("g"))
+      val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val nov = sh.join(df, "g").groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      docs.select(col("doc_id")).join(nov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty",
+          when(col("n_shingles") > 0,
+            col("n_novel").cast("double") / col("n_shingles")))
+        .orderBy(col("doc_id"))
     })
   )
+
+  // Count-min sketch shape: depth (independent FNV rows) × width. Width is
+  // a power of two dividing 2^64, so the oracle's unsigned-residue mod
+  // equals the engine's pmod of the signed hash (same argument as
+  // CurationQueries.DsirBuckets). 2048 cells ≈ 16 KB — driver-trivial,
+  // executor-trivial, and the merge is plain cell-wise addition.
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 512
+  private[graft] val CmsTopK = 20
 
   /** Trained-merge-table cache, keyed by corpus dir (the table is a pure
     * function of the corpus + BpeMerges; testdata dirs are immutable for
@@ -749,7 +824,58 @@ object TextQueries {
       nd AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
              FROM documents GROUP BY source, lang)
       SELECT source, lang, ${signedSql("u")} AS corpus_simhash, n_docs
-      FROM sim JOIN nd USING (source, lang) ORDER BY source, lang"""
+      FROM sim JOIN nd USING (source, lang) ORDER BY source, lang""",
+
+    // Full CMS replay: FNV row hashes in HUGEINT mod CmsWidth (a power of
+    // two dividing 2^64 — unsigned residue == engine pmod), exact integer
+    // cell counts, MIN over the depth rows. Pure integers end to end.
+    "text_cms_counts" -> {
+      val cellSql = fnvSql("CAST(r AS VARCHAR) || '|' || tok")
+      s"""WITH tk AS (SELECT unnest(STRING_SPLIT(text, ' ')) AS tok
+                      FROM documents),
+          rc AS (SELECT tok, r
+                 FROM tk CROSS JOIN
+                   (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r)
+                   rows_),
+          hc AS (SELECT r,
+                        CAST($cellSql % ${CmsWidth}::HUGEINT AS BIGINT) AS c
+                 FROM rc),
+          cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM hc GROUP BY r, c),
+          topk AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+                   FROM tk GROUP BY tok
+                   ORDER BY exact_cnt DESC, tok LIMIT $CmsTopK),
+          pr AS (SELECT tok, exact_cnt, r,
+                        CAST($cellSql % ${CmsWidth}::HUGEINT AS BIGINT) AS c
+                 FROM topk CROSS JOIN
+                   (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r)
+                   rows_),
+          est AS (SELECT tok, exact_cnt, MIN(cnt) AS cms_est
+                  FROM pr JOIN cells USING (r, c) GROUP BY tok, exact_cnt)
+          SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+          FROM est ORDER BY exact_cnt DESC, tok"""
+    },
+
+    "text_ngram_novelty" ->
+      """WITH dtk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+                      FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+                FROM dtk, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)),
+         dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM sh GROUP BY g),
+         nv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_novel
+                FROM sh JOIN dfq USING (g) GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+                COALESCE(nv.n_shingles, 0::BIGINT) AS n_shingles,
+                COALESCE(nv.n_novel, 0::BIGINT) AS n_novel,
+                CASE WHEN nv.n_shingles > 0
+                     THEN CAST(nv.n_novel AS DOUBLE) / nv.n_shingles
+                END AS novelty
+         FROM documents d LEFT JOIN nv ON nv.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
   )
 
   /** Corpus-trained LM scores per document: (doc_id, n_tokens, uni_logprob,
