@@ -381,7 +381,15 @@ object DedupQueries {
     // a keyed join against a 16k-row broadcast-sized pool — negatives
     // cost O(anchors), never O(corpus²).
     "mix_contrastive_pairs" -> ((s, dir) => {
+      // The positive set feeds THREE consumers (the labeled union, the
+      // anchor list, and the collision anti-join); without a lineage cut
+      // each reference recomputes the whole df-capped Jaccard chain —
+      // measured 3-4x the query's real work at sf1 (21 s -> the chain
+      // once). localCheckpoint materializes the bounded pair list
+      // (2 longs/row) exactly once — the same lifecycle pattern as the
+      // ConnectedComponents rounds.
       val pos = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       val docs = load(s, dir, "documents").select(col("doc_id"))
       val nRow = docs.agg(count(lit(1)).as("n"))
       val pool = docs.crossJoin(broadcast(nRow))
