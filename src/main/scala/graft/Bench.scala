@@ -164,6 +164,7 @@ object Bench {
     // source -> filter -> route -> publish -> commit pipeline through the
     // DSv2 change-stream source, report events/sec. Setup (envelope write)
     // is excluded from the timed window.
+    var streamEvPerSec: Double = -1.0
     val streamingJson =
       try {
         val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
@@ -200,6 +201,7 @@ object Bench {
           availableNow = true)
         val sec = (System.nanoTime() - t0) / 1e9
         val published = spark.read.parquet(s"$root/messages").count()
+        streamEvPerSec = cnt / sec
         s"""{"events":$cnt,"published":$published,"sec":$sec,"events_per_sec":${cnt / sec}}"""
       } catch {
         case e: Throwable =>
@@ -240,6 +242,16 @@ object Bench {
       java.nio.file.StandardOpenOption.WRITE,
       java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     catch { case e: Throwable => System.err.println(s"[bench] write $lastFile: $e") }
+    // Compact summary printed LAST (VERDICT r9 #4): the full line above
+    // carries per-query maps and can exceed a bounded stdout tail-capture
+    // window ("parsed": null three rounds running). This short no-maps
+    // line is the final stdout line, so ANY tail capture parses it.
+    val nq = results.count { case (_, v, _) => v >= 0 }
+    val ncontam = results.count { case (_, v, s) => v >= 0 && s > 1.5 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":$nq,""" +
+      s""""streaming_events_per_sec":$streamEvPerSec,""" +
+      s""""contaminated_count":$ncontam,"errors_count":${errors.size},""" +
+      s""""sf":"$sfDir","trials":$trials,"summary":true}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -44,7 +44,7 @@ object DedupQueries {
   // planes), so the shingle df-cap would drop real neighborhoods. Any
   // constant bounds the worst bucket's pair fan-out (≤ cap²/2 ≈ 20k pairs
   // per task) — the point is an upper bound, not shingle-level sparsity.
-  private val VecBucketCap = 200
+  private[queries] val VecBucketCap = 200
 
   // Embedding-LSH knobs, shared by dedup_embedding_near and the semantic
   // dedup — interpolated into BOTH the Spark queries and their oracle SQL
@@ -56,12 +56,12 @@ object DedupQueries {
   // drops nearly every bucket and recall collapses); the oracle derives
   // the SAME value from COUNT(*) in its pl CTE. Gate SFs (≤ 2048
   // vectors) still get 6, so the committed results are unchanged there.
-  private val LshTables = 6
-  private def lshPlanes(s: org.apache.spark.sql.SparkSession,
+  private[queries] val LshTables = 6
+  private[queries] def lshPlanes(s: org.apache.spark.sql.SparkSession,
       dir: String): Int =
     SimilarityQueries.autoPlanes(SimilarityQueries.embCount(s, dir))
   /** The oracle's plane-count CTE — identical integer rule in SQL. */
-  private val duckPl =
+  private[queries] val duckPl =
     s"""pl AS (
             SELECT COALESCE(MIN(p), ${SimilarityQueries.GraphMaxPlanes}) AS np
             FROM (SELECT unnest(range(6,

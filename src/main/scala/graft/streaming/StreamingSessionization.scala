@@ -93,8 +93,12 @@ object StreamingSessionization {
     if (open.isEmpty) state.remove()
     else {
       state.update(open)
-      // next close point; must be strictly beyond the current watermark
-      val nextMs = open.map(f => (f.endMicros + gapMicros) / 1000L).min
+      // next close point; must be strictly beyond the current watermark.
+      // Ceiling division: flooring micros→millis would fire the timeout up
+      // to 1ms BEFORE the true close point for sub-millisecond event
+      // times, closing nothing and deferring emission to the next
+      // watermark advance (ADVICE r9).
+      val nextMs = open.map(f => (f.endMicros + gapMicros + 999L) / 1000L).min
       state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
     }
     closed.sortBy(_.startMicros).iterator.map(f =>

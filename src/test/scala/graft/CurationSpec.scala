@@ -218,4 +218,42 @@ class CurationSpec extends SparkSuite {
       out(5L)._1.contains("repetitive"))
     assert(out(6L) == (("repetitive", false)), out(6L))
   }
+
+  test("decontam_semantic: LSH-prefiltered scan of the FULL eval set — " +
+      "precision 1.0 vs the brute corpus×eval product, recall pinned") {
+    graft.functions.TextHashes.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nd = emb.select(col("vec_id"),
+      expr("vec_normalize(embedding)").as("nv"))
+    val ev = nd.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("eval_id"), col("nv").as("en"))
+    val co = nd.filter(col("vec_id") % 37 =!= 0)
+      .select(col("vec_id"), col("nv").as("cn"))
+    // Brute ground truth: EVERY (corpus, eval) pair at cos >= 0.35 — the
+    // uncapped product the LSH prefilter approximates. Test-only: bounded
+    // by the sf0.001 fixture (~200 vectors).
+    val brute = co.join(ev,
+        round(expr("vec_dot(cn, en)"), 6) >= 0.35)
+      .select(col("vec_id"), col("eval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture has no contaminated pairs — test vacuous")
+    val got = q("decontam_semantic").collect()
+    // precision 1.0: the exact-cosine re-rank means every reported
+    // (vector, best-match) pair must be a true thresholded pair
+    got.foreach { r =>
+      val p = (r.getAs[Long]("vec_id"), r.getAs[Long]("eval_id"))
+      assert(brute.contains(p), s"false positive $p")
+      assert(r.getAs[Double]("cos") >= 0.35)
+    }
+    // recall on contaminated VECTORS (the operator's decision unit): the
+    // 6-table × autoPlanes prefilter at this low threshold (0.35 ≈ 69°)
+    // is a candidate generator, not a guarantee — pin the measured floor.
+    val bruteVecs = brute.map(_._1)
+    val gotVecs = got.map(_.getAs[Long]("vec_id")).toSet
+    assert(gotVecs.subsetOf(bruteVecs))
+    val recall = gotVecs.size.toDouble / bruteVecs.size
+    info(s"decontam_semantic recall: ${gotVecs.size}/${bruteVecs.size} " +
+      f"= $recall%.3f")
+    assert(recall >= 0.30, f"recall $recall%.3f below pin")
+  }
 }

@@ -100,12 +100,28 @@ class PlanSpec extends SparkSuite {
   test("no registered query plans a CartesianProduct — every non-equi " +
       "combination is a broadcast of a bounded side — and no UNPARTITIONED " +
       "window runs over un-aggregated data (single-partition scale-killer)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec
-    // text_length_histogram's post-agg cumsum is the one sanctioned global
-    // window: it runs over the 50-char-bucket frame, whose row count is
-    // bounded by the VALUE RANGE of n_chars, not by corpus size.
-    val sanctionedGlobalWindows = Set("text_length_histogram")
+    // Structural sanction (VERDICT r9 #1): a global (unpartitioned) window
+    // is allowed ONLY when its input is a post-aggregation frame — every
+    // leaf-to-window path passes through an aggregate, so the window's row
+    // count is the aggregation's group count, not the corpus row count.
+    // The two current instances are additionally bounded by VALUE RANGE,
+    // not just grouped: text_length_histogram's cumsum runs over ≤50
+    // char-buckets, curation_dsir_weights' corpus-totals sum runs over the
+    // ≤1024-key DSIR bucket table. Any future global window over raw
+    // (un-aggregated) data still fails here.
+    def postAggregation(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => postAggregation(a.executedPlan)
+      case s: QueryStageExec => postAggregation(s.plan)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(postAggregation)
+    }
     val cartOffenders = scala.collection.mutable.ListBuffer.empty[String]
     val winOffenders = scala.collection.mutable.ListBuffer.empty[String]
     val winSanctionedSeen = scala.collection.mutable.Set.empty[String]
@@ -114,23 +130,26 @@ class PlanSpec extends SparkSuite {
       val nodes = physicalNodes(df)
       if (nodes.exists(_.isInstanceOf[CartesianProductExec]))
         cartOffenders += name
-      val hasGlobalWin = nodes.exists {
-        case w: WindowExec => w.partitionSpec.isEmpty
-        case _ => false
+      val globalWins = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
       }
-      if (hasGlobalWin && !sanctionedGlobalWindows.contains(name))
+      if (globalWins.exists(w => !postAggregation(w.child)))
         winOffenders += name
-      if (hasGlobalWin && sanctionedGlobalWindows.contains(name))
+      if (globalWins.nonEmpty && globalWins.forall(w => postAggregation(w.child)))
         winSanctionedSeen += name
     }
     assert(cartOffenders.isEmpty,
       s"CartesianProduct found in: ${cartOffenders.mkString(", ")}")
     assert(winOffenders.isEmpty,
-      s"unsanctioned global window found in: ${winOffenders.mkString(", ")}")
-    // vacuity guard: the detector must actually see the sanctioned window
-    assert(winSanctionedSeen == sanctionedGlobalWindows,
-      s"global-window detector saw $winSanctionedSeen — detection broken " +
-        "or sanction list stale")
+      s"global window over un-aggregated data found in: " +
+        winOffenders.mkString(", "))
+    // vacuity guard: the detector must actually see the known bounded
+    // windows — if this set shrinks, detection broke (or a query was
+    // rewritten without updating this pin).
+    val knownBounded = Set("text_length_histogram", "curation_dsir_weights")
+    assert(knownBounded.subsetOf(winSanctionedSeen),
+      s"global-window detector saw $winSanctionedSeen — expected it to " +
+        s"include $knownBounded; detection broken or pin stale")
   }
 
   test("IVF cell assignment is a per-row fold: no Exchange, no join") {

@@ -42,10 +42,22 @@ for name in names:
                         "err": f"oracle_timeout({cap}s)"}
         print(f"{name:28s} ORACLE TIMEOUT after {cap}s")
     else:
-        rep = json.load(open(f"{single}/report.json"))
-        merged.update(rep)
-        line = [l for l in r.stdout.splitlines() if l.startswith(name)]
-        print(line[0] if line else f"{name}: rc={r.returncode}")
+        # check.py can die for non-timeout reasons (crash, OOM-kill rc=137,
+        # no report.json written) — record honestly and keep going instead
+        # of aborting the whole gate loop (ADVICE r9).
+        try:
+            rep = json.load(open(f"{single}/report.json"))
+        except (FileNotFoundError, json.JSONDecodeError):
+            merged[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None, "oracle_sec": round(sec, 1),
+                            "err": f"check_failed(rc={r.returncode})"}
+            print(f"{name:28s} CHECK FAILED rc={r.returncode}")
+            rep = None
+        if rep is not None:
+            merged.update(rep)
+            line = [l for l in r.stdout.splitlines() if l.startswith(name)]
+            print(line[0] if line else f"{name}: rc={r.returncode}")
     shutil.rmtree(single, ignore_errors=True)
     with open(jsonout, "w") as fh:
         json.dump(merged, fh, indent=2, sort_keys=True)
