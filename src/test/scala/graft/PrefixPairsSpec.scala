@@ -60,4 +60,26 @@ class PrefixPairsSpec extends SparkSuite {
     assert(prefix < full * 0.6,
       s"prefix index $prefix not materially smaller than full $full")
   }
+
+  test("over-threshold candidate mass refuses LOUDLY up front instead of " +
+      "dying by disk exhaustion mid-job") {
+    // tiny overrides: activate the check at any corpus size and set the
+    // pair budget below what sf0.001 generates
+    sys.props("graft.prefixPairsCheckMin") = "1"
+    sys.props("graft.prefixPairsMax") = "10"
+    try {
+      val e = intercept[IllegalStateException] {
+        DedupQueries.queries("dedup_prefix_pairs")(spark, sf("sf0.001"))
+          .collect()
+      }
+      assert(e.getMessage.contains("refused"), e.getMessage)
+      assert(e.getMessage.contains("dedup_minhash_pairs"), e.getMessage)
+    } finally {
+      sys.props.remove("graft.prefixPairsCheckMin")
+      sys.props.remove("graft.prefixPairsMax")
+    }
+    // and with the default knobs the gate-SF run is untouched
+    assert(DedupQueries.queries("dedup_prefix_pairs")(spark, sf("sf0.001"))
+      .count() > 0)
+  }
 }

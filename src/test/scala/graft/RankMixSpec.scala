@@ -28,12 +28,13 @@ class RankMixSpec extends SparkSuite {
     }
   }
 
-  test("vocab sketch: HLL++ per-source cardinality within 5% of exact, " +
-      "deterministic across runs") {
+  test("vocab sketch: FNV-register HLL per-source cardinality within 5% " +
+      "of exact, registers internally consistent, deterministic") {
     import org.apache.spark.sql.functions._
-    val approx = graft.queries.TextQueries.queries("text_vocab_sketch")(
+    val rows = graft.queries.TextQueries.queries("text_vocab_sketch")(
       spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = rows.map(r =>
+      r.getString(0) -> r.getAs[Double]("n_vocab_est")).toMap
     val exact = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("source"))
@@ -42,11 +43,22 @@ class RankMixSpec extends SparkSuite {
     assert(approx.keySet == exact.keySet)
     exact.foreach { case (src, n) =>
       val a = approx(src)
-      assert(math.abs(a - n).toDouble / n <= 0.05,
+      assert(math.abs(a - n) / n <= 0.05,
         s"source $src: approx $a vs exact $n exceeds 5% error")
     }
+    // register-sum invariants: every used register subtracts from the
+    // empty-register mass, never below the all-rank-50 floor
+    rows.foreach { r =>
+      val used = r.getAs[Long]("n_reg_used")
+      val s = r.getAs[Long]("reg_sum")
+      assert(used >= 1 && used <= 4096)
+      assert(s < 4096L * (1L << 50), s"reg_sum $s not below empty mass")
+      assert(s >= (4096 - used) * (1L << 50) + used,
+        s"reg_sum $s below minimum for $used used registers")
+    }
     val again = graft.queries.TextQueries.queries("text_vocab_sketch")(
-      spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("n_vocab_est")).toMap
     assert(again == approx, "sketch must be deterministic across runs")
   }
 

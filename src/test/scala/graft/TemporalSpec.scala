@@ -170,7 +170,7 @@ class TemporalSpec extends SparkSuite {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
-  test("value sketch: approx percentiles land within 1% rank error of " +
+  test("value sketch: lattice percentiles land within one cent bucket of " +
       "the exact order statistics, deterministically") {
     val dir = sf("sf0.001")
     val approx = graft.queries.TemporalQueries
@@ -186,12 +186,12 @@ class TemporalSpec extends SparkSuite {
     exact.foreach { case (t, sorted) =>
       val n = sorted.length
       targets.zip(approx(t)).foreach { case (q, a) =>
-        // rank of the returned value vs the target rank, tolerance
-        // max(3 ranks, 1% of n) — approx_percentile's bound at acc=10000
-        val rank = sorted.count(_ <= a)
-        val target = q * n
-        assert(math.abs(rank - target) <= math.max(3.0, 0.01 * n),
-          s"$t q=$q: approx $a at rank $rank of $n (target $target)")
+        // The sketch's contract: the estimate is the lower cent-bucket
+        // edge of the exact rank-ceil(q·n) value (percentile_disc), so
+        // 0 <= disc − approx < 0.01 (+ float-edge epsilon).
+        val disc = sorted(math.ceil(q * n).toInt - 1)
+        assert(disc - a >= -1e-9 && disc - a < 0.01 + 1e-9,
+          s"$t q=$q: approx $a vs exact disc $disc of n=$n")
       }
     }
     val again = graft.queries.TemporalQueries
