@@ -158,6 +158,32 @@ object RankMixQueries {
         .orderBy(col("source"))
     }),
 
+    // Multi-epoch mixing schedule (data-constrained scaling, Muennighoff
+    // et al. 2022 — public: repeating data beyond ~4 epochs stops
+    // helping): give every source an equal share of the global token
+    // budget and compute how many epochs of that source the share buys,
+    // capped at 4. Small sources repeat (up to the cap), large sources
+    // are subsampled (epochs < 1). All integer arithmetic (milli-epochs
+    // = floor ratios, sampled = floor back-product), so both engines
+    // produce identical BIGINTs — no float anywhere. Scale: one map-side
+    // partial-agg over the corpus to the per-source table, a 1-row total
+    // broadcast back across it; the corpus itself is scanned once.
+    "mix_epoch_schedule" -> ((s, dir) => {
+      val st = load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(expr(s"cast(sum(size($toks)) as bigint)").as("n_tokens"))
+      val tot = st.agg(sum(col("n_tokens")).as("budget"),
+        count(lit(1)).as("n_sources"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          expr("budget div n_sources").as("target_tokens"),
+          expr("least(4000L, ((budget div n_sources) * 1000) div n_tokens)")
+            .as("epochs_milli"))
+        .withColumn("sampled_tokens",
+          expr("(n_tokens * epochs_milli) div 1000"))
+        .orderBy(col("source"))
+    }),
+
     // The mix report: per-source before/after counts + realized keep rate
     // (single IEEE division of exact ints).
     "mix_source_rates" -> ((s, dir) =>
@@ -241,6 +267,26 @@ object RankMixQueries {
          SELECT source, n_tokens, ROUND(w / sw, 6) AS weight,
                 ROUND((1000000.0 * w) / sw, 2) AS alloc_tokens
          FROM w CROSS JOIN t ORDER BY source""",
+    // Pure BIGINT replay: // is DuckDB floor division, div is Spark's —
+    // identical on the non-negative operands here; LEAST promotes to
+    // BIGINT on both engines.
+    "mix_epoch_schedule" ->
+      """WITH st AS (
+           SELECT source,
+                  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget,
+                        COUNT(*) AS n_sources FROM st)
+         SELECT source, n_tokens,
+                budget // n_sources AS target_tokens,
+                LEAST(CAST(4000 AS BIGINT),
+                      ((budget // n_sources) * 1000) // n_tokens)
+                  AS epochs_milli,
+                (n_tokens * LEAST(CAST(4000 AS BIGINT),
+                      ((budget // n_sources) * 1000) // n_tokens)) // 1000
+                  AS sampled_tokens
+         FROM st CROSS JOIN tot ORDER BY source""",
     "mix_weighted_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
          WHERE substr(md5(text), 1, 1) <

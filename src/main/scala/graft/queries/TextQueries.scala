@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextHashes
 import Tables._
@@ -100,6 +101,36 @@ object TextQueries {
     // deterministic tie-break. Scale: the LM scoring plan plus one window
     // partitioned BY LANGUAGE — bounded partitions (languages), each
     // sorted locally; no global sort.
+    // RHO-style learnability selection (Lin et al. 2024, "Rho-1: Not All
+    // Tokens Are What You Need" — public technique, adapted to document
+    // granularity): score each doc by its EXCESS log-probability under
+    // the stronger reference LM vs the base LM (here: the add-one
+    // bigram model vs the unigram model, both corpus-trained), and keep
+    // the top third per language — the docs the stronger model finds
+    // most "learnable" relative to the base. Selection is the exact
+    // integer rule rnk·3 ≤ n_lang on a per-language window (bounded
+    // partitions, never global); excess is a deterministic difference
+    // of two already-6dp-rounded scores, and docs with no bigram score
+    // (1-token) order NULLS LAST identically on both engines. Scale:
+    // the LM scoring plan (vocabulary-sized count tables) plus one
+    // language-partitioned window.
+    "curation_rho_selection" -> ((s, dir) => {
+      val lang = load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val sc = lmScores(s, dir).join(lang, "doc_id")
+        .withColumn("excess", col("bi_logprob") - col("uni_logprob"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("excess").desc_nulls_last, col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      sc.withColumn("rnk", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(cw))
+        .filter(col("rnk") * 3 <= col("n_lang"))
+        .select(col("doc_id"), col("lang"), col("uni_logprob"),
+          col("bi_logprob"), col("excess"),
+          col("rnk").cast("bigint").as("rnk"))
+        .orderBy(col("doc_id"))
+    }),
+
     "curation_lm_buckets" -> ((s, dir) => {
       val lang = load(s, dir, "documents").select(col("doc_id"), col("lang"))
       val w = org.apache.spark.sql.expressions.Window
@@ -631,6 +662,26 @@ object TextQueries {
       s"""WITH $lmCtes
          SELECT doc_id, n_tokens, uni_logprob, bi_logprob
          FROM u LEFT JOIN b USING (doc_id) ORDER BY doc_id""",
+    // Same LM replay + the identical integer selection rule; excess is
+    // the same difference of the same 6dp-rounded scores, NULLS LAST
+    // spelled explicitly so 1-token docs (no bigram score) order the
+    // same on both engines.
+    "curation_rho_selection" ->
+      s"""WITH $lmCtes,
+         sc AS (
+           SELECT u.doc_id, d.lang, u.uni_logprob, b.bi_logprob,
+                  b.bi_logprob - u.uni_logprob AS excess
+           FROM u LEFT JOIN b USING (doc_id)
+           JOIN documents d ON d.doc_id = u.doc_id),
+         rk AS (
+           SELECT sc.*,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY excess DESC NULLS LAST, doc_id) AS rnk,
+                  COUNT(*) OVER (PARTITION BY lang) AS n_lang
+           FROM sc)
+         SELECT doc_id, lang, uni_logprob, bi_logprob, excess,
+                CAST(rnk AS BIGINT) AS rnk
+         FROM rk WHERE rnk * 3 <= n_lang ORDER BY doc_id""",
     // Same ranking key and doc_id tie-break as the engine's window, so the
     // tercile assignment is deterministic in both engines even when two
     // docs share a rounded score.

@@ -147,4 +147,31 @@ class RankMixSpec extends SparkSuite {
     // the only exchange is the range partitioning for the final orderBy
     assert(shuffles.length <= 1, s"unexpected shuffles: $shuffles")
   }
+
+  test("mix_epoch_schedule: equal budget shares, 4-epoch cap, exact " +
+      "integer sampling arithmetic") {
+    val rows = RankMixQueries.queries("mix_epoch_schedule")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_.getAs[Long]("n_tokens")).sum
+    val nSources = rows.length
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      val target = r.getAs[Long]("target_tokens")
+      val em = r.getAs[Long]("epochs_milli")
+      val sampled = r.getAs[Long]("sampled_tokens")
+      assert(target == budget / nSources)
+      assert(em == math.min(4000L, target * 1000 / nt))
+      assert(sampled == nt * em / 1000)
+      // sampling never exceeds the equal share, and the cap binds only
+      // when the share would demand > 4 epochs of the source
+      assert(sampled <= target)
+      if (em == 4000L) assert(4 * nt <= target)
+      else assert(sampled >= target - nt / 1000 - 1,
+        s"uncapped source should nearly exhaust its share: $r")
+    }
+    // at least one direction of the schedule exists on real data:
+    // some source repeats (em > 1000) or is subsampled (em < 1000)
+    assert(rows.exists(_.getAs[Long]("epochs_milli") != 1000L))
+  }
 }

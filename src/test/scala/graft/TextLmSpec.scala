@@ -44,4 +44,43 @@ class TextLmSpec extends SparkSuite {
     assert(buckets(1L) == "head", s"buckets: $buckets")
     assert(buckets(2L) == "middle", s"buckets: $buckets")
   }
+
+  test("curation_rho_selection: keeps exactly the top floor(n/3) per " +
+      "language by excess score, and excess is bi - uni") {
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scores = TextQueries.queries("text_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    val got = TextQueries.queries("curation_rho_selection")(spark, dir)
+      .collect()
+    got.foreach { r =>
+      val (uni, bi) = scores(r.getLong(0))
+      assert(r.getDouble(2) == uni)
+      assert(bi.contains(r.getDouble(3)))
+      assert(r.getDouble(4) == bi.get - uni, "excess must be bi - uni")
+    }
+    // per-language: exactly floor(n_lang/3) selected, and every selected
+    // doc's excess >= every unselected doc's (non-null) excess
+    val byLang = scores.toSeq.groupBy { case (id, _) => docs(id) }
+    val gotByLang = got.groupBy(_.getString(1))
+    byLang.foreach { case (lang, ds) =>
+      val sel = gotByLang.getOrElse(lang, Array.empty)
+      assert(sel.length == ds.length / 3,
+        s"$lang: ${sel.length} selected of ${ds.length}")
+      if (sel.nonEmpty) {
+        val selIds = sel.map(_.getLong(0)).toSet
+        val minSel = sel.map(_.getDouble(4)).min
+        val maxUnsel = ds.collect {
+          case (id, (u, Some(b))) if !selIds.contains(id) => b - u
+        }
+        if (maxUnsel.nonEmpty)
+          assert(minSel >= maxUnsel.max,
+            s"$lang: selected floor $minSel < unselected $maxUnsel.max")
+      }
+    }
+  }
 }
