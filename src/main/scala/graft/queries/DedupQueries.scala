@@ -46,6 +46,16 @@ object DedupQueries {
   // per task) — the point is an upper bound, not shingle-level sparsity.
   private[queries] val VecBucketCap = 200
 
+  // Corpus doc count for the prefix-pairs activation floor — cached per
+  // dir like SimilarityQueries.embCount (footer-only count, but the bench
+  // re-invokes the query every trial).
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCount(s: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    docCountCache.computeIfAbsent(dir,
+      d => load(s, d, "documents").count()).longValue()
+
   // Embedding-LSH knobs, shared by dedup_embedding_near and the semantic
   // dedup — interpolated into BOTH the Spark queries and their oracle SQL
   // so the two sides cannot silently desynchronize. Since round 9 the
@@ -186,7 +196,9 @@ object DedupQueries {
       val checkMin = sys.props.getOrElse("graft.prefixPairsCheckMin",
         sys.env.getOrElse("SPARK_GRAFT_PREFIX_PAIRS_CHECK_MIN",
           "100000")).toLong
-      if (load(s, dir, "documents").count() >= checkMin) {
+      // cached per (session, dir) like embCount — the activation test
+      // costs one metadata-only count the FIRST time, nothing after
+      if (docCount(s, dir) >= checkMin) {
         val maxPairs = sys.props.getOrElse("graft.prefixPairsMax",
           sys.env.getOrElse("SPARK_GRAFT_PREFIX_PAIRS_MAX",
             "100000000")).toLong
