@@ -403,6 +403,46 @@ object SimilarityQueries {
     // (large-star/small-star) and recursive-CTE oracle discipline as
     // dedup_clusters — the WHOLE chain (LSH graph, mutual filter,
     // transitive closure) replays bit-exactly.
+    // Label-noise audit via kNN majority vote — the training-data QA
+    // pass that flags mislabeled/outlier examples (the classical
+    // edited-nearest-neighbor signal, Wilson 1972 — public): each
+    // vector's label is predicted as the majority label of its kNN-graph
+    // neighbors (ties → smallest label; isolated vectors predict NULL),
+    // and `agree = false` rows are the candidates for relabeling or
+    // removal. Reuses the capped auto-sized LSH kNN graph — no new
+    // corpus pass; the vote is one groupBy on (vec_id, neighbor_label)
+    // (≤ k rows per vector) plus a per-vector window over ≤ |labels|
+    // rows. Fully oracle-replayed through the shared edges CTE chain.
+    "sim_label_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = knnGraphEdges(s, dir)
+      val labels = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val nbr = edges.select(col("vec_id"), col("nid"))
+        .join(labels.select(col("vec_id").as("nid"), col("label").as("nl")),
+          "nid")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("v").desc, col("nl"))
+      val pred = nbr.groupBy(col("vec_id"), col("nl"))
+        .agg(count(lit(1)).as("v"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("nl").as("predicted"),
+          col("v").as("n_votes"))
+      val deg = edges.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_neighbors"))
+      labels
+        .join(deg, Seq("vec_id"), "left")
+        .join(pred, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          col("predicted"),
+          coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+          coalesce(col("predicted") === col("label"), lit(false))
+            .as("agree"))
+        .orderBy(col("vec_id"))
+    }),
+
     "sim_graph_clusters" -> ((s, dir) => {
       val mutual = knnGraphEdges(s, dir)
         .filter(col("mutual") && col("vec_id") < col("nid"))
@@ -644,6 +684,32 @@ object SimilarityQueries {
           LEFT JOIN (SELECT vb AS va, va AS vb, TRUE AS m FROM edges) m
             ON m.va = e.va AND m.vb = e.vb
           ORDER BY vec_id, rank""",
+    // Same edges chain, then the identical vote/argmax/degree joins; the
+    // ties and the isolated-vector NULLs replay exactly (max votes →
+    // smallest label; COALESCE(pred = label, FALSE)).
+    "sim_label_audit" ->
+      s"""WITH $duckKnnGraphCtes,
+          nbr AS (SELECT e.va AS vec_id, l.label AS nl
+                  FROM edges e JOIN embeddings l ON l.vec_id = e.vb),
+          votes AS (SELECT vec_id, nl, COUNT(*) AS v
+                    FROM nbr GROUP BY vec_id, nl),
+          pred AS (SELECT vec_id, nl AS predicted, v AS n_votes,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY v DESC, nl) AS r
+                   FROM votes),
+          deg AS (SELECT va AS vec_id, COUNT(*) AS n_neighbors
+                  FROM edges GROUP BY va)
+          SELECT emb.vec_id, emb.label,
+                 CAST(COALESCE(deg.n_neighbors, 0) AS BIGINT)
+                   AS n_neighbors,
+                 p.predicted,
+                 CAST(COALESCE(p.n_votes, 0) AS BIGINT) AS n_votes,
+                 COALESCE(p.predicted = emb.label, FALSE) AS agree
+          FROM embeddings emb
+          LEFT JOIN deg ON deg.vec_id = emb.vec_id
+          LEFT JOIN (SELECT * FROM pred WHERE r = 1) p
+            ON p.vec_id = emb.vec_id
+          ORDER BY emb.vec_id""",
     // sim_graph_clusters: the same edge chain, mutual filter via the
     // reversed-edge join, then the recursive-CTE transitive closure and
     // singleton completion over the full embeddings table.
