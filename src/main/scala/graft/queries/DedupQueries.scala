@@ -94,6 +94,9 @@ object DedupQueries {
   // bound, asserted nowhere because the slice index can't exceed the doc's
   // token count, which parquet caps far below that here).
   private val SpanLen = 8
+  // Non-overlapping segment length for CCNet-style paragraph dedup —
+  // interpolated into both the Spark query and its oracle SQL.
+  private val ParaLen = 16
 
   // Negative-sampling pool target for mix_contrastive_pairs: the
   // deterministic md5-prefix sample keeps ~PoolTarget docs regardless of
@@ -708,6 +711,53 @@ object DedupQueries {
         .agg(min(col("hamming")).as("hamming"))
         .filter(col("hamming") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // CCNet-style duplicated-PARAGRAPH removal (Wenzek et al. 2020,
+    // "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data" — public technique: hash every paragraph, keep exactly one
+    // copy corpus-wide). The synthetic corpus has no newlines, so
+    // "paragraph" = consecutive NON-overlapping ParaLen-token segments
+    // (last one may be short) — a third dedup granularity between
+    // doc-level (dedup_exact_*) and the overlapping per-token spans of
+    // dedup_span_removal. An occurrence survives iff it is the corpus-wide
+    // first occurrence of its md5 (min doc_id*1e6+k, the span_detect
+    // encoding) — CCNet keeps one copy, not zero. Scale: segment rows are
+    // n_tokens/ParaLen (16× fewer than token rows); the only exchanges are
+    // one map-side-partial groupBy on the 16-byte md5, the key join back
+    // (no broadcast assumption — the dup set grows with the corpus), and
+    // the per-doc reassembly of (k, ptext) segment rows — never exploded
+    // tokens, never a global sort before the output ORDER BY.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val paras = load(s, dir, "documents")
+        .select(col("doc_id"), expr(toks).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          posexplode(expr(
+            s"transform(sequence(0, cast((size(t) + ${ParaLen - 1}) div " +
+              s"$ParaLen as int) - 1), " +
+              s"k -> array_join(slice(t, k * $ParaLen + 1, $ParaLen), ' '))"))
+            .as(Seq("k", "ptext")))
+      val firsts = paras
+        .select(md5(col("ptext")).as("h"),
+          (col("doc_id") * lit(1000000L) + col("k")).as("enc"))
+        .groupBy(col("h")).agg(min(col("enc")).as("first_enc"))
+      paras
+        .withColumn("h", md5(col("ptext")))
+        .join(firsts, "h")
+        .withColumn("keep",
+          (col("doc_id") * lit(1000000L) + col("k")) === col("first_enc"))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_paras"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept_paras"),
+          sum(when(col("keep"),
+              expr("cast(size(split(ptext, ' ')) as bigint)"))
+            .otherwise(0L)).as("kept_tokens"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "case when keep then struct(k, ptext) end)), x -> x.ptext), ' ')")
+            .as("clean_text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1337,6 +1387,38 @@ object DedupQueries {
                  CAST(COUNT(*) AS BIGINT) AS n_hits
           FROM chs GROUP BY ch
           HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
-          ORDER BY ch"""
+          ORDER BY ch""",
+    // Paragraph dedup: the same non-overlapping segmentation (DuckDB list
+    // slice is inclusive-both-ends, so [a : a+ParaLen-1] = Spark's
+    // slice(t, a, ParaLen)), the same min-enc first-occurrence rule, and
+    // an ordered FILTERed LIST for the surviving text. SUM(CASE) returns
+    // HUGEINT → cast; empty kept list is NULL → COALESCE '' (Spark
+    // array_join of an empty array is '').
+    "dedup_paragraphs" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          p AS (
+            SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tokens, k,
+                   array_to_string(
+                     t[k * $ParaLen + 1 : k * $ParaLen + $ParaLen], ' ')
+                     AS ptext
+            FROM t, UNNEST(RANGE(0, (LEN(t) + ${ParaLen - 1}) // $ParaLen))
+                      AS r(k)),
+          f AS (
+            SELECT md5(ptext) AS h, MIN(doc_id * 1000000 + k) AS first_enc
+            FROM p GROUP BY 1),
+          j AS (
+            SELECT p.*, (p.doc_id * 1000000 + p.k) = f.first_enc AS keep
+            FROM p JOIN f ON md5(p.ptext) = f.h)
+          SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS n_paras,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_paras,
+                 CAST(SUM(CASE WHEN keep
+                          THEN LEN(string_split(ptext, ' '))
+                          ELSE 0 END) AS BIGINT) AS kept_tokens,
+                 COALESCE(array_to_string(
+                   LIST(ptext ORDER BY k) FILTER (WHERE keep), ' '), '')
+                   AS clean_text
+          FROM j GROUP BY doc_id ORDER BY doc_id"""
   )
 }
