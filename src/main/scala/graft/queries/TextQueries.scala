@@ -144,6 +144,60 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    // public technique, fixed-proxy variant): each source's mixture
+    // weight grows by a multiplicative-weights update on its clipped
+    // per-domain excess loss (the same bi-vs-unigram excess that
+    // curation_rho_selection ranks on, clipped at 0 per doc, averaged
+    // per source). The exp(η·λ) EG step is replaced by its first-order
+    // multiplier (1 + η·λ) capped at 2× — the classic multiplicative-
+    // weights form (Arora-Hazan-Kale survey, public) — so the whole
+    // schedule is exact BIGINT arithmetic: per-doc excess quantized to
+    // micro-nats (floor(x·1e6+0.5) on the identical 6dp-rounded doubles
+    // both engines compute), weights renormalized to integer ppm after
+    // every step. With the loss vector fixed, DoremiSteps plays the
+    // sharpness role the proxy-model re-estimation plays in the real
+    // loop. Scale: the corpus is scanned ONCE into the bounded
+    // per-source table (map-side-partial agg); localCheckpoint cuts the
+    // lineage (the mix_contrastive/CC pattern) so each MW step is two
+    // tiny jobs over #sources rows; the final allocation decomposes as
+    // (t div 1e6)·α + ((t mod 1e6)·α) div 1e6 so a 100 TB token total
+    // (~3e13) never overflows a BIGINT under ANSI mode.
+    "mix_doremi_weights" -> ((s, dir) => {
+      val src = load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val ex = lmScores(s, dir).join(src, "doc_id")
+        .withColumn("ex_micro",
+          greatest(lit(0L),
+            floor(coalesce(col("bi_logprob") - col("uni_logprob"),
+              lit(0.0)) * lit(1000000.0) + lit(0.5)).cast("long")))
+      val per = ex.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("ex_micro")).as("sum_ex"))
+        .withColumn("lambda_micro", expr("sum_ex div n_docs"))
+        .withColumn("m", expr("1000L + least(lambda_micro div 1000, 1000L)"))
+      val ns = per.agg(count(lit(1)).as("n_sources"),
+        sum(col("n_tokens")).as("tot_tokens"))
+      var cur = per.crossJoin(broadcast(ns))
+        .withColumn("alpha", expr("1000000L div n_sources"))
+        .localCheckpoint()
+      for (_ <- 1 to DoremiSteps) {
+        val stepped = cur.withColumn("raw", col("alpha") * col("m"))
+        val tot = stepped.agg(sum(col("raw")).as("sraw"))
+        cur = stepped.crossJoin(broadcast(tot))
+          .withColumn("alpha", expr("(raw * 1000000L) div sraw"))
+          .drop("raw", "sraw")
+      }
+      cur.select(col("source"), col("n_docs"), col("n_tokens"),
+          col("lambda_micro"), col("alpha").as("weight_ppm"),
+          expr("(tot_tokens div 1000000) * alpha + " +
+            "((tot_tokens % 1000000) * alpha) div 1000000")
+            .as("alloc_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // PII scrub (the C4/Dolma-style masking pass a public-web corpus runs
     // before training): count and mask email / phone / IPv4 patterns per
     // document. The gated synthetic corpus is digit-free, so every count
@@ -617,6 +671,26 @@ object TextQueries {
         """ + rounds.mkString(",\n")
   }
 
+  // Multiplicative-weights steps for mix_doremi_weights — single constant
+  // drives the engine loop AND the oracle CTE chain below.
+  private val DoremiSteps = 6
+
+  // One CTE triple per MW step: raw = α·m, the exact BIGINT total, the
+  // ppm renormalization — the SQL unroll of the engine's checkpointed
+  // loop (the k-means materialized-CTE pattern).
+  private def doremiIterCtes: String =
+    (1 to DoremiSteps).map { k =>
+      val prev = if (k == 1) "a0" else s"a${k - 1}"
+      s"""r$k AS (SELECT source, n_docs, n_tokens, lambda_micro, m,
+                         n_sources, tot_tokens, alpha * m AS raw
+                  FROM $prev),
+          t$k AS (SELECT CAST(SUM(raw) AS BIGINT) AS sraw FROM r$k),
+          a$k AS (SELECT source, n_docs, n_tokens, lambda_micro, m,
+                         n_sources, tot_tokens,
+                         (raw * 1000000) // sraw AS alpha
+                  FROM r$k CROSS JOIN t$k)"""
+    }.mkString(",\n")
+
   // LM CTE chain shared by the score and bucket oracles (single-sourced so
   // the two gates can never drift apart).
   private val lmCtes =
@@ -696,6 +770,45 @@ object TextQueries {
          SELECT doc_id, lang, uni_logprob,
                 (['head', 'middle', 'tail'])[tercile] AS bucket
          FROM ranked ORDER BY doc_id""",
+    // Same LM replay, then the exact-integer MW schedule: micro-nat
+    // quantization of the identical excess doubles, per-source BIGINT
+    // stats (SUM casts close DuckDB's HUGEINT promotion), and the
+    // DoremiSteps-unrolled renormalization chain from doremiIterCtes.
+    // st is MATERIALIZED so the LM chain runs once, not per step.
+    "mix_doremi_weights" ->
+      s"""WITH $lmCtes,
+         sc AS (
+           SELECT u.doc_id, d.source, u.n_tokens,
+                  GREATEST(CAST(0 AS BIGINT),
+                    CAST(FLOOR(COALESCE(b.bi_logprob - u.uni_logprob,
+                           0.0e0) * 1000000.0e0 + 0.5e0) AS BIGINT))
+                    AS ex_micro
+           FROM u LEFT JOIN b USING (doc_id)
+           JOIN documents d ON d.doc_id = u.doc_id),
+         st AS MATERIALIZED (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(SUM(ex_micro) AS BIGINT) AS sum_ex
+           FROM sc GROUP BY source),
+         st2 AS (
+           SELECT source, n_docs, n_tokens,
+                  sum_ex // n_docs AS lambda_micro,
+                  1000 + LEAST((sum_ex // n_docs) // 1000,
+                               CAST(1000 AS BIGINT)) AS m
+           FROM st),
+         ns AS (SELECT COUNT(*) AS n_sources,
+                       CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+                FROM st2),
+         a0 AS (SELECT st2.*, n_sources, tot_tokens,
+                       CAST(1000000 AS BIGINT) // n_sources AS alpha
+                FROM st2 CROSS JOIN ns),
+         $doremiIterCtes
+         SELECT source, n_docs, n_tokens, lambda_micro,
+                alpha AS weight_ppm,
+                (tot_tokens // 1000000) * alpha
+                  + ((tot_tokens % 1000000) * alpha) // 1000000
+                  AS alloc_tokens
+         FROM a$DoremiSteps ORDER BY source""",
     // Full regex replay: DuckDB quoted literals are raw, so the canonical
     // single-backslash patterns interpolate verbatim; the 'g' flag matches
     // Spark regexp_replace's replace-all default.
