@@ -184,6 +184,49 @@ object RankMixQueries {
         .orderBy(col("source"))
     }),
 
+    // Per-source distribution shift: KL(source unigram ‖ corpus unigram)
+    // — the standard source-homogeneity audit a mixture designer runs
+    // before weighting (which sources are topically skewed vs the pool;
+    // public technique, e.g. the domain-divergence analyses in the DoReMi
+    // / DSIR line of work). Bit-exactness: every p and q is one IEEE
+    // division of exact BIGINTs, each vocab term p·ln(p/q) is quantized
+    // to micro-nats (floor(x·1e6+0.5) — identical on the identical
+    // doubles; the 6dp lattice absorbs the ≤1-ulp libm ln wiggle exactly
+    // like the tfidf/BM25 oracles), and the per-source total is a SUM of
+    // BIGINTs — order-free, so partition count can't flip it. Gibbs'
+    // inequality pins the total ≥ −(#terms) micro-units (KlSpec). Scale:
+    // ONE corpus-wide explode+agg to the (source, token) count table
+    // (map-side partials); everything after is vocab-sized — the corpus
+    // marginal is a re-agg of the count table, the per-source totals are
+    // #sources rows broadcast back, and the final agg is #sources rows.
+    "mix_source_kl" -> ((s, dir) => {
+      val cst = load(s, dir, "documents")
+        .select(col("source"), explode(expr(toks)).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c_st"))
+      val ct = cst.groupBy(col("token"))
+        .agg(sum(col("c_st")).as("c_t"))
+      val ns = cst.groupBy(col("source"))
+        .agg(sum(col("c_st")).as("n_s"),
+          count(lit(1)).as("n_vocab"))
+      val n = ct.agg(sum(col("c_t")).as("n"))
+      cst.join(ct, "token")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("term_micro",
+          floor((col("c_st").cast("double") / col("n_s")) *
+            log((col("c_st").cast("double") / col("n_s")) /
+                (col("c_t").cast("double") / col("n"))) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          max(col("n_vocab")).as("n_vocab"),
+          sum(col("term_micro")).as("kl_micro"))
+        .withColumn("kl_nats",
+          col("kl_micro").cast("double") / lit(1000000.0))
+        .orderBy(col("source"))
+    }),
+
     // The mix report: per-source before/after counts + realized keep rate
     // (single IEEE division of exact ints).
     "mix_source_rates" -> ((s, dir) =>
@@ -287,6 +330,35 @@ object RankMixQueries {
                       ((budget // n_sources) * 1000) // n_tokens)) // 1000
                   AS sampled_tokens
          FROM st CROSS JOIN tot ORDER BY source""",
+    // Same count tables, same single-division p/q, same micro-nat term
+    // lattice (FLOOR half-up on identical doubles), BIGINT total — the
+    // e-notation float literals keep both parsers in DOUBLE, never
+    // DECIMAL.
+    "mix_source_kl" ->
+      """WITH cst AS (
+           SELECT source, token, COUNT(*) AS c_st
+           FROM (SELECT source, unnest(STRING_SPLIT(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY source, token),
+         ct AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t
+                FROM cst GROUP BY token),
+         ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+                       COUNT(*) AS n_vocab
+                FROM cst GROUP BY source),
+         n AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct),
+         terms AS (
+           SELECT cst.source, n_s, n_vocab,
+                  CAST(FLOOR((CAST(c_st AS DOUBLE) / n_s) *
+                       LN((CAST(c_st AS DOUBLE) / n_s) /
+                          (CAST(c_t AS DOUBLE) / n)) *
+                       1000000.0e0 + 0.5e0) AS BIGINT) AS term_micro
+           FROM cst JOIN ct USING (token) JOIN ns USING (source)
+                CROSS JOIN n)
+         SELECT source, MAX(n_s) AS n_tokens, MAX(n_vocab) AS n_vocab,
+                CAST(SUM(term_micro) AS BIGINT) AS kl_micro,
+                CAST(CAST(SUM(term_micro) AS BIGINT) AS DOUBLE)
+                  / 1000000.0e0 AS kl_nats
+         FROM terms GROUP BY source ORDER BY source""",
     "mix_weighted_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
          WHERE substr(md5(text), 1, 1) <
