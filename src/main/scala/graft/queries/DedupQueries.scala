@@ -254,9 +254,16 @@ object DedupQueries {
           least(col("na") - col("ra"), col("nb") - col("rb")) >=
           floor((col("na") + col("nb")) * lit(alphaF)))
         .select(col("doc_a"), col("doc_b")).distinct()
+      // Exact verification joins: BOTH sides grow with the corpus (cand is
+      // output-bound, sets is corpus-sized with per-doc shingle arrays), so
+      // neither may be broadcast — at sf1 AQE's size estimate makes the
+      // build marginal against the driver heap (fits on a fresh JVM, dies
+      // on a warm one: measured trial1-OK/trial2-OOM in the same session),
+      // and at 100 TB a broadcast here is wrong outright. shuffle_hash
+      // pins the deterministic keyed-exchange plan.
       cand
-        .join(sets.toDF("doc_a", "sa"), "doc_a")
-        .join(sets.toDF("doc_b", "sb"), "doc_b")
+        .join(sets.toDF("doc_a", "sa").hint("shuffle_hash"), "doc_a")
+        .join(sets.toDF("doc_b", "sb").hint("shuffle_hash"), "doc_b")
         .withColumn("inter",
           expr("cast(size(array_intersect(sa, sb)) as bigint)"))
         .withColumn("jaccard", col("inter").cast("double") /
