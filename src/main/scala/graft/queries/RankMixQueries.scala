@@ -184,6 +184,41 @@ object RankMixQueries {
         .orderBy(col("source"))
     }),
 
+    // Temperature-scaled source-mixing weights (the multilingual /
+    // multi-source rebalancing rule, w_i ∝ p_i^(1/τ) — public technique,
+    // e.g. the temperature sampling of multilingual LM training and the
+    // UniMax line of work): τ=1 (proportional), τ=1/2 (sharpen, p²) and
+    // τ=2 (flatten, √p), all EXACT integers. Counts quantize to a
+    // corpus-derived lattice (unit = max(1, total div 1e5) — both engines
+    // derive it from the same SUM, so it cannot drift), squares stay
+    // within BIGINT by construction (c ≤ 1e5 ⇒ c²·1e6 ≤ 1e16), and √ is
+    // an exact integer sqrt: floor(sqrt(c·1e6)) from the correctly-rounded
+    // IEEE sqrt both engines share, then a ±1 fix-up that makes the result
+    // provably exact regardless of libm. Weights are ppm by integer
+    // division. Scale: one corpus agg to #sources rows; everything after
+    // is #sources-sized with two 1-row broadcasts.
+    "mix_temperature_weights" -> ((s, dir) => {
+      val st = load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(expr(s"cast(sum(size($toks)) as bigint)").as("n_tokens"))
+      val tot = st.agg(sum(col("n_tokens")).as("tot"))
+      val c = st.crossJoin(broadcast(tot))
+        .withColumn("c", expr("n_tokens div greatest(1L, tot div 100000L)"))
+        .withColumn("r0",
+          expr("cast(floor(sqrt(cast(c as double) * 1000000.0)) as bigint)"))
+        .withColumn("r",
+          expr("""r0 - cast(r0 * r0 > c * 1000000L as int)
+                     + cast((r0 + 1) * (r0 + 1) <= c * 1000000L as int)"""))
+      val sums = c.agg(sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"), sum(col("r")).as("sr"))
+      c.crossJoin(broadcast(sums))
+        .select(col("source"), col("n_tokens"),
+          expr("(c * 1000000L) div s1").as("w_t1_ppm"),
+          expr("(c * c * 1000000L) div s2").as("w_t05_ppm"),
+          expr("(r * 1000000L) div sr").as("w_t2_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // Per-source distribution shift: KL(source unigram ‖ corpus unigram)
     // — the standard source-homogeneity audit a mixture designer runs
     // before weighting (which sources are topically skewed vs the pool;
@@ -334,6 +369,36 @@ object RankMixQueries {
     // lattice (FLOOR half-up on identical doubles), BIGINT total — the
     // e-notation float literals keep both parsers in DOUBLE, never
     // DECIMAL.
+    // Same lattice rule, same exact-isqrt fix-up; every SUM casts back to
+    // BIGINT so the comparer sees long (DuckDB SUM(BIGINT) is HUGEINT).
+    "mix_temperature_weights" ->
+      """WITH st AS (
+           SELECT source,
+                  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM st),
+         cc AS (SELECT source, n_tokens,
+                       n_tokens // GREATEST(1, tot // 100000) AS c
+                FROM st CROSS JOIN tot),
+         r0t AS (SELECT *,
+                   CAST(FLOOR(SQRT(CAST(c AS DOUBLE) * 1000000.0))
+                     AS BIGINT) AS r0
+                 FROM cc),
+         rr AS (SELECT source, n_tokens, c,
+                       r0 - CAST(r0 * r0 > c * 1000000 AS INTEGER)
+                          + CAST((r0 + 1) * (r0 + 1) <= c * 1000000
+                                 AS INTEGER) AS r
+                FROM r0t),
+         sums AS (SELECT CAST(SUM(c) AS BIGINT) AS s1,
+                         CAST(SUM(c * c) AS BIGINT) AS s2,
+                         CAST(SUM(r) AS BIGINT) AS sr
+                  FROM rr)
+         SELECT source, n_tokens,
+                CAST((c * 1000000) // s1 AS BIGINT) AS w_t1_ppm,
+                CAST((c * c * 1000000) // s2 AS BIGINT) AS w_t05_ppm,
+                CAST((r * 1000000) // sr AS BIGINT) AS w_t2_ppm
+         FROM rr CROSS JOIN sums ORDER BY source""",
     "mix_source_kl" ->
       """WITH cst AS (
            SELECT source, token, COUNT(*) AS c_st

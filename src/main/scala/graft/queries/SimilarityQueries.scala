@@ -374,6 +374,27 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // In-engine recall audit: recall@k of the LSH index against the exact
+    // brute-force top-k, per query — the measurement every ANN deployment
+    // runs before trusting an index (and the number the SimilaritySpec
+    // recall pins assert offline; this makes it a first-class queryable
+    // artifact). Both sides reuse the registered queries, so the audit
+    // can never drift from the operators it measures; recall is exact
+    // integer ppm (matched·1e6 div k). Cost: one extra broadcast-sized
+    // join over the two top-k sets (≤ NQueries·TopK rows each).
+    "sim_recall_audit" -> ((s, dir) => {
+      val b = queries("sim_knn_brute")(s, dir).select(col("qid"), col("nid"))
+      val l = queries("sim_knn_lsh")(s, dir)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      b.join(l, col("lqid") === col("qid") && col("lnid") === col("nid"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(count(col("lnid")).as("matched"))
+        .select(col("qid"), col("matched"),
+          expr(s"(matched * 1000000L) div ${TopK}L").as("recall_ppm"))
+        .orderBy(col("qid"))
+    }),
+
     // Corpus-wide approximate kNN GRAPH — every vector's top-k neighbors
     // (not just a query set's), the structure graph-based curation needs:
     // SemDeDup-style cluster pruning, mutual-kNN community detection,
@@ -521,7 +542,9 @@ object SimilarityQueries {
   // DuckDB-side cosine with the same double math; DuckDB 1.0 lacks indexed
   // list lambdas, so dims are unnested with generate_subscripts and summed —
   // 6-decimal rounding absorbs any accumulation-order difference.
-  val oracle: Map[String, String] = Map(
+  // (`oracleBase` rather than `oracle` so sim_recall_audit can compose the
+  // brute + LSH replays verbatim — single-sourced, below.)
+  private val oracleBase: Map[String, String] = Map(
     "sim_knn_brute" ->
       s"""WITH d AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -787,6 +810,24 @@ object SimilarityQueries {
           ${ivfProbeRerankCtes(centTable = "cent", csTable = "cs")}
           $ivfRerankSelect"""
   )
+
+  /** The published oracle surface: the base map plus the recall audit,
+    * whose CTEs are the brute and LSH replays VERBATIM (nested-WITH
+    * subqueries) — the audit oracle is definitionally in sync with the
+    * two oracles it compares. DuckDB COUNTs cast to BIGINT; recall is
+    * the same integer-ppm division as the engine.
+    */
+  val oracle: Map[String, String] = oracleBase +
+    ("sim_recall_audit" ->
+      s"""WITH b AS (${oracleBase("sim_knn_brute")}),
+          l AS (${oracleBase("sim_knn_lsh")}),
+          m AS (SELECT b.qid, COUNT(l.nid) AS matched
+                FROM b LEFT JOIN l ON l.qid = b.qid AND l.nid = b.nid
+                GROUP BY b.qid)
+          SELECT qid, CAST(matched AS BIGINT) AS matched,
+                 CAST((CAST(matched AS BIGINT) * 1000000) // $TopK
+                      AS BIGINT) AS recall_ppm
+          FROM m ORDER BY qid""")
 
   /** SQL fragment: the quantized cosine score between a row group
     * (aliased a, joined to sx sa) and a centroid group (joined to cs) —

@@ -134,6 +134,33 @@ object TemporalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Per-user event-type transition matrix (first-order Markov model of
+    // user behavior — the standard session-model / anomaly-baseline
+    // artifact). lead() runs over per-user partitions ordered by
+    // (micros, event_id) — bounded by a user's event count, never a
+    // global window — then the (from,to) counts aggregate with map-side
+    // partials and the per-from totals (≤ |event_type|² rows) broadcast
+    // back. Probabilities are exact integer ppm: (n·1e6) div n_from —
+    // no float reduction anywhere.
+    "events_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val cnt = load(s, dir, "events")
+        .withColumn("tus", unix_micros(col("ts")))
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val ft = cnt.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      cnt.join(broadcast(ft), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("(n * 1000000L) div n_from").as("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Exact order statistics per event type: percentile_disc is a value
     // pass-through (zero float arithmetic → trivially bit-exact); the one
     // continuous percentile is rounded to 6dp on both engines. Both are
@@ -174,6 +201,25 @@ object TemporalQueries {
           AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
          WHERE p.event_type = 'purchase' AND e.event_type = 'error'
          GROUP BY p.event_id ORDER BY p.event_id""",
+    // lead() over identical (user, micros, event_id) ordering on both
+    // engines; ppm is BIGINT // BIGINT (DuckDB's COUNT/SUM are cast back
+    // to BIGINT so the comparer sees long, not HUGEINT/float).
+    "events_markov_transitions" ->
+      """WITH seq AS (
+           SELECT event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS to_type
+           FROM events),
+         cnt AS (SELECT event_type AS from_type, to_type,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM seq WHERE to_type IS NOT NULL
+                 GROUP BY event_type, to_type),
+         ft AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+                FROM cnt GROUP BY from_type)
+         SELECT from_type, to_type, n, n_from,
+                CAST((n * 1000000) // n_from AS BIGINT) AS p_ppm
+         FROM cnt JOIN ft USING (from_type)
+         ORDER BY from_type, to_type""",
     "events_value_percentiles" ->
       """SELECT event_type,
                 quantile_disc(value, 0.5)  AS p50,

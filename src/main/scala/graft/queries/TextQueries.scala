@@ -369,6 +369,36 @@ object TextQueries {
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(100)),
 
+    // Per-document unigram (token) entropy in exact micro-nats — the
+    // gibberish/boilerplate signal quality filters threshold on (low
+    // entropy = repeated tokens, near-max = token soup). Same micro-nat
+    // lattice discipline as mix_source_kl: each term (tf/len)·ln(len/tf)
+    // is one IEEE chain on identical exact-integer inputs, quantized
+    // half-up to a long, and the per-doc total is an order-free SUM of
+    // longs. Scale: one corpus explode to (doc,token) counts with
+    // map-side partials, then a per-doc-partitioned window (bounded by a
+    // document's distinct-token count, never global) and a re-agg on the
+    // same key — two keyed exchanges total, no joins.
+    "text_doc_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc_id"))
+      load(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("len", sum(col("tf")).over(w))
+        .withColumn("term_micro",
+          floor((col("tf").cast("double") / col("len")) *
+            log(col("len").cast("double") / col("tf")) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("len")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("term_micro")).as("entropy_micro"))
+        .withColumn("entropy_nats",
+          col("entropy_micro").cast("double") / lit(1000000.0))
+        .orderBy(col("doc_id"))
+    }),
+
     // The first distributed BPE-training step: adjacent character-pair
     // frequencies across the whole corpus (the argmax pair is the merge a
     // BPE trainer would apply). Two narrow explodes through the native
@@ -912,6 +942,30 @@ object TextQueries {
          FROM (SELECT unnest(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
                FROM documents)
          GROUP BY token ORDER BY df DESC, token LIMIT 100""",
+    // Identical micro-nat lattice; windowed/plain SUMs cast back to
+    // BIGINT (DuckDB returns HUGEINT) so the comparer sees long.
+    "text_doc_entropy" ->
+      """WITH tf AS (
+           SELECT doc_id, token, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY doc_id, token),
+         t AS (SELECT doc_id, tf,
+                      CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT)
+                        AS len
+               FROM tf),
+         terms AS (
+           SELECT doc_id, len,
+                  CAST(FLOOR((CAST(tf AS DOUBLE) / len) *
+                       LN(CAST(len AS DOUBLE) / tf) *
+                       1000000.0e0 + 0.5e0) AS BIGINT) AS term_micro
+           FROM t)
+         SELECT doc_id, MAX(len) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                CAST(SUM(term_micro) AS BIGINT) AS entropy_micro,
+                CAST(CAST(SUM(term_micro) AS BIGINT) AS DOUBLE)
+                  / 1000000.0e0 AS entropy_nats
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "text_bpe_merge_pairs" ->
       """WITH w AS (SELECT unnest(STRING_SPLIT(text, ' ')) AS word
                     FROM documents),
