@@ -81,6 +81,10 @@ object DedupQueries {
                     * ${SimilarityQueries.GraphOccupancy} >= n)"""
   private val SemCosMin = "0.30"
   private val EmbCosMin = "0.45"
+  /** dedup_threshold_sweep grid — all ≥ EmbCosMin (the pair set's floor),
+    * interpolated into the Spark literal AND the oracle so they can't
+    * drift. */
+  private val SweepThresholds = Seq(0.45, 0.55, 0.65, 0.75, 0.85, 0.95)
   private val JaccardMin = 0.5
   // Containment threshold (Broder's asymmetric twin of Jaccard): the
   // fraction of the SMALLER doc's shingles shared with the other doc.
@@ -626,6 +630,23 @@ object DedupQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Threshold-sensitivity curve over the near-dup pair set — the knob-
+    // tuning artifact a dedup deployment produces before fixing its
+    // cutoff (how many pairs does each candidate threshold keep?). The
+    // pair set is the registered dedup_embedding_near REUSED (so the
+    // sweep can never drift from the operator it tunes); the sweep itself
+    // is one explode over a 6-literal threshold array + an exact 0/1 sum
+    // per threshold — no joins, no second pass over the corpus.
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      queries("dedup_embedding_near")(s, dir)
+        .select(explode(typedlit(SweepThresholds)).as("threshold"),
+          col("cos"))
+        .select(col("threshold"),
+          (col("cos") >= col("threshold")).cast("long").as("hit"))
+        .groupBy(col("threshold"))
+        .agg(sum(col("hit")).as("n_pairs"))
+        .orderBy(col("threshold"))),
+
     // Semantic dedup (SemDeDup, Abbas et al. 2023 — public): cluster-
     // scoped near-dup collapse over embeddings. Candidates must share the
     // semantic cell (label = the coarse cluster) AND an LSH bucket
@@ -863,7 +884,9 @@ object DedupQueries {
         comp AS (
           SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
 
-  val oracle: Map[String, String] = Map(
+  // (`oracleBase` rather than `oracle` so dedup_threshold_sweep can compose
+  // the embedding-near replay verbatim — single-sourced, see below.)
+  private val oracleBase: Map[String, String] = Map(
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                 COUNT(*) AS n_dups
@@ -1428,4 +1451,21 @@ object DedupQueries {
                    AS clean_text
           FROM j GROUP BY doc_id ORDER BY doc_id"""
   )
+
+  /** The published oracle surface: the base map plus the threshold sweep,
+    * whose pair CTE is the embedding-near replay VERBATIM (nested-WITH
+    * subquery) — definitionally in sync with the operator it sweeps.
+    * Thresholds are e0-suffixed so DuckDB parses DOUBLE (not DECIMAL)
+    * and the ≥ compare sees the identical IEEE literals as Spark.
+    */
+  val oracle: Map[String, String] = oracleBase +
+    ("dedup_threshold_sweep" ->
+      s"""WITH p AS (${oracleBase("dedup_embedding_near")}),
+          t AS (SELECT unnest([${SweepThresholds.map(t => s"${t}e0")
+            .mkString(", ")}]) AS threshold)
+          SELECT threshold,
+                 CAST(SUM(CASE WHEN p.cos >= t.threshold
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+          FROM t CROSS JOIN p
+          GROUP BY threshold ORDER BY threshold""")
 }

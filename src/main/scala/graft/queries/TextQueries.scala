@@ -369,6 +369,28 @@ object TextQueries {
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(100)),
 
+    // Retrieval-style document chunking: fixed-size token windows with
+    // overlap (size 32, stride 24), last chunk right-aligned so no
+    // trailing text is dropped and no chunk is a strict suffix of its
+    // predecessor — the RAG-ingestion twin of text_train_chunks (which
+    // PACKS many docs into one window; this SPLITS one doc into many).
+    // Purely row-local: one sequence + explode per document, no shuffle
+    // at all until the output sort — embarrassingly parallel at 100 TB.
+    "text_rag_chunks" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .withColumn("len", expr("size(tk)"))
+        .withColumn("maxo", expr(s"greatest(0, len - $RagChunkTokens)"))
+        .select(col("doc_id"), col("tk"), col("len"),
+          explode(expr(s"""array_distinct(concat(
+            sequence(0, maxo, $RagChunkStride), array(maxo)))""")).as("off"))
+        .select(col("doc_id"), col("off").cast("long").as("off"),
+          expr(s"array_join(slice(tk, off + 1, $RagChunkTokens), ' ')")
+            .as("chunk"),
+          expr(s"cast(least($RagChunkTokens, len - off) as bigint)")
+            .as("n_tokens"))
+        .orderBy(col("doc_id"), col("off"))),
+
     // Per-document unigram (token) entropy in exact micro-nats — the
     // gibberish/boilerplate signal quality filters threshold on (low
     // entropy = repeated tokens, near-max = token soup). Same micro-nat
@@ -653,6 +675,12 @@ object TextQueries {
   // size). Small here; a production vocab would use thousands — the loop
   // cost is O(merges × vocab) either way.
   private[graft] val BpeMerges = 8
+
+  // text_rag_chunks window geometry (tokens per chunk / stride between
+  // chunk starts, i.e. 8-token overlap) — interpolated into the Spark
+  // query AND the oracle so the two sides cannot drift.
+  private val RagChunkTokens = 32
+  private val RagChunkStride = 24
 
   /** DuckDB replay of the whole BPE training loop — the round-9 promotion
     * of text_bpe_train/text_bpe_encode from rows-only to bit-exact.
@@ -942,6 +970,26 @@ object TextQueries {
          FROM (SELECT unnest(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
                FROM documents)
          GROUP BY token ORDER BY df DESC, token LIMIT 100""",
+    // Same right-aligned-last-chunk offset rule; DuckDB list slicing is
+    // 1-based-inclusive like Spark's slice(start, length) here, and
+    // LIST_DISTINCT's order freedom is absorbed by the final ORDER BY.
+    "text_rag_chunks" ->
+      s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
+                     FROM documents),
+          e AS (SELECT doc_id, tk, LEN(tk) AS len,
+                       GREATEST(0, LEN(tk) - $RagChunkTokens) AS maxo
+                FROM d),
+          o AS (SELECT doc_id, tk, len,
+                       unnest(LIST_DISTINCT(LIST_APPEND(
+                         RANGE(0, maxo + 1, $RagChunkStride), maxo)))
+                         AS off
+                FROM e)
+          SELECT doc_id, CAST(off AS BIGINT) AS off,
+                 ARRAY_TO_STRING(tk[off + 1 : off + $RagChunkTokens], ' ')
+                   AS chunk,
+                 CAST(LEAST($RagChunkTokens, len - off) AS BIGINT)
+                   AS n_tokens
+          FROM o ORDER BY doc_id, off""",
     // Identical micro-nat lattice; windowed/plain SUMs cast back to
     // BIGINT (DuckDB returns HUGEINT) so the comparer sees long.
     "text_doc_entropy" ->
