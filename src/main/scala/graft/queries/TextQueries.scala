@@ -221,21 +221,33 @@ object TextQueries {
 
     // Language-ID heuristic: stopword-profile scoring with deterministic
     // argmax tie-break (n-gram/stopword profiling — public technique)
-    "text_langid" -> ((s, dir) => {
-      val sEn = s"size(filter($toks, t -> t = 'the' OR t = 'and' OR t = 'of'))"
-      val sEs = s"size(filter($toks, t -> t = 'el' OR t = 'la' OR t = 'de'))"
-      val sFr = s"size(filter($toks, t -> t = 'le' OR t = 'les' OR t = 'du'))"
+    "text_langid" -> ((s, dir) =>
       load(s, dir, "documents").select(
         col("doc_id"),
-        expr(s"cast($sEn as bigint)").as("score_en"),
-        expr(s"cast($sEs as bigint)").as("score_es"),
-        expr(s"cast($sFr as bigint)").as("score_fr"),
-        expr(
-          s"""CASE WHEN $sEn >= $sEs AND $sEn >= $sFr AND $sEn > 0 THEN 'en'
-                   WHEN $sEs >= $sFr AND $sEs > 0 THEN 'es'
-                   WHEN $sFr > 0 THEN 'fr'
-                   ELSE 'und' END""").as("lang_pred"))
-        .orderBy(col("doc_id"))
+        expr(s"cast($langScoreEn as bigint)").as("score_en"),
+        expr(s"cast($langScoreEs as bigint)").as("score_es"),
+        expr(s"cast($langScoreFr as bigint)").as("score_fr"),
+        expr(langCase).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // Language-ID quality audit: the confusion matrix of the n-gram
+    // heuristic against the corpus's labeled `lang` column, with exact
+    // integer recall per cell ((n·1e6) div row total) — the evaluation
+    // artifact that decides whether the cheap classifier is good enough
+    // to route documents. The prediction rule is the SAME hoisted
+    // expression text_langid uses (and the oracle shares the SQL
+    // fragment), so the audit cannot drift from the classifier. Scale:
+    // one corpus scan into a ≤|langs|²-row aggregate, then a broadcast
+    // of the per-lang totals.
+    "text_langid_confusion" -> ((s, dir) => {
+      val cnt = load(s, dir, "documents")
+        .groupBy(col("lang"), expr(langCase).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      cnt.join(broadcast(tot), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"), col("n_lang"),
+          expr("(n * 1000000L) div n_lang").as("p_ppm"))
+        .orderBy(col("lang"), col("lang_pred"))
     }),
 
     // BPE-ish regex tokenization (word / number / other classes) — the
@@ -676,6 +688,37 @@ object TextQueries {
   // cost is O(merges × vocab) either way.
   private[graft] val BpeMerges = 8
 
+  // Shared language-ID rule (text_langid + text_langid_confusion): three
+  // stopword-hit scores and the argmax-with-ties-toward-en CASE. Hoisted
+  // so the classifier and its confusion audit are the same expression;
+  // duckLang* are the oracle-side twins.
+  private val langScoreEn =
+    s"size(filter($toks, t -> t = 'the' OR t = 'and' OR t = 'of'))"
+  private val langScoreEs =
+    s"size(filter($toks, t -> t = 'el' OR t = 'la' OR t = 'de'))"
+  private val langScoreFr =
+    s"size(filter($toks, t -> t = 'le' OR t = 'les' OR t = 'du'))"
+  private val langCase =
+    s"""CASE WHEN $langScoreEn >= $langScoreEs
+                  AND $langScoreEn >= $langScoreFr
+                  AND $langScoreEn > 0 THEN 'en'
+             WHEN $langScoreEs >= $langScoreFr
+                  AND $langScoreEs > 0 THEN 'es'
+             WHEN $langScoreFr > 0 THEN 'fr'
+             ELSE 'und' END"""
+  private val duckLangScores =
+    """LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+           t -> t = 'the' OR t = 'and' OR t = 'of')) AS s_en,
+       LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+           t -> t = 'el' OR t = 'la' OR t = 'de')) AS s_es,
+       LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+           t -> t = 'le' OR t = 'les' OR t = 'du')) AS s_fr"""
+  private val duckLangCase =
+    """CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END"""
+
   // text_rag_chunks window geometry (tokens per chunk / stride between
   // chunk starts, i.e. 8-token overlap) — interpolated into the Spark
   // query AND the oracle so the two sides cannot drift.
@@ -902,24 +945,26 @@ object TextQueries {
                   / LEN(STRING_SPLIT(text, ' ')) AS ttr
          FROM documents ORDER BY doc_id""",
     "text_langid" ->
-      """WITH s AS (
-           SELECT doc_id,
-                  LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                      t -> t = 'the' OR t = 'and' OR t = 'of')) AS s_en,
-                  LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                      t -> t = 'el' OR t = 'la' OR t = 'de')) AS s_es,
-                  LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                      t -> t = 'le' OR t = 'les' OR t = 'du')) AS s_fr
-           FROM documents)
+      s"""WITH s AS (SELECT doc_id, $duckLangScores FROM documents)
          SELECT doc_id,
                 CAST(s_en AS BIGINT) AS score_en,
                 CAST(s_es AS BIGINT) AS score_es,
                 CAST(s_fr AS BIGINT) AS score_fr,
-                CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
-                     WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
-                     WHEN s_fr > 0 THEN 'fr'
-                     ELSE 'und' END AS lang_pred
+                $duckLangCase AS lang_pred
          FROM s ORDER BY doc_id""",
+    // Same hoisted scores/CASE; counts and totals cast to BIGINT, recall
+    // is exact integer ppm like the markov/mix queries.
+    "text_langid_confusion" ->
+      s"""WITH s AS (SELECT lang, $duckLangScores FROM documents),
+          p AS (SELECT lang, $duckLangCase AS lang_pred FROM s),
+          cnt AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM p GROUP BY lang, lang_pred),
+          tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+                  FROM cnt GROUP BY lang)
+          SELECT lang, lang_pred, n, n_lang,
+                 CAST((n * 1000000) // n_lang AS BIGINT) AS p_ppm
+          FROM cnt JOIN tot USING (lang)
+          ORDER BY lang, lang_pred""",
     "text_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word,

@@ -148,6 +148,32 @@ class MixEntropyMarkovSpec extends SparkSuite {
     }
   }
 
+  // ---- text_langid_confusion ----------------------------------------
+
+  test("langid confusion: cells sum to row totals and match text_langid") {
+    val dir = sf("sf0.001")
+    val rows = TextQueries.queries("text_langid_confusion")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n")).sum == g.head.getAs[Long]("n_lang"))
+      g.foreach(r => assert(r.getAs[Long]("p_ppm") <= 1000000L))
+    }
+    // cross-check one cell against the classifier joined to the corpus
+    val docs = graft.queries.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val pred = TextQueries.queries("text_langid")(spark, dir)
+      .select(col("doc_id"), col("lang_pred"))
+    val expected = docs.join(pred, "doc_id")
+      .groupBy(col("lang"), col("lang_pred")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[String]("lang_pred"))
+      assert(expected(k) == r.getAs[Long]("n"), s"cell $k")
+    }
+  }
+
   // ---- sim_recall_audit ---------------------------------------------
 
   test("recall audit equals an independently computed intersection") {
