@@ -184,6 +184,35 @@ object RankMixQueries {
         .orderBy(col("source"))
     }),
 
+    // How exact dedup SHIFTS the source mixture — the before/after audit
+    // a mixture designer runs because dedup is never uniform across
+    // sources (boilerplate-heavy sources lose more, so the realized
+    // training mixture moves away from the designed one). Keep rule is
+    // dedup_exact_keep's: one survivor per md5(text) group, attributed to
+    // the min-doc_id's source via min_by — grouped on the 32-char hash so
+    // the exchange never carries full text. Weights are exact integer ppm
+    // (single-sourced totals via one 1-row broadcast); shift_ppm =
+    // w_dedup − w_raw can be negative. Scale: two corpus aggs with
+    // map-side partials; everything after is #sources-sized.
+    "mix_dedup_adjusted_weights" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val raw = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val kept = docs.groupBy(md5(col("text")))
+        .agg(expr("min_by(source, doc_id)").as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val st = raw.join(broadcast(kept), Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      val tot = st.agg(sum(col("n_docs")).as("t_raw"),
+        sum(col("n_kept")).as("t_kept"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          expr("(n_docs * 1000000L) div t_raw").as("w_raw_ppm"),
+          expr("(n_kept * 1000000L) div t_kept").as("w_dedup_ppm"))
+        .withColumn("shift_ppm", col("w_dedup_ppm") - col("w_raw_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // Temperature-scaled source-mixing weights (the multilingual /
     // multi-source rebalancing rule, w_i ∝ p_i^(1/τ) — public technique,
     // e.g. the temperature sampling of multilingual LM training and the
@@ -369,6 +398,26 @@ object RankMixQueries {
     // lattice (FLOOR half-up on identical doubles), BIGINT total — the
     // e-notation float literals keep both parsers in DOUBLE, never
     // DECIMAL.
+    // Same keep rule as dedup_exact_keep's oracle (MIN_BY on the md5
+    // group); COUNTs/SUMs cast to BIGINT, ppm by integer division.
+    "mix_dedup_adjusted_weights" ->
+      """WITH raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                      FROM documents GROUP BY source),
+         keep AS (SELECT MIN_BY(source, doc_id) AS source
+                  FROM documents GROUP BY md5(text)),
+         kept AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+                  FROM keep GROUP BY source),
+         st AS (SELECT r.source, r.n_docs, COALESCE(k.n_kept, 0) AS n_kept
+                FROM raw r LEFT JOIN kept k ON k.source = r.source),
+         tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t_raw,
+                        CAST(SUM(n_kept) AS BIGINT) AS t_kept
+                 FROM st)
+         SELECT source, n_docs, n_kept,
+                CAST((n_docs * 1000000) // t_raw AS BIGINT) AS w_raw_ppm,
+                CAST((n_kept * 1000000) // t_kept AS BIGINT) AS w_dedup_ppm,
+                CAST((n_kept * 1000000) // t_kept
+                     - (n_docs * 1000000) // t_raw AS BIGINT) AS shift_ppm
+         FROM st CROSS JOIN tot ORDER BY source""",
     // Same lattice rule, same exact-isqrt fix-up; every SUM casts back to
     // BIGINT so the comparer sees long (DuckDB SUM(BIGINT) is HUGEINT).
     "mix_temperature_weights" ->

@@ -114,6 +114,27 @@ class MixEntropyMarkovSpec extends SparkSuite {
     }
   }
 
+  test("dedup-adjusted weights: duplicates shift the mixture away from " +
+      "the dup-heavy source") {
+    val tmp = Files.createTempDirectory("graft-dmix").toString
+    import spark.implicits._
+    // sa: 3 docs, all the same text (2 dups removed); sb: 3 unique docs.
+    Seq((1L, "dup dup", "sa"), (2L, "dup dup", "sa"), (3L, "dup dup", "sa"),
+      (4L, "u1", "sb"), (5L, "u2", "sb"), (6L, "u3", "sb"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val r = RankMixQueries
+      .queries("mix_dedup_adjusted_weights")(spark, tmp)
+      .orderBy(col("source")).collect()
+    val sa = r(0); val sb = r(1)
+    assert(sa.getAs[Long]("n_docs") == 3L && sa.getAs[Long]("n_kept") == 1L)
+    assert(sb.getAs[Long]("n_docs") == 3L && sb.getAs[Long]("n_kept") == 3L)
+    assert(sa.getAs[Long]("w_raw_ppm") == 500000L)
+    assert(sa.getAs[Long]("w_dedup_ppm") == 250000L)
+    assert(sa.getAs[Long]("shift_ppm") == -250000L)
+    assert(sb.getAs[Long]("shift_ppm") == 250000L)
+  }
+
   // ---- text_doc_entropy ---------------------------------------------
 
   test("doc entropy: closed forms — 0, ln 2, ln k on planted docs") {
