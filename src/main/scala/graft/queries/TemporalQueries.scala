@@ -134,6 +134,35 @@ object TemporalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Per-user inter-arrival statistics — the cadence fingerprint used
+    // for bot/burst detection and session-gap tuning: exact integer
+    // microsecond gaps from lag() over per-user partitions (bounded by a
+    // user's event count), then per-user order statistics. Every output
+    // is an exact value pass-through (percentile_disc) or an integer —
+    // zero float arithmetic end to end.
+    "events_inter_arrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      load(s, dir, "events")
+        .withColumn("tus", unix_micros(col("ts")))
+        .select(col("user_id"), col("tus"), col("event_id"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .createOrReplaceTempView("graft_tmp_gaps")
+      // Spark's percentile_disc surfaces as double even on integer input;
+      // the picked value is an exact long (micros ≪ 2^53), so the cast
+      // back to BIGINT is lossless and matches DuckDB's quantile_disc
+      // (which keeps the input type).
+      s.sql("""
+        SELECT user_id, count(*) AS n_gaps,
+               cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)
+                 as bigint) AS p50_gap_us,
+               cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)
+                 as bigint) AS p90_gap_us,
+               min(gap) AS min_gap_us, max(gap) AS max_gap_us
+        FROM graft_tmp_gaps GROUP BY user_id ORDER BY user_id""")
+    }),
+
     // Per-user event-type transition matrix (first-order Markov model of
     // user behavior — the standard session-model / anomaly-baseline
     // artifact). lead() runs over per-user partitions ordered by
@@ -201,6 +230,21 @@ object TemporalQueries {
           AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
          WHERE p.event_type = 'purchase' AND e.event_type = 'error'
          GROUP BY p.event_id ORDER BY p.event_id""",
+    // lag() over identical ordering; quantile_disc is a value
+    // pass-through of exact integer micros on both engines.
+    "events_inter_arrival" ->
+      """WITH g AS (
+           SELECT user_id,
+                  epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us,
+                CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_us,
+                MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
     // lead() over identical (user, micros, event_id) ordering on both
     // engines; ppm is BIGINT // BIGINT (DuckDB's COUNT/SUM are cast back
     // to BIGINT so the comparer sees long, not HUGEINT/float).

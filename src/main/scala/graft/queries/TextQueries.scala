@@ -340,9 +340,24 @@ object TextQueries {
       graft.operators.Pack.packShards(
         load(s, dir, "documents")
           .select(col("doc_id"), expr(s"cast(size($toks) as bigint)").as("n_tokens")),
-        "doc_id", "n_tokens", budget = 2048L)
+        "doc_id", "n_tokens", budget = PackBudget)
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
         .orderBy(col("doc_id"))),
+
+    // Packing-efficiency audit over the shard assignment: per-shard doc
+    // count, token total, and fill factor vs the budget in exact integer
+    // ppm — the waste report that decides whether the packing budget is
+    // right-sized (fill can exceed 1e6: a document crossing a budget
+    // boundary belongs to the shard where it started, by the packShards
+    // contract). Reuses the registered text_pack_shards, so the audit
+    // can never drift from the packer; one #shards-sized agg on top.
+    "text_pack_efficiency" -> ((s, dir) =>
+      queries("text_pack_shards")(s, dir)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("shard_id"), col("n_docs"), col("sum_tokens"),
+          expr(s"(sum_tokens * 1000000L) div ${PackBudget}L").as("fill_ppm"))
+        .orderBy(col("shard_id"))),
 
     // Context-window chunking for LLM training: each document's token
     // stream is cut into fixed-size windows (CHUNK=32 tokens) with stride
@@ -725,6 +740,10 @@ object TextQueries {
   private val RagChunkTokens = 32
   private val RagChunkStride = 24
 
+  // text_pack_shards token budget per shard — shared with the
+  // text_pack_efficiency audit and both oracles.
+  private val PackBudget = 2048L
+
   /** DuckDB replay of the whole BPE training loop — the round-9 promotion
     * of text_bpe_train/text_bpe_encode from rows-only to bit-exact.
     *
@@ -818,7 +837,9 @@ object TextQueries {
                      CROSS JOIN tot
              GROUP BY doc_id)"""
 
-  val oracle: Map[String, String] = Map(
+  // (`oracleBase` rather than `oracle` so text_pack_efficiency can compose
+  // the pack_shards replay verbatim — single-sourced, see below.)
+  private val oracleBase: Map[String, String] = Map(
     // Brute force: the full token count table — exactly what the two-phase
     // MG sketch-then-recount avoids shuffling at scale. Integer support
     // threshold (cnt*256 ≥ n): no float compare anywhere.
@@ -978,7 +999,7 @@ object TextQueries {
                 MAX(n_chars) AS max_chars
          FROM documents GROUP BY source, lang ORDER BY source, lang""",
     "text_pack_shards" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id,
                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents),
@@ -988,7 +1009,7 @@ object TextQueries {
                     ROWS UNBOUNDED PRECEDING) AS run
            FROM t)
          SELECT doc_id, n_tokens,
-                CAST((run - n_tokens) // 2048 AS BIGINT) AS shard_id
+                CAST((run - n_tokens) // $PackBudget AS BIGINT) AS shard_id
          FROM r ORDER BY doc_id""",
     "text_train_chunks" ->
       """WITH t AS (
@@ -1255,6 +1276,19 @@ object TextQueries {
          FROM documents d LEFT JOIN nv ON nv.doc_id = d.doc_id
          ORDER BY d.doc_id"""
   )
+
+  /** The published oracle surface: the base map plus the packing audit,
+    * whose shard CTE is the pack_shards replay VERBATIM (nested-WITH
+    * subquery) — definitionally in sync with the packer it audits.
+    */
+  val oracle: Map[String, String] = oracleBase +
+    ("text_pack_efficiency" ->
+      s"""WITH p AS (${oracleBase("text_pack_shards")})
+          SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                 CAST((CAST(SUM(n_tokens) AS BIGINT) * 1000000)
+                      // $PackBudget AS BIGINT) AS fill_ppm
+          FROM p GROUP BY shard_id ORDER BY shard_id""")
 
   /** Corpus-trained LM scores per document: (doc_id, n_tokens, uni_logprob,
     * bi_logprob), unordered. Unigram MLE + add-one-smoothed bigram; exact

@@ -50,6 +50,44 @@ class ChunksSweepSpec extends SparkSuite {
     }
   }
 
+  test("inter-arrival: planted gaps hit exact order statistics") {
+    val tmp = Files.createTempDirectory("graft-gap").toString
+    import spark.implicits._
+    // user 1 at t = 1, 2, 4, 8 s → gaps 1e6, 2e6, 4e6 micros
+    Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 1L, "a", 0.0),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:02"), 1L, "a", 0.0),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 00:00:04"), 1L, "a", 0.0),
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 00:00:08"), 1L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = graft.queries.TemporalQueries
+      .queries("events_inter_arrival")(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_gaps") == 3L)
+    assert(r(0).getAs[Long]("p50_gap_us") == 2000000L)
+    assert(r(0).getAs[Long]("p90_gap_us") == 4000000L)
+    assert(r(0).getAs[Long]("min_gap_us") == 1000000L)
+    assert(r(0).getAs[Long]("max_gap_us") == 4000000L)
+  }
+
+  test("pack efficiency: per-shard sums equal a recount of pack_shards " +
+      "and fill follows the integer formula") {
+    val dir = sf("sf0.001")
+    val shards = TextQueries.queries("text_pack_shards")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("n_tokens")))
+    val expect = shards.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val eff = TextQueries.queries("text_pack_efficiency")(spark, dir)
+      .collect()
+    assert(eff.length == expect.size)
+    eff.foreach { r =>
+      val (n, tot) = expect(r.getAs[Long]("shard_id"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("sum_tokens") == tot)
+      assert(r.getAs[Long]("fill_ppm") == tot * 1000000L / 2048L)
+    }
+  }
+
   test("threshold sweep: monotone non-increasing, anchored at the pair set") {
     val dir = sf("sf0.001")
     val sweep = DedupQueries.queries("dedup_threshold_sweep")(spark, dir)
