@@ -9,6 +9,13 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Suppress sbt's trailing "[success] Total time: ..." line so a forked
+// main's final stdout line (e.g. graft.Bench's compact summary JSON) is
+// genuinely the LAST line a tail-capture parser sees.
+ThisBuild / showSuccess := false
+// …and send the forked run's output straight to stdout (no "[info] "
+// logger decoration), so that summary line is bare parseable JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Test / fork := true
 // suites share one SparkSession (and some temporarily swap the default
 // session) — keep execution strictly sequential

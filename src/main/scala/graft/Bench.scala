@@ -248,10 +248,26 @@ object Bench {
     // line is the final stdout line, so ANY tail capture parses it.
     val nq = results.count { case (_, v, _) => v >= 0 }
     val ncontam = results.count { case (_, v, s) => v >= 0 && s > 1.5 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":$nq,""" +
-      s""""streaming_events_per_sec":$streamEvPerSec,""" +
-      s""""contaminated_count":$ncontam,"errors_count":${errors.size},""" +
-      s""""sf":"$sfDir","trials":$trials,"summary":true}""")
+    val summaryLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":$nq,""" +
+        s""""streaming_events_per_sec":$streamEvPerSec,""" +
+        s""""contaminated_count":$ncontam,"errors_count":${errors.size},""" +
+        s""""sf":"$sfDir","trials":$trials,"summary":true}"""
+    println(summaryLine)
+    // Same summary, truncate-on-write file (bench_summary.json): a
+    // stdout-independent single-line artifact for any consumer whose
+    // capture window misses the tail entirely. build.sbt additionally
+    // sets showSuccess := false so the println above IS the last stdout
+    // line ("parsed": null in BENCH_r07..r10 was sbt's own "[success]
+    // Total time" trailer defeating a last-line parser).
+    val sumFile =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sumFile),
+      (summaryLine + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    catch { case e: Throwable => System.err.println(s"[bench] write $sumFile: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -220,7 +220,9 @@ object RankMixQueries {
     // τ=2 (flatten, √p), all EXACT integers. Counts quantize to a
     // corpus-derived lattice (unit = max(1, total div 1e5) — both engines
     // derive it from the same SUM, so it cannot drift), squares stay
-    // within BIGINT by construction (c ≤ 1e5 ⇒ c²·1e6 ≤ 1e16), and √ is
+    // within BIGINT by construction (unit = max(1, tot div 1e5) bounds
+    // c = n div unit below 2e5 — the worst case is tot just under 2e5
+    // with unit 1 — so c²·1e6 < 4e16 < 2^63), and √ is
     // an exact integer sqrt: floor(sqrt(c·1e6)) from the correctly-rounded
     // IEEE sqrt both engines share, then a ±1 fix-up that makes the result
     // provably exact regardless of libm. Weights are ppm by integer

@@ -143,24 +143,27 @@ object TemporalQueries {
     "events_inter_arrival" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("tus"), col("event_id"))
+      // Spark's percentile_disc surfaces as double even on integer input;
+      // the picked value is an exact long (micros ≪ 2^53), so the cast
+      // back to BIGINT is lossless and matches DuckDB's quantile_disc
+      // (which keeps the input type). WITHIN GROUP parses inside expr(),
+      // keeping the builder pure (no session temp views — a fixed-name
+      // view is a shared-catalog side effect and a concurrency race).
       load(s, dir, "events")
         .withColumn("tus", unix_micros(col("ts")))
         .select(col("user_id"), col("tus"), col("event_id"))
         .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
         .filter(col("gap").isNotNull)
-        .createOrReplaceTempView("graft_tmp_gaps")
-      // Spark's percentile_disc surfaces as double even on integer input;
-      // the picked value is an exact long (micros ≪ 2^53), so the cast
-      // back to BIGINT is lossless and matches DuckDB's quantile_disc
-      // (which keeps the input type).
-      s.sql("""
-        SELECT user_id, count(*) AS n_gaps,
-               cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)
-                 as bigint) AS p50_gap_us,
-               cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)
-                 as bigint) AS p90_gap_us,
-               min(gap) AS min_gap_us, max(gap) AS max_gap_us
-        FROM graft_tmp_gaps GROUP BY user_id ORDER BY user_id""")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          expr("cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) as bigint)")
+            .as("p50_gap_us"),
+          expr("cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) as bigint)")
+            .as("p90_gap_us"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .orderBy(col("user_id"))
     }),
 
     // Per-user event-type transition matrix (first-order Markov model of
