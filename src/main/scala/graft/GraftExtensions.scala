@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("dhash64"),
+      info("dhash64",
+        "dhash64(array<string>) - perceptual difference-hash of the " +
+          "synthetic bigram-histogram bitmap (image near-dup)"),
+      (es: Seq[Expression]) => Dhash64(es.head)))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(array<string>, k) - k-permutation MinHash signature"),

@@ -340,6 +340,50 @@ object TextHashImpl {
     InternalRow(best, bestCnt)
   }
 
+  /** 64-bit perceptual difference-hash (dHash, public algorithm — Krawetz,
+    * "Kind of Like That", hackerfactor 2013) over the synthetic bitmap that
+    * [[graft.operators.Multimodal]]'s stub decode produces for image-kind
+    * media: an 8×9 grid whose cell g holds the count of word BIGRAMS
+    * hashing (md5, first 2 bytes big-endian, mod 72) into bucket g — a
+    * 72-bin content histogram rendered as the "decoded image". A real
+    * deployment replaces only the bitmap source (decoded pixel grid,
+    * row-downsampled to 8×9 grayscale); the dHash step — bit b set iff
+    * cell(r,c) < cell(r,c+1), r=b/8, c=b%8 — is unchanged.
+    *
+    * The bigram histogram (not character slices) keeps the perceptual
+    * property the fixture pins: token-level edits perturb only the buckets
+    * the edited bigrams hash to, so near-dup payloads land within a few
+    * Hamming bits while unrelated payloads sit near 32. md5 (not an
+    * engine-private hash) so the whole pipeline replays in ANSI SQL.
+    */
+  def dhash64(tokens: ArrayData): Long = {
+    val cells = new Array[Int](72)
+    val n = tokens.numElements()
+    if (n >= 2) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val space = Array(' '.toByte)
+      var i = 0
+      while (i < n - 1) {
+        if (!tokens.isNullAt(i) && !tokens.isNullAt(i + 1)) {
+          md.update(tokens.getUTF8String(i).getBytes)
+          md.update(space)
+          md.update(tokens.getUTF8String(i + 1).getBytes)
+          val d = md.digest() // digest() resets for the next bigram
+          cells((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 72) += 1
+        }
+        i += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      val g = b + b / 8 // skip the last column of each 9-wide row
+      if (cells(g) < cells(g + 1)) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = tokens.numElements()
@@ -441,6 +485,20 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.simhash($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** dhash64(array<string>): perceptual difference-hash of the synthetic
+  * bigram-histogram bitmap (see TextHashImpl.dhash64).
+  */
+case class Dhash64(child: Expression) extends UnaryExpression
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.dhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashImpl.dhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Dhash64 = copy(c)
 }
 
 /** shingle_hashes(array<string>, k): distinct k-gram shingle hashes. */
@@ -714,6 +772,8 @@ object TextHashes {
       winnowBuilder, "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("dhash64",
+      es => Dhash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       minHashSigBuilder, "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",

@@ -10,6 +10,18 @@ import Tables._
   */
 object MultimodalQueries {
 
+  /** Same hot-band guard as the text near-dup generators (DedupQueries):
+    * a band bucket holding more than this many media is dropped, its pairs
+    * recovered by the other bands — never exploded quadratically.
+    */
+  private val BandCap = 50
+
+  /** dHash Hamming threshold (of 64): exact dups are 0; planted token-level
+    * near-dups land ≤ 6; the background pair distribution sits at median 26
+    * on this corpus (measured round 11) — 10 splits them cleanly.
+    */
+  private val PhashMaxHamming = 10
+
   val queries: Map[String, Q] = Map(
     // Per-modality ingest rollup — integer arithmetic, oracle-exact.
     "mm_media_stats" -> ((s, dir) =>
@@ -62,7 +74,37 @@ object MultimodalQueries {
         .groupBy(col("media_id")).agg(
           count(lit(1)).as("n_frames"),
           expr("count(distinct frame_fingerprint)").as("n_distinct"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // Perceptual near-dup for the image kind (round 11): dHash (public
+    // algorithm) over the stub-decoded bitmap, banded 4×16 bits and
+    // bucket-capped exactly like dedup_simhash_pairs — the binary payload
+    // finally flows through the dedup machinery. The synthetic bitmap is a
+    // 72-bin bigram-md5 histogram (see TextHashImpl.dhash64): token-level
+    // near-dup payloads land within a few Hamming bits, unrelated payloads
+    // near 32 (fixture-pinned in MultimodalSpec). Row-local until the one
+    // keyed exchange on the compact (band, bkey); never all-pairs.
+    "mm_phash_pairs" -> ((s, dir) => {
+      val img = Multimodal.fromDocuments(load(s, dir, "documents"))
+        .filter(col("kind") === "image")
+        .select(col("media_id"),
+          expr("dhash64(split(cast(content as string), ' '))").as("dh"))
+      img.select(col("media_id"), col("dh"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> shiftrightunsigned(dh, b * 16) & 65535)"))
+            .as(Seq("band", "bkey")))
+        .groupBy(col("band"), col("bkey"))
+        .agg(expr("sort_array(collect_list(struct(media_id, dh)))").as("ds"))
+        .filter(size(col("ds")).between(2, BandCap))
+        .select(explode(expr("struct_pairs(ds)")).as("p"))
+        .select(col("p.a.media_id").as("media_a"),
+          col("p.b.media_id").as("media_b"),
+          expr("cast(bit_count(p.a.dh ^ p.b.dh) as bigint)").as("hamming"))
+        .groupBy(col("media_a"), col("media_b"))
+        .agg(min(col("hamming")).as("hamming"))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .orderBy(col("media_a"), col("media_b"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,6 +156,52 @@ object MultimodalQueries {
          SELECT media_id, COUNT(*) AS n_frames,
                 COUNT(DISTINCT md5(text || ':' || CAST(fr AS VARCHAR)))
                   AS n_distinct
-         FROM f GROUP BY media_id ORDER BY media_id"""
+         FROM f GROUP BY media_id ORDER BY media_id""",
+    // Full dHash replay: bigram-md5 72-bin histogram → difference bits →
+    // unsigned HUGEINT hash → the same 4×16 banding, bucket cap and
+    // Hamming threshold as the engine. signedSql converts the unsigned
+    // residue to the engine's BIGINT for bit_count(xor()).
+    "mm_phash_pairs" ->
+      s"""WITH img AS (SELECT doc_id AS media_id, string_split(text, ' ') AS tks
+                       FROM documents WHERE doc_id % 3 = 0),
+          tk AS (SELECT media_id,
+                        CAST(('0x' || substr(md5(tks[i] || ' ' || tks[i+1]), 1, 4))
+                             AS INT) % 72 AS g
+                 FROM img,
+                      LATERAL (SELECT unnest(generate_series(1, len(tks) - 1)) AS i) s
+                 WHERE len(tks) >= 2),
+          cnt AS (SELECT media_id, g, COUNT(*) AS v FROM tk GROUP BY 1, 2),
+          cells AS (SELECT i.media_id, gs.g, COALESCE(c.v, 0) AS v
+                    FROM img i
+                    CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS g) gs
+                    LEFT JOIN cnt c ON c.media_id = i.media_id AND c.g = gs.g),
+          bits AS (SELECT c1.media_id, bs.b
+                   FROM (SELECT unnest(generate_series(0, 63)) AS b) bs
+                   JOIN cells c1 ON c1.g = bs.b + bs.b // 8
+                   JOIN cells c2 ON c2.media_id = c1.media_id
+                                AND c2.g = bs.b + bs.b // 8 + 1
+                   WHERE c1.v < c2.v),
+          dh AS (SELECT i.media_id,
+                        COALESCE(SUM(CAST(2**b.b AS HUGEINT)), 0::HUGEINT) AS dh_u
+                 FROM img i LEFT JOIN bits b ON b.media_id = i.media_id
+                 GROUP BY i.media_id),
+          bands AS (SELECT media_id, dh_u, band,
+                           (dh_u // CAST(2**(band*16) AS HUGEINT)) % 65536 AS bkey
+                    FROM dh, (SELECT unnest(range(0, 4)) AS band) bb),
+          grp AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+          cand AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                          a.dh_u AS ua, b.dh_u AS ub
+                   FROM bands a
+                   JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                               AND a.media_id < b.media_id
+                   JOIN grp g ON g.band = a.band AND g.bkey = a.bkey
+                   WHERE g.n BETWEEN 2 AND $BandCap),
+          ham AS (SELECT media_a, media_b,
+                         MIN(bit_count(xor(${OracleSql.signedSql("ua")},
+                                           ${OracleSql.signedSql("ub")}))) AS hamming
+                  FROM cand GROUP BY 1, 2)
+          SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
+          FROM ham WHERE hamming <= $PhashMaxHamming
+          ORDER BY media_a, media_b"""
   )
 }

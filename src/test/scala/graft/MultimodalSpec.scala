@@ -45,6 +45,41 @@ class MultimodalSpec extends SparkSuite {
     assert(Seq("png", "wav", "mp4").contains(row.getString(2)))
   }
 
+  test("mm_phash_pairs: planted near-dup images pair up, unrelated and " +
+      "non-image payloads don't") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${(i * 31 + seed * 7) % 97}_$seed" +
+        (if (i % 5 == 0) s" common$i" else "")).mkString(" ")
+    val base = (0 until 60).map(i => s"tok${i * 13 % 101}").mkString(" ")
+    val near = base.split(" ").updated(20, "EDITED").mkString(" ")
+    val docs = Seq(
+      (3L, base),          // image kind (doc_id % 3 == 0)
+      (6L, base),          // exact duplicate image → hamming 0
+      (9L, near),          // one-token edit → few bits
+      (12L, words(5, 60)), // unrelated image → far
+      (4L, base))          // identical payload but NOT image kind
+    docs.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+
+    val got = graft.queries.MultimodalQueries.queries("mm_phash_pairs")(
+        spark, tmp)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("hamming")).toMap
+
+    assert(got((3L, 6L)) == 0L, s"exact dup must be hamming 0: $got")
+    assert(got.contains((3L, 9L)) && got((3L, 9L)) <= 10L,
+      s"one-token edit must land under the threshold: $got")
+    assert(got.contains((6L, 9L)), s"near-dup pairs with both copies: $got")
+    assert(!got.keys.exists(p => p._1 == 12L || p._2 == 12L),
+      s"unrelated image must not pair: $got")
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"non-image media must not enter the image near-dup pass: $got")
+  }
+
   test("frame sampling explodes one video into N frames by duration") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
     val perMedia = frames.groupBy("media_id").count()
