@@ -51,27 +51,60 @@ object SkewAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Plant the skew: rep× the events table; rows with event_id % 10 == 0
-    // (exactly 10%) all remap to user 999_999 — one hot key.
+    // Plant the skew: rep× the events table; rows with event_id % 4 == 0
+    // (25%) all remap to user 999_999 — one hot key whose reducer carries
+    // a quarter of the join output.
     val events = graft.queries.Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"))
-    val fact = events
+    // Materialize the fact across cpus files: the explode pipeline would
+    // otherwise emit ONE parquet file (= one map task for the join
+    // shuffle), and AQE's skew split can only divide a reduce partition
+    // at MAPPER granularity — with a single mapper the skewed partition
+    // is unsplittable and OptimizeSkewedJoin silently no-ops (the second
+    // scale lesson this audit surfaced; a real 100 TB fact has thousands
+    // of mappers, so the multi-file layout is also the realistic one).
+    val factDir = java.nio.file.Files
+      .createTempDirectory("graft-skew-fact").toString
+    events
       .withColumn("r", explode(expr(s"sequence(0, ${rep - 1})")))
       .select(
         (col("event_id") * rep + col("r")).as("row_id"),
-        when(col("event_id") % 10 === 0, lit(999999L))
+        when(col("event_id") % 4 === 0, lit(999999L))
           .otherwise(col("user_id")).as("user_id"),
         col("event_type"))
-    val dim = fact.select(col("user_id")).distinct()
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    // Materialize the dim as an INDEPENDENT table (parquet round-trip):
+    // deriving it inline via fact.distinct() lets the join reuse the
+    // aggregate's exchange on the dim side, and AQE's OptimizeSkewedJoin
+    // only matches a join whose both children are fresh shuffle+sort
+    // stages — a derived dim silently disables the optimization this
+    // audit measures.
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft-skew-dim").toString
+    fact.select(col("user_id")).distinct()
       .withColumn("segment", (col("user_id") % 7).cast("long"))
       // wide payload: what makes a real per-user dim broadcast-ineligible
-      .withColumn("payload", expr("repeat(cast(user_id as string), 200)"))
-    fact.persist(); dim.persist()
+      .withColumn("payload", expr("repeat(cast(user_id as string), 300)"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    fact.persist()
     val nFact = fact.count(); val nDim = dim.count()
 
+    // the probe REFERENCES fact columns (row_id, event_type) and the wide
+    // dim payload, so real bytes flow through both shuffles. Column
+    // pruning otherwise reduces the fact side to bare 8-byte join keys —
+    // and the hot partition (1.25M IDENTICAL user_ids) then lz4-compresses
+    // below every skew byte-threshold, silently disabling AQE's skew
+    // detection (measured in round 11: a key-only probe never fired at
+    // thresholds down to 256k despite an 11x row skew). AQE's heuristic
+    // is BYTES of map output, not row counts — the first scale lesson of
+    // this audit.
     def probe(joined: DataFrame): Array[(String, Long, Long)] =
       joined.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("segment")).as("s"))
+        .agg(sum(col("row_id") % 97).as("n"),
+          sum(col("segment") + length(col("payload"))).as("s"))
         .orderBy(col("event_type"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -80,42 +113,53 @@ object SkewAudit {
       spark.conf.set("spark.sql.adaptive.enabled", on.toString)
       if (on) {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        // production default is 256MB / factor 5; the planted hot
-        // partition here is ~10% of a few hundred MB of shuffle — scale
-        // the byte threshold so the same mechanism fires
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        // production default fires at 256MB partitions / factor 5; the
+        // planted hot partition here is ~tens of MB, so the thresholds
+        // scale down by the data-size factor (mechanism under test, not
+        // the constant)
         spark.conf.set(
-          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
         spark.conf.set(
-          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
       }
+    }
+
+    def best2[A](f: => A): (A, Double) = {
+      val (a1, s1) = timed(f); val (_, s2) = timed(f)
+      (a1, math.min(s1, s2))
     }
 
     // warm both cached inputs once
     probe(fact.join(dim, "user_id")): Unit
 
     setAqe(false)
-    val (plainRes, plainSec) = timed(probe(fact.join(dim, "user_id")))
+    val (plainRes, plainSec) = best2(probe(fact.join(dim, "user_id")))
 
     setAqe(true)
-    val (aqeRes, aqeSec) = timed(probe(fact.join(dim, "user_id")))
+    val (aqeRes, aqeSec) = best2(probe(fact.join(dim, "user_id")))
     val aqePlan = fact.join(dim, "user_id").groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("segment")).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("segment") + length(col("payload"))).as("s"))
     aqePlan.collect(): Unit
-    val skewFired = aqePlan.queryExecution.executedPlan.toString
-      .contains("isSkew=true")
+    val planStr = aqePlan.queryExecution.executedPlan.toString
+    val smjLine = planStr.linesIterator.find(_.contains("SortMergeJoin"))
+      .getOrElse("").trim
+    val skewFired = planStr.toLowerCase.contains("skew=true")
 
     setAqe(false)
     val (saltRes, saltSec) =
-      timed(probe(Skew.saltedJoin(fact, dim, "user_id", salts = 16)))
+      best2(probe(Skew.saltedJoin(fact, dim, "user_id", salts = 16)))
 
     require(plainRes.sameElements(aqeRes) && plainRes.sameElements(saltRes),
       s"probe mismatch:\nplain=${plainRes.mkString}\naqe=${aqeRes.mkString}" +
         s"\nsalted=${saltRes.mkString}")
 
     println(s"""{"fact_rows": $nFact, "dim_rows": $nDim, "replicate": $rep,
-       | "hot_share": 0.10, "plain_smj_sec": ${f"$plainSec%.2f"},
+       | "hot_share": 0.25, "plain_smj_sec": ${f"$plainSec%.2f"},
        | "aqe_skewsplit_sec": ${f"$aqeSec%.2f"}, "aqe_skew_fired": $skewFired,
+       | "aqe_join_line": "${smjLine.replace("\"", "'")}",
        | "salted_join_sec": ${f"$saltSec%.2f"},
        | "results_identical": true}""".stripMargin.linesIterator.mkString(""))
     spark.stop()

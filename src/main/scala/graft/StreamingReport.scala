@@ -42,32 +42,68 @@ object StreamingReport {
       println(s"[streaming-report] $name: ${if (pass) "PASS" else "FAIL"}")
     }
 
-    // ---- 1. CDC publish + token commit (S1→F→P→K1/K2) -----------------
-    // Full DSv2 change-stream path over the events table; exactly-once
-    // after consumer dedup must equal the batch publishable count.
-    val cdcMessages: DataFrame = {
-      graft.operators.EventsCdc.toEnvelopes(events)
-        .repartitionByRange(16, col("_id").getField("_data"))
-        .write.mode("overwrite").parquet(s"$root/in")
-      val cnt = spark.read.parquet(s"$root/in").count()
-      val c = graft.streaming.StreamingCdc.StreamConfig(
-        "report", s"$root/in", s"$root/messages", s"$root/tokens",
-        s"$root/ckpt", sourceFormat = "changestream")
+    // ---- 1. CDC publish + token commit, N=2 collections concurrently --
+    // The reference's defining orchestration (C1, connector.go:128-174)
+    // is N concurrent watches: split events into two "collections" by
+    // user_id parity, run ONE runAll fan-out over both DSv2 change-stream
+    // configs, then assert PER COLLECTION: exactly-once after consumer
+    // dedup (= the batch publishable count) and publish ORDER (the
+    // per-batch msgId ranges must be disjoint and increasing in batch_id
+    // — per-collection order is the reference's delivery contract;
+    // maxRowsPerTrigger forces ≥3 micro-batches so the check has teeth).
+    locally {
+      val splits = Seq(
+        ("coll_a", col("user_id") % 2 === 0),
+        ("coll_b", col("user_id") % 2 === 1))
+      val cfgs = splits.map { case (nm, cond) =>
+        graft.operators.EventsCdc.toEnvelopes(events.filter(cond))
+          .repartitionByRange(16, col("_id").getField("_data"))
+          .write.mode("overwrite").parquet(s"$root/in-$nm")
+        val rows = spark.read.parquet(s"$root/in-$nm").count()
+        graft.streaming.StreamingCdc.StreamConfig(
+          nm, s"$root/in-$nm", s"$root/messages-$nm", s"$root/tokens-$nm",
+          s"$root/ckpt-$nm", sourceFormat = "changestream",
+          maxRowsPerTrigger = Some(math.max(1L, rows / 3)))
+      }
+      val cnt = splits.map { case (nm, _) =>
+        spark.read.parquet(s"$root/in-$nm").count() }.sum
       val t0 = System.nanoTime()
-      graft.streaming.StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+      graft.streaming.StreamingCdc.runAll(spark, cfgs, availableNow = true)
       val sec = (System.nanoTime() - t0) / 1e9
-      val raw = spark.read.parquet(s"$root/messages")
-      val published = raw.count()
-      val distinctMsgs = graft.operators.CdcPipeline
-        .dedupByMsgId(raw.drop("batch_id")).count()
-      val expected = events.filter(col("event_type") =!= "error").count()
-      section("cdc",
-        s"""{"events":$cnt,"published":$published,""" +
+      var pass = true
+      val per = splits.map { case (nm, cond) =>
+        val raw = spark.read.parquet(s"$root/messages-$nm")
+        val published = raw.count()
+        val distinctMsgs = graft.operators.CdcPipeline
+          .dedupByMsgId(raw.drop("batch_id")).count()
+        val expected = events
+          .filter(cond && col("event_type") =!= "error").count()
+        // order: consecutive batches' [min,max] msgId ranges are disjoint
+        // and increasing (msgIds are monotone resume tokens)
+        val ranges = raw.groupBy(col("batch_id"))
+          .agg(min(col("msgId")).as("mn"), max(col("msgId")).as("mx"))
+          .orderBy(col("batch_id"))
+          .collect().map(r => (r.getString(1), r.getString(2)))
+        val ordered = ranges.length >= 3 &&
+          ranges.sliding(2).forall {
+            case Array((_, mxPrev), (mnNext, _)) => mxPrev < mnNext
+            case _ => true
+          }
+        val ok = distinctMsgs == expected && ordered
+        pass &&= ok
+        s""""$nm":{"published":$published,""" +
           s""""published_distinct":$distinctMsgs,"expected":$expected,""" +
-          s""""events_per_sec":${cnt / sec},""" +
-          s""""exactly_once":${distinctMsgs == expected}}""",
-        distinctMsgs == expected)
-      raw.drop("batch_id")
+          s""""batches":${ranges.length},"ordered":$ordered,""" +
+          s""""exactly_once":${distinctMsgs == expected}}"""
+      }
+      // section 5 (consumer state view) reads the combined publish log
+      splits.foreach { case (nm, _) =>
+        spark.read.parquet(s"$root/messages-$nm")
+          .write.mode("append").parquet(s"$root/messages") }
+      section("cdc",
+        s"""{"collections":2,"events":$cnt,""" +
+          s""""events_per_sec":${cnt / sec},${per.mkString(",")}}""",
+        pass)
     }
 
     // ---- 2. Gap-sessionization (flatMapGroupsWithState) ---------------
@@ -214,6 +250,115 @@ object StreamingReport {
         s"""{"live_keys":${gotLive.size},"batch_keys":${want.size},""" +
           s""""match":${gotLive == want}}""",
         gotLive == want && gotLive.nonEmpty)
+    }
+
+    // ---- 5b. Streaming semantic decontamination (arrival-sliced) -------
+    // Corpus shards arrive in three slices; each micro-batch probes the
+    // persisted eval bucket index and publishes its contaminated vectors.
+    // The streamed union must equal the batch decontam_semantic query on
+    // the full corpus — valid whenever no LSH bucket exceeds the caps
+    // (asserted below; see StreamingDecontam's parity contract).
+    locally {
+      import graft.queries.{CurationQueries, DedupQueries}
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val m = CurationQueries.DecontamMod
+      val planes = DedupQueries.lshPlanes(spark, sfDir)
+      val tables = DedupQueries.LshTables
+      val cap = DedupQueries.VecBucketCap
+      // parity precondition: no bucket over the cap on the FULL corpus
+      val maxOcc = emb.select(
+          posexplode(expr(s"lsh_buckets(embedding, $tables, $planes)"))
+            .as(Seq("t", "b")))
+        .groupBy(col("t"), col("b")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      graft.streaming.StreamingDecontam.indexEval(spark,
+        emb.filter(col("vec_id") % m === 0), s"$root/dc-idx", tables, planes)
+      val corpus = emb.filter(col("vec_id") % m =!= 0)
+      val ids = corpus.select(col("vec_id")).orderBy(col("vec_id"))
+        .collect().map(_.getLong(0))
+      val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+      val slices = Seq(
+        corpus.filter(col("vec_id") <= cuts(0)),
+        corpus.filter(col("vec_id") > cuts(0) && col("vec_id") <= cuts(1)),
+        corpus.filter(col("vec_id") > cuts(1)))
+      for (slice <- slices) {
+        slice.coalesce(1).write.mode("append").parquet(s"$root/dc-in")
+        graft.streaming.StreamingDecontam.runOnce(spark, s"$root/dc-in",
+          s"$root/dc-out", s"$root/dc-ledger", s"$root/dc-idx",
+          s"$root/dc-ckpt", tables, planes, capEval = cap,
+          cosMin = CurationQueries.DecontamCosMin.toDouble)
+      }
+      val got = graft.streaming.StreamingDecontam
+        .contamView(spark, s"$root/dc-out")
+        .select(col("vec_id"), col("eval_id"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val want = graft.queries.CurationQueries
+        .queries("decontam_semantic")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // Contract (see StreamingDecontam's scaladoc): eval occupancy ≤
+      // combined occupancy, so a bucket the stream drops was dropped by
+      // the batch query too — the stream can only find MORE. Under the
+      // no-overfull-bucket precondition the two are bit-equal (the spec
+      // pins that regime); when the batch's combined cap binds (true at
+      // sf0.1: max occupancy above the cap), the pass criterion is
+      // dominance — every batch-contaminated vector is streamed-
+      // contaminated with at-least-equal best cosine.
+      val exact = maxOcc <= cap
+      val gotBest = got.groupBy(_._1).map { case (v, rs) =>
+        v -> rs.map(_._3).max }
+      val dominated = want.forall { case (v, _, c) =>
+        gotBest.get(v).exists(_ >= c) }
+      val pass =
+        if (exact) got == want else dominated && got.size >= want.size
+      section("decontam",
+        s"""{"streamed_contaminated":${got.size},""" +
+          s""""batch_contaminated":${want.size},""" +
+          s""""max_bucket_occupancy":$maxOcc,"bucket_cap":$cap,""" +
+          s""""parity_mode":"${if (exact) "exact" else "dominance"}",""" +
+          s""""match":$pass}""",
+        pass && got.nonEmpty)
+    }
+
+    // ---- 6. Sibling-cancel probe (C1 errgroup semantics) ---------------
+    // One slow collection (24 single-file micro-batches) runs beside a
+    // poisoned one (faultpoint throws in its second batch, after publish,
+    // before token commit — the reference's fault-injection seam). The
+    // first hard failure must cancel the slow sibling mid-stream: runAll
+    // surfaces the failure, the poisoned query records an exception, and
+    // the slow collection commits strictly fewer batches than its input
+    // holds.
+    locally {
+      import graft.streaming.StreamingCdc
+      val slowIn = s"$root/sc-slow-in"; val poisonIn = s"$root/sc-poison-in"
+      graft.operators.EventsCdc.toEnvelopes(
+          events.filter(col("user_id") % 2 === 0))
+        .repartition(24).write.mode("overwrite").parquet(slowIn)
+      graft.operators.EventsCdc.toEnvelopes(
+          events.filter(col("user_id") % 2 === 1).limit(400))
+        .repartition(4).write.mode("overwrite").parquet(poisonIn)
+      val slowCfg = StreamingCdc.StreamConfig("sc_slow", slowIn,
+        s"$root/sc-slow-msgs", s"$root/sc-slow-tokens", s"$root/sc-slow-ckpt",
+        maxFilesPerTrigger = 1)
+      val poisonCfg = StreamingCdc.StreamConfig("sc_poison", poisonIn,
+        s"$root/sc-poison-msgs", s"$root/sc-poison-tokens",
+        s"$root/sc-poison-ckpt", maxFilesPerTrigger = 1)
+      StreamingCdc.faultpoint = (nm, batchId) =>
+        if (nm == "sc_poison" && batchId >= 1)
+          throw new RuntimeException("planted publish fault (report probe)")
+      val outcome = scala.util.Try(
+        StreamingCdc.runAll(spark, Seq(slowCfg, poisonCfg),
+          availableNow = true))
+      StreamingCdc.faultpoint = (_, _) => ()
+      val slowCommitted = spark.read.parquet(s"$root/sc-slow-tokens").count()
+      val failed = outcome.isFailure
+      val cancelled = slowCommitted < 24
+      section("sibling_cancel",
+        s"""{"poison_failure_surfaced":$failed,""" +
+          s""""slow_batches_committed":$slowCommitted,""" +
+          s""""slow_batches_total":24,"cancelled_mid_stream":$cancelled}""",
+        failed && cancelled)
     }
 
     val body = sections.map { case (k, v) => s""""$k":$v""" }

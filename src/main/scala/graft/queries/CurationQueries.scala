@@ -37,7 +37,7 @@ object CurationQueries {
   // Spark query and its oracle (same single-sourcing as the Gopher
   // knobs). Calibrated to the synthetic embedding geometry the same way
   // DedupQueries' SemCosMin (0.30) / EmbCosMin (0.45) are.
-  private val DecontamCosMin = "0.35"
+  private[graft] val DecontamCosMin = "0.35"
   // Eval-holdout stride: vec_id % DecontamMod == 0 is the eval set and the
   // corpus is its exact complement — a clean partition with NO eval-size
   // cap (VERDICT r9 #2 / ADVICE r9: the old 512-vector cap left a slice
@@ -47,7 +47,7 @@ object CurationQueries {
   // holdout (e.g. 7 → eval ≈ 14% of the corpus) while the gate default
   // stays 37; read ONCE at class init so the engine query and the oracle
   // SQL can never disagree within a run.
-  private val DecontamMod: Int =
+  private[graft] val DecontamMod: Int =
     sys.env.getOrElse("SPARK_GRAFT_DECONTAM_MOD", "37").toInt
 
   // DSIR hashed-feature bucket count (Xie et al. 2023, "Data Selection

@@ -32,19 +32,19 @@ import Tables._
   */
 object DedupQueries {
 
-  private val toks = "split(text, ' ')"
+  private[graft] val toks = "split(text, ' ')"
   // 3-token shingling is done by the fused native expressions
   // (shingle_hashes / minhash_ngrams, graft.functions.TextHashes): <3-token
   // docs yield an empty signature, matching DuckDB's empty range(1, 0).
   // Shingles occurring in more than DfCap documents are dropped before the
   // candidate join — bounds pair fan-out per shingle at scale.
-  private val DfCap = 50
+  private[graft] val DfCap = 50
   // Embedding-LSH buckets get a larger cap: clustered embeddings
   // legitimately co-bucket whole semantic clusters (~10% of a label at 6
   // planes), so the shingle df-cap would drop real neighborhoods. Any
   // constant bounds the worst bucket's pair fan-out (≤ cap²/2 ≈ 20k pairs
   // per task) — the point is an upper bound, not shingle-level sparsity.
-  private[queries] val VecBucketCap = 200
+  private[graft] val VecBucketCap = 200
 
   // Corpus doc count for the prefix-pairs activation floor — cached per
   // dir like SimilarityQueries.embCount (footer-only count, but the bench
@@ -66,8 +66,8 @@ object DedupQueries {
   // drops nearly every bucket and recall collapses); the oracle derives
   // the SAME value from COUNT(*) in its pl CTE. Gate SFs (≤ 2048
   // vectors) still get 6, so the committed results are unchanged there.
-  private[queries] val LshTables = 6
-  private[queries] def lshPlanes(s: org.apache.spark.sql.SparkSession,
+  private[graft] val LshTables = 6
+  private[graft] def lshPlanes(s: org.apache.spark.sql.SparkSession,
       dir: String): Int =
     SimilarityQueries.autoPlanes(SimilarityQueries.embCount(s, dir))
   /** The oracle's plane-count CTE — identical integer rule in SQL. */

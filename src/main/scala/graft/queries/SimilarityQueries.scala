@@ -35,18 +35,18 @@ object SimilarityQueries {
   private def cosExpr(a: String, b: String): String = s"vec_cos($a, $b)"
 
   private val NQueries = 10 // vec_id < 10 are the query vectors
-  private val TopK = 5
+  private[graft] val TopK = 5
   // kNN-graph bucket cap: same role (and value) as DedupQueries'
   // VecBucketCap — bounds the worst bucket's pair fan-out (≤ cap²/2 pairs
   // per task) without assuming the bucket histogram; replayed verbatim in
   // the oracle so the cap is part of the checked contract.
-  private val GraphBucketCap = 200
+  private[graft] val GraphBucketCap = 200
   // kNN-graph LSH sizing, single-sourced into the engine AND the oracle's
   // pl CTE: tables is fixed; the plane count auto-sizes to the smallest
   // p in [6, GraphMaxPlanes] with 2^p · GraphOccupancy ≥ corpus, keeping
   // mean bucket occupancy (recall under the cap) constant as the corpus
   // grows — SCALING.md's "fixed-space saturation" knob, now automatic.
-  private val GraphTables = 4
+  private[graft] val GraphTables = 4
   private[graft] val GraphOccupancy = 32
   private[graft] val GraphMaxPlanes = 24
   private[graft] def autoPlanes(n: Long): Int =
