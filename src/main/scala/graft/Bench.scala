@@ -154,9 +154,6 @@ object Bench {
     val spreads = results.collect { case (k, v, s) if v >= 0 =>
       "\"" + k + "\":" + f"$s%.2f"
     }.mkString("{", ",", "}")
-    val contaminated = results.collect { case (k, v, s) if v >= 0 && s > 1.5 =>
-      "\"" + k + "\""
-    }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
 
     // Streaming-slice throughput (reference floor: >=10 ev/s sustained,
@@ -164,7 +161,18 @@ object Bench {
     // source -> filter -> route -> publish -> commit pipeline through the
     // DSv2 change-stream source, report events/sec. Setup (envelope write)
     // is excluded from the timed window.
+    //
+    // Best-of-N with spread flagging, same as the per-query timings
+    // (VERDICT r11 #1b): the round-11 end-of-round snapshot shipped one
+    // noisy streaming window (6,988 ev/s vs 38-52k in the round's cleaner
+    // runs) with no re-trial to catch it. Each trial gets fresh
+    // message/token/checkpoint dirs (the source input is immutable and
+    // shared); sec = min across trials, spread = median/min, and a spread
+    // >1.5x marks the slice contaminated like any query.
     var streamEvPerSec: Double = -1.0
+    var streamSpread: Double = 0.0
+    val streamTrials =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_TRIALS", "3").toInt
     val streamingJson =
       try {
         val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
@@ -193,16 +201,25 @@ object Bench {
             "bench-warm", s"$root/warm-in", s"$root/warm-messages",
             s"$root/warm-tokens", s"$root/warm-ckpt",
             sourceFormat = "changestream")), availableNow = true)
-        val cfgS = graft.streaming.StreamingCdc.StreamConfig(
-          "bench", s"$root/in", s"$root/messages", s"$root/tokens",
-          s"$root/ckpt", sourceFormat = "changestream")
-        val t0 = System.nanoTime()
-        graft.streaming.StreamingCdc.runAll(spark, Seq(cfgS),
-          availableNow = true)
-        val sec = (System.nanoTime() - t0) / 1e9
-        val published = spark.read.parquet(s"$root/messages").count()
+        var published = -1L
+        val secs = (0 until streamTrials).map { i =>
+          val cfgS = graft.streaming.StreamingCdc.StreamConfig(
+            "bench", s"$root/in", s"$root/messages-$i", s"$root/tokens-$i",
+            s"$root/ckpt-$i", sourceFormat = "changestream")
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingCdc.runAll(spark, Seq(cfgS),
+            availableNow = true)
+          val sec = (System.nanoTime() - t0) / 1e9
+          published = spark.read.parquet(s"$root/messages-$i").count()
+          sec
+        }.toList
+        val sec = secs.min
+        streamSpread = median(secs) / sec
         streamEvPerSec = cnt / sec
-        s"""{"events":$cnt,"published":$published,"sec":$sec,"events_per_sec":${cnt / sec}}"""
+        val secsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+        s"""{"events":$cnt,"published":$published,"sec":$sec,""" +
+          s""""events_per_sec":${cnt / sec},"trials":$streamTrials,""" +
+          s""""trial_secs":$secsJson,"spread":${f"$streamSpread%.2f"}}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] streaming FAILED: $e")
@@ -210,6 +227,14 @@ object Bench {
           """{"error":true}"""
       }
 
+    // Contamination covers the streaming slice too (VERDICT r11 #1b): a
+    // >1.5x trial spread there flags the run exactly like a noisy query,
+    // so bench_capture.py's contaminated-empty gate covers it for free.
+    val contaminatedNames = results.collect {
+      case (k, v, s) if v >= 0 && s > 1.5 => k
+    } ++ (if (streamSpread > 1.5) Seq("streaming_e2e") else Nil)
+    val contaminated =
+      contaminatedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs2 = errors.keys.toList.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val line =
@@ -247,10 +272,11 @@ object Bench {
     // window ("parsed": null three rounds running). This short no-maps
     // line is the final stdout line, so ANY tail capture parses it.
     val nq = results.count { case (_, v, _) => v >= 0 }
-    val ncontam = results.count { case (_, v, s) => v >= 0 && s > 1.5 }
+    val ncontam = contaminatedNames.size
     val summaryLine =
       s"""{"metric":"total","value":$total,"unit":"sec","nq":$nq,""" +
         s""""streaming_events_per_sec":$streamEvPerSec,""" +
+        s""""streaming_spread":${f"$streamSpread%.2f"},""" +
         s""""contaminated_count":$ncontam,"errors_count":${errors.size},""" +
         s""""sf":"$sfDir","trials":$trials,"summary":true}"""
     println(summaryLine)
@@ -260,14 +286,27 @@ object Bench {
     // sets showSuccess := false so the println above IS the last stdout
     // line ("parsed": null in BENCH_r07..r10 was sbt's own "[success]
     // Total time" trailer defeating a last-line parser).
+    //
+    // Gated by construction (VERDICT r11 #1a): a self-flagged-contaminated
+    // run REFUSES to overwrite the committed summary artifact unless
+    // SPARK_GRAFT_BENCH_FORCE=1 — the round-11 snapshot shipped its
+    // noisiest session only because nothing stopped a dirty run from
+    // clobbering a clean one. bench_last.json / bench_full.json above are
+    // still written (bench_capture.py's retry loop reads bench_last.json
+    // and the JSONL history must record every run, dirty ones included).
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val sumFile =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(sumFile),
-      (summaryLine + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-    catch { case e: Throwable => System.err.println(s"[bench] write $sumFile: $e") }
+    if (ncontam > 0 && !force)
+      System.err.println(s"[bench] contaminated run ($contaminated): " +
+        s"NOT overwriting $sumFile (set SPARK_GRAFT_BENCH_FORCE=1 to force)")
+    else
+      try java.nio.file.Files.write(java.nio.file.Paths.get(sumFile),
+        (summaryLine + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      catch { case e: Throwable => System.err.println(s"[bench] write $sumFile: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

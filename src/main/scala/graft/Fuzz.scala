@@ -43,6 +43,10 @@ object Fuzz {
 
     val cases = FuzzEntry.cases(seed0, n)
     val failures = scala.collection.mutable.Map.empty[String, String]
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
     cases.foreach { fc =>
       def attempt(): Unit = fc.build(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/${fc.name}")
@@ -53,6 +57,11 @@ object Fuzz {
         catch { case e2: Throwable =>
           System.err.println(s"[fuzz] ${fc.name} FAILED: $e2")
           failures(fc.name) = e2.toString.take(500)
+          // A partially-written output dir would be globbed by
+          // tools/check.py as an empty result and double-counted as a
+          // hash mismatch on top of the recorded spark_error (ADVICE
+          // r11) — remove it so the failure is reported exactly once.
+          rmTree(new java.io.File(s"$outDir/${fc.name}"))
         }
       }
     }

@@ -101,13 +101,21 @@ object SkewAudit {
     // thresholds down to 256k despite an 11x row skew). AQE's heuristic
     // is BYTES of map output, not row counts — the first scale lesson of
     // this audit.
-    def probe(joined: DataFrame): Array[(String, Long, Long)] =
+    // One probe aggregation, built as a DataFrame so the timed collect and
+    // the plan inspection read the SAME QueryExecution. A separate
+    // inspection query (earlier: count(lit(1))) prunes row_id out of the
+    // fact shuffle, shrinking map-output bytes — the exact byte-heuristic
+    // sensitivity that silently disables AQE skew detection, so its
+    // skew=true flag would not describe the plan that was timed.
+    def probeDf(joined: DataFrame): DataFrame =
       joined.groupBy(col("event_type"))
         .agg(sum(col("row_id") % 97).as("n"),
           sum(col("segment") + length(col("payload"))).as("s"))
         .orderBy(col("event_type"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def collectProbe(df: DataFrame): Array[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def probe(joined: DataFrame): Array[(String, Long, Long)] =
+      collectProbe(probeDf(joined))
 
     def setAqe(on: Boolean): Unit = {
       spark.conf.set("spark.sql.adaptive.enabled", on.toString)
@@ -138,12 +146,12 @@ object SkewAudit {
     val (plainRes, plainSec) = best2(probe(fact.join(dim, "user_id")))
 
     setAqe(true)
-    val (aqeRes, aqeSec) = best2(probe(fact.join(dim, "user_id")))
-    val aqePlan = fact.join(dim, "user_id").groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("segment") + length(col("payload"))).as("s"))
-    aqePlan.collect(): Unit
-    val planStr = aqePlan.queryExecution.executedPlan.toString
+    // Time and inspect the SAME DataFrame: after the first collect the
+    // adaptive plan is final, so executedPlan below is the plan whose
+    // wall time aqeSec reports (ADVICE r11).
+    val aqeDf = probeDf(fact.join(dim, "user_id"))
+    val (aqeRes, aqeSec) = best2(collectProbe(aqeDf))
+    val planStr = aqeDf.queryExecution.executedPlan.toString
     val smjLine = planStr.linesIterator.find(_.contains("SortMergeJoin"))
       .getOrElse("").trim
     val skewFired = planStr.toLowerCase.contains("skew=true")

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * round's artifacts capture streaming correctness the way
   * CORRECTNESS_r{N}.json captures batch.
   *
+  * Every twin additionally runs a planted mid-stream kill + restart
+  * (VERDICT r11 #6 — the reference's layer-4 fault-injection matrix,
+  * the restart_*_test.go files under test/faultinjection, restarts every
+  * component and asserts
+  * the invariant still holds): the kill must SURFACE (the run fails, not
+  * hangs or swallows), and the restarted run must converge to the same
+  * batch-parity answer through each twin's replay guard.
+  *
   * Usage: sbt "runMain graft.StreamingReport [sfDir] [outFile]"
   * (defaults: /root/testdata/sf0.1, STREAMING_report.json)
   */
@@ -84,22 +92,72 @@ object StreamingReport {
           .agg(min(col("msgId")).as("mn"), max(col("msgId")).as("mx"))
           .orderBy(col("batch_id"))
           .collect().map(r => (r.getString(1), r.getString(2)))
-        val ordered = ranges.length >= 3 &&
-          ranges.sliding(2).forall {
-            case Array((_, mxPrev), (mnNext, _)) => mxPrev < mnNext
-            case _ => true
-          }
+        val rangesIncreasing = ranges.sliding(2).forall {
+          case Array((_, mxPrev), (mnNext, _)) => mxPrev < mnNext
+          case _ => true
+        }
+        // The >=3-batches teeth only make sense when the input can YIELD
+        // 3 batches of published messages: a tiny sfDir (sfDir is a CLI
+        // arg) may publish <3 events per collection, where demanding 3
+        // batches would fail spuriously — degrade to an explicit skip
+        // that still checks ordering on whatever batches exist (ADVICE
+        // r11).
+        val multiBatchCheckable = expected >= 3
+        val ordered = rangesIncreasing &&
+          (!multiBatchCheckable || ranges.length >= 3)
         val ok = distinctMsgs == expected && ordered
         pass &&= ok
         s""""$nm":{"published":$published,""" +
           s""""published_distinct":$distinctMsgs,"expected":$expected,""" +
           s""""batches":${ranges.length},"ordered":$ordered,""" +
+          s""""multi_batch_check":"${
+            if (multiBatchCheckable) "enforced" else "skipped_small_input"}",""" +
           s""""exactly_once":${distinctMsgs == expected}}"""
       }
       // section 5 (consumer state view) reads the combined publish log
       splits.foreach { case (nm, _) =>
         spark.read.parquet(s"$root/messages-$nm")
           .write.mode("append").parquet(s"$root/messages") }
+      // Planted mid-stream kill + restart (VERDICT r11 #6; the
+      // reference's layer-4 restart matrix, test/faultinjection/
+      // restart_*_test.go): same coll_a input, fresh dirs, a one-shot
+      // fault in batch >=1 between publish (K1) and token commit (K2).
+      // The first run must FAIL (kill surfaced); the restart resumes from
+      // the checkpoint, replays the uncommitted batch (observable raw
+      // duplicates — the reference's documented at-least-once window),
+      // and the msgId-distinct view still equals the batch publishable
+      // count exactly.
+      locally {
+        val inA = s"$root/in-coll_a"
+        val rowsA = spark.read.parquet(inA).count()
+        val rsCfg = graft.streaming.StreamingCdc.StreamConfig(
+          "coll_a_rs", inA, s"$root/messages-rs", s"$root/tokens-rs",
+          s"$root/ckpt-rs", sourceFormat = "changestream",
+          maxRowsPerTrigger = Some(math.max(1L, rowsA / 3)))
+        var armed = true
+        graft.streaming.StreamingCdc.faultpoint = (nm, bid) =>
+          if (nm == "coll_a_rs" && bid >= 1 && armed) {
+            armed = false
+            throw new RuntimeException("planted publish fault (restart probe)")
+          }
+        val crashed = scala.util.Try(graft.streaming.StreamingCdc
+          .runAll(spark, Seq(rsCfg), availableNow = true)).isFailure
+        graft.streaming.StreamingCdc.faultpoint = (_, _) => ()
+        graft.streaming.StreamingCdc.runAll(spark, Seq(rsCfg),
+          availableNow = true)
+        val raw = spark.read.parquet(s"$root/messages-rs")
+        val distinctMsgs = graft.operators.CdcPipeline
+          .dedupByMsgId(raw.drop("batch_id")).count()
+        val expected = events.filter(
+          col("user_id") % 2 === 0 && col("event_type") =!= "error").count()
+        val ok = crashed && distinctMsgs == expected
+        pass &&= ok
+        sections("cdc_restart") =
+          s"""{"kill_surfaced":$crashed,"raw_published":${raw.count()},""" +
+            s""""distinct_after_replay":$distinctMsgs,""" +
+            s""""expected":$expected,"recovered":${distinctMsgs == expected}}"""
+        println(s"[streaming-report] cdc_restart: ${if (ok) "PASS" else "FAIL"}")
+      }
       section("cdc",
         s"""{"collections":2,"events":$cnt,""" +
           s""""events_per_sec":${cnt / sec},${per.mkString(",")}}""",
@@ -113,38 +171,63 @@ object StreamingReport {
     // closed set must equal the batch session_window query bit-exactly.
     locally {
       val ev3 = events.select(col("user_id"), col("ts"), col("value"))
-      val bounds = ev3.agg(max(col("ts")).as("mx")).head()
+      val bounds = ev3.agg(max(col("ts")).as("mx"),
+        min(col("ts")).as("mn")).head()
       val maxTs = bounds.getTimestamp(0)
+      val midTs = new java.sql.Timestamp(
+        (bounds.getTimestamp(1).getTime + maxTs.getTime) / 2)
       // sentinel = max_ts + gap(1d) + span-cover delay margin (31d)
       val sentinelTs = new java.sql.Timestamp(
         maxTs.getTime + 32L * 86400000L)
-      ev3.write.mode("overwrite").parquet(s"$root/sess-in")
+      // Two arrival phases with a mid-stream checkpoint restart (VERDICT
+      // r11 #6): phase 1 = first half by event time, then the query is
+      // STOPPED; phase 2 appends the rest plus the sentinels and a fresh
+      // query resumes from the same checkpoint. The open-session state
+      // must survive the restart: the union of emissions across both
+      // query incarnations equals the batch session_window query
+      // bit-exactly with no re-emission.
+      ev3.filter(col("ts") <= midTs)
+        .write.mode("overwrite").parquet(s"$root/sess-in")
+      val schema = ev3.schema
+      def runSess(): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "100000").parquet(s"$root/sess-in")
+        // watermark delay covers the fixture's full span, so intra-batch
+        // arrival order can never drop a real event as late; the final
+        // watermark (sentinel − delay) still clears every real close point
+        val q = graft.streaming.StreamingSessionization
+          .sessions(spark, stream, gap = "1 day", watermarkDelay = "30 days")
+          .writeStream
+          .foreachBatch((d: org.apache.spark.sql.Dataset[
+              graft.streaming.StreamingSessionization.SessionRow], _: Long) =>
+            d.write.mode("append").parquet(s"$root/sess-log"))
+          .option("checkpointLocation", s"$root/sess-ckpt")
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      runSess()
+      val phase1Emitted = scala.util.Try(
+        spark.read.parquet(s"$root/sess-log").count()).getOrElse(0L)
+      ev3.filter(col("ts") > midTs)
+        .write.mode("append").parquet(s"$root/sess-in")
       ev3.select(col("user_id")).distinct()
         .select(col("user_id"), lit(sentinelTs).as("ts"),
           lit(0.0).as("value"))
         .coalesce(1).write.mode("append").parquet(s"$root/sess-in")
-      val schema = ev3.schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "100000").parquet(s"$root/sess-in")
-      // watermark delay covers the fixture's full span, so intra-batch
-      // arrival order can never drop a real event as late; the final
-      // watermark (sentinel − delay) still clears every real close point
-      val q = graft.streaming.StreamingSessionization
-        .sessions(spark, stream, gap = "1 day", watermarkDelay = "30 days")
-        .writeStream.format("memory").queryName("sr_sessions")
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      val got = spark.table("sr_sessions")
+      runSess()
+      val log = spark.read.parquet(s"$root/sess-log")
+      val got = log
         .select(col("user_id"), col("session_start"), col("n"),
           col("sum_value"))
         .collect().map(_.toSeq).toSet
       val want = graft.queries.AnalyticsQueries
         .queries("events_session_windows")(spark, sfDir)
         .collect().map(_.toSeq).toSet
-      val dupFree = got.size == spark.table("sr_sessions").count()
+      val dupFree = got.size == log.count()
       section("sessionization",
         s"""{"streamed_closed":${got.size},"batch_sessions":${want.size},""" +
+          s""""phase1_emitted":$phase1Emitted,"restart":true,""" +
           s""""exactly_once":$dupFree,"match":${got == want}}""",
         got == want && dupFree)
     }
@@ -154,6 +237,22 @@ object StreamingReport {
       val in = docs.select(col("doc_id"), col("text"),
         lit(new java.sql.Timestamp(0L)).as("ingest_ts"))
       in.repartition(8).write.mode("overwrite").parquet(s"$root/hh-in")
+      // Planted mid-stream kill + restart (VERDICT r11 #6): one-shot
+      // crash in batch 1 with the batch consumed but its generation
+      // uncommitted; the restart replays exactly that batch (replay
+      // guard: generation presence) and the final summary must be
+      // indistinguishable from an uninterrupted run.
+      var hhArmed = true
+      graft.streaming.StreamingHeavyHitters.faultpoint = id =>
+        if (id == 1L && hhArmed) {
+          hhArmed = false
+          throw new RuntimeException("planted heavy-hitters fault")
+        }
+      val hhCrashed = scala.util.Try(
+        graft.streaming.StreamingHeavyHitters.runOnce(spark, s"$root/hh-in",
+          s"$root/hh-sum", s"$root/hh-ckpt", capacity = 512,
+          maxFilesPerTrigger = 2)).isFailure
+      graft.streaming.StreamingHeavyHitters.faultpoint = _ => ()
       graft.streaming.StreamingHeavyHitters.runOnce(spark, s"$root/hh-in",
         s"$root/hh-sum", s"$root/hh-ckpt", capacity = 512,
         maxFilesPerTrigger = 2)
@@ -173,8 +272,9 @@ object StreamingReport {
       section("heavy_hitters",
         s"""{"summary_candidates":${cand.size},""" +
           s""""heavy_hitters":${streamed.size},""" +
+          s""""kill_surfaced":$hhCrashed,"restart":true,""" +
           s""""match":${streamed == want}}""",
-        streamed == want && streamed.nonEmpty)
+        streamed == want && streamed.nonEmpty && hhCrashed)
     }
 
     // ---- 4. Streaming near-dedup (band index over arrivals) -----------
@@ -191,7 +291,8 @@ object StreamingReport {
         docs.filter(col("doc_id") > cuts(1)))
       var expected = Set.empty[(Long, Long)]
       var indexedSoFar: Option[DataFrame] = None
-      for (slice <- slices) {
+      var ndCrashed = false
+      for ((slice, si) <- slices.zipWithIndex) {
         val s3 = slice.select(col("doc_id"), col("text"),
           lit(new java.sql.Timestamp(0L)).as("ingest_ts"))
         val deltaIdx = graft.operators.IncrementalDedup.buildIndex(s3)
@@ -204,6 +305,24 @@ object StreamingReport {
           .map(_.unionByName(deltaIdx)).getOrElse(deltaIdx)
           .localCheckpoint())
         s3.coalesce(1).write.mode("append").parquet(s"$root/nd-in")
+        // Planted mid-stream kill + restart on the SECOND slice (VERDICT
+        // r11 #6): the fault lands between the pair append and the index
+        // commit — the restart replays the batch (pairs re-append into
+        // the duplicate window the pairsView collapses) and the final
+        // pair set must still equal the batch incremental operator's.
+        if (si == 1) {
+          var armed = true
+          graft.streaming.StreamingNearDedup.faultpoint = _ =>
+            if (armed) {
+              armed = false
+              throw new RuntimeException("planted near-dedup fault")
+            }
+          ndCrashed = scala.util.Try(
+            graft.streaming.StreamingNearDedup.runOnce(spark, s"$root/nd-in",
+              s"$root/nd-pairs", s"$root/nd-index", s"$root/nd-ckpt"))
+            .isFailure
+          graft.streaming.StreamingNearDedup.faultpoint = _ => ()
+        }
         graft.streaming.StreamingNearDedup.runOnce(spark, s"$root/nd-in",
           s"$root/nd-pairs", s"$root/nd-index", s"$root/nd-ckpt")
       }
@@ -214,24 +333,42 @@ object StreamingReport {
       section("near_dedup",
         s"""{"streamed_pairs":${got.size},""" +
           s""""batch_pairs":${expected.size},""" +
+          s""""kill_surfaced":$ndCrashed,"restart":true,""" +
           s""""match":${got == expected}}""",
-        got == expected && got.nonEmpty)
+        got == expected && got.nonEmpty && ndCrashed)
     }
 
     // ---- 5. Consumer state view over the published CDC stream ---------
     locally {
       val msgsDir = s"$root/messages"
-      val src = spark.readStream
-        .schema(spark.read.parquet(msgsDir).schema).parquet(msgsDir)
-      val q = graft.streaming.StreamingStateView.stateView(spark, src)
-        .writeStream.outputMode("update")
-        .foreachBatch((d: org.apache.spark.sql.Dataset[
-            graft.streaming.StreamingStateView.StateRow], _: Long) =>
-          d.write.mode("append").parquet(s"$root/state-log"))
-        .option("checkpointLocation", s"$root/state-ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // Planted mid-stream kill + restart (VERDICT r11 #6): the one-shot
+      // throw lands AFTER the state-log append, BEFORE the epoch commit —
+      // the restart replays that batch and re-appends its rows. The
+      // last-state view below reads through max(struct(...)), which is
+      // duplicate-insensitive by construction, so the final live-key set
+      // must still equal the batch stateView exactly.
+      var svArmed = true
+      def runStateView(): Unit = {
+        val src = spark.readStream
+          .schema(spark.read.parquet(msgsDir).schema)
+          .option("maxFilesPerTrigger", "2").parquet(msgsDir)
+        val q = graft.streaming.StreamingStateView.stateView(spark, src)
+          .writeStream.outputMode("update")
+          .foreachBatch((d: org.apache.spark.sql.Dataset[
+              graft.streaming.StreamingStateView.StateRow], bid: Long) => {
+            d.write.mode("append").parquet(s"$root/state-log")
+            if (bid >= 1 && svArmed) {
+              svArmed = false
+              throw new RuntimeException("planted state-view fault")
+            }
+          })
+          .option("checkpointLocation", s"$root/state-ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val svCrashed = scala.util.Try(runStateView()).isFailure
+      runStateView()
       val last = spark.read.parquet(s"$root/state-log")
         .groupBy(col("stream"), col("key"))
         .agg(max(struct(col("last_msg_id"), col("last_op"),
@@ -248,8 +385,9 @@ object StreamingReport {
           r.getAs[String]("last_op"))).toSet
       section("state_view",
         s"""{"live_keys":${gotLive.size},"batch_keys":${want.size},""" +
+          s""""kill_surfaced":$svCrashed,"restart":true,""" +
           s""""match":${gotLive == want}}""",
-        gotLive == want && gotLive.nonEmpty)
+        gotLive == want && gotLive.nonEmpty && svCrashed)
     }
 
     // ---- 5b. Streaming semantic decontamination (arrival-sliced) -------
@@ -281,8 +419,28 @@ object StreamingReport {
         corpus.filter(col("vec_id") <= cuts(0)),
         corpus.filter(col("vec_id") > cuts(0) && col("vec_id") <= cuts(1)),
         corpus.filter(col("vec_id") > cuts(1)))
-      for (slice <- slices) {
+      var dcCrashed = false
+      for ((slice, si) <- slices.zipWithIndex) {
         slice.coalesce(1).write.mode("append").parquet(s"$root/dc-in")
+        // Planted mid-stream kill + restart on the SECOND slice (VERDICT
+        // r11 #6): the fault lands between the contamination publish and
+        // the ledger commit; the restart replays the batch (the ledger
+        // guard + contamView make the replay idempotent) and the final
+        // streamed set must still satisfy the batch-parity contract.
+        if (si == 1) {
+          var armed = true
+          graft.streaming.StreamingDecontam.faultpoint = _ =>
+            if (armed) {
+              armed = false
+              throw new RuntimeException("planted decontam fault")
+            }
+          dcCrashed = scala.util.Try(
+            graft.streaming.StreamingDecontam.runOnce(spark, s"$root/dc-in",
+              s"$root/dc-out", s"$root/dc-ledger", s"$root/dc-idx",
+              s"$root/dc-ckpt", tables, planes, capEval = cap,
+              cosMin = CurationQueries.DecontamCosMin.toDouble)).isFailure
+          graft.streaming.StreamingDecontam.faultpoint = _ => ()
+        }
         graft.streaming.StreamingDecontam.runOnce(spark, s"$root/dc-in",
           s"$root/dc-out", s"$root/dc-ledger", s"$root/dc-idx",
           s"$root/dc-ckpt", tables, planes, capEval = cap,
@@ -317,8 +475,9 @@ object StreamingReport {
           s""""batch_contaminated":${want.size},""" +
           s""""max_bucket_occupancy":$maxOcc,"bucket_cap":$cap,""" +
           s""""parity_mode":"${if (exact) "exact" else "dominance"}",""" +
+          s""""kill_surfaced":$dcCrashed,"restart":true,""" +
           s""""match":$pass}""",
-        pass && got.nonEmpty)
+        pass && got.nonEmpty && dcCrashed)
     }
 
     // ---- 6. Sibling-cancel probe (C1 errgroup semantics) ---------------
