@@ -22,6 +22,13 @@ object MultimodalQueries {
     */
   private val PhashMaxHamming = 10
 
+  /** Tokens per stub-decoded video "frame" (the frame sampler's window
+    * width): frame f of a video is tokens [f·W, f·W+W) of its payload, so
+    * a trim that drops whole frames leaves every surviving window — and
+    * its dhash64 signature — bit-identical.
+    */
+  private val VideoFrameTokens = 32
+
   val queries: Map[String, Q] = Map(
     // Per-modality ingest rollup — integer arithmetic, oracle-exact.
     "mm_media_stats" -> ((s, dir) =>
@@ -103,6 +110,51 @@ object MultimodalQueries {
         .groupBy(col("media_a"), col("media_b"))
         .agg(min(col("hamming")).as("hamming"))
         .filter(col("hamming") <= PhashMaxHamming)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Perceptual near-dup for the VIDEO kind (round 12): chain the frame
+    // sampler with dHash — the stub "decode of frame f" is a W-token
+    // window of the payload, each window fingerprinted with dhash64, and
+    // a video is its SET of frame signatures. Two videos are near-dup
+    // when they share at least half the smaller one's distinct frame
+    // signatures (containment ≥ 1/2) — which catches frame-aligned trims
+    // (every surviving window hashes identically ⇒ containment 1) and
+    // re-encodes with localized edits (only the touched windows move)
+    // the way image dHash catches resizes. Candidate pairs come from the
+    // one keyed exchange on the exact frame signature, bucket-capped at
+    // BandCap like every near-dup family here — never all-pairs: at
+    // 100 TB a boilerplate window shared by millions of videos is
+    // dropped (loudly, by the same cap the oracle replays), not exploded
+    // quadratically; the per-video signature-set collect is bounded by
+    // duration/W.
+    "mm_video_near_pairs" -> ((s, dir) => {
+      val W = VideoFrameTokens
+      val sigs = Multimodal.fromDocuments(load(s, dir, "documents"))
+        .filter(col("kind") === "video")
+        .select(col("media_id"),
+          split(col("content").cast("string"), " ").as("tks"))
+        .select(col("media_id"),
+          explode(expr(
+            s"transform(sequence(0, cast((size(tks) - 1) / $W as int)), " +
+              s"f -> dhash64(slice(tks, f * $W + 1, $W)))")).as("sig"))
+      // set semantics per video, with the set size carried onto every
+      // bucket row so the pair scorer needs no second join
+      val vsets = sigs.groupBy(col("media_id"))
+        .agg(collect_set(col("sig")).as("ss"))
+        .select(col("media_id"), size(col("ss")).cast("bigint").as("nsig"),
+          explode(col("ss")).as("sig"))
+      vsets.groupBy(col("sig"))
+        .agg(expr("sort_array(collect_list(struct(media_id, nsig)))").as("vs"))
+        .filter(size(col("vs")).between(2, BandCap))
+        .select(explode(expr("struct_pairs(vs)")).as("p"))
+        .groupBy(col("p.a.media_id").as("media_a"),
+          col("p.b.media_id").as("media_b"),
+          col("p.a.nsig").as("n_a"), col("p.b.nsig").as("n_b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") * 2 >= least(col("n_a"), col("n_b")))
+        .select(col("media_a"), col("media_b"), col("shared_frames"),
+          col("n_a"), col("n_b"))
         .orderBy(col("media_a"), col("media_b"))
     })
   )
@@ -202,6 +254,61 @@ object MultimodalQueries {
                   FROM cand GROUP BY 1, 2)
           SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
           FROM ham WHERE hamming <= $PhashMaxHamming
+          ORDER BY media_a, media_b""",
+    // Full per-frame dHash replay: W-token windows → per-window bigram-md5
+    // 72-bin histogram → difference bits → unsigned HUGEINT signature →
+    // distinct signature set per video → exact-signature buckets with the
+    // engine's cap → containment ≥ 1/2 in integers. The hash never leaves
+    // the bucket key, so no signed conversion is needed.
+    "mm_video_near_pairs" ->
+      s"""WITH vid AS (SELECT doc_id AS media_id, string_split(text, ' ') AS tks
+                       FROM documents WHERE doc_id % 3 = 2),
+          frames AS (SELECT media_id, f,
+                            tks[(f*$VideoFrameTokens+1):
+                                (f*$VideoFrameTokens+$VideoFrameTokens)] AS wtk
+                     FROM vid,
+                          LATERAL (SELECT unnest(range(0,
+                            CAST((len(tks) - 1) // $VideoFrameTokens AS INT) + 1))
+                            AS f) s),
+          tk AS (SELECT media_id, f,
+                        CAST(('0x' || substr(md5(wtk[i] || ' ' || wtk[i+1]), 1, 4))
+                             AS INT) % 72 AS g
+                 FROM frames,
+                      LATERAL (SELECT unnest(generate_series(1, len(wtk) - 1)) AS i) s
+                 WHERE len(wtk) >= 2),
+          cnt AS (SELECT media_id, f, g, COUNT(*) AS v FROM tk GROUP BY 1, 2, 3),
+          cells AS (SELECT fr.media_id, fr.f, gs.g, COALESCE(c.v, 0) AS v
+                    FROM frames fr
+                    CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS g) gs
+                    LEFT JOIN cnt c ON c.media_id = fr.media_id AND c.f = fr.f
+                                   AND c.g = gs.g),
+          bits AS (SELECT c1.media_id, c1.f, bs.b
+                   FROM (SELECT unnest(generate_series(0, 63)) AS b) bs
+                   JOIN cells c1 ON c1.g = bs.b + bs.b // 8
+                   JOIN cells c2 ON c2.media_id = c1.media_id AND c2.f = c1.f
+                                AND c2.g = bs.b + bs.b // 8 + 1
+                   WHERE c1.v < c2.v),
+          dh AS (SELECT fr.media_id, fr.f,
+                        COALESCE(SUM(CAST(2**b.b AS HUGEINT)), 0::HUGEINT) AS sig
+                 FROM frames fr
+                 LEFT JOIN bits b ON b.media_id = fr.media_id AND b.f = fr.f
+                 GROUP BY 1, 2),
+          sigs AS (SELECT DISTINCT media_id, sig FROM dh),
+          sized AS (SELECT media_id, sig,
+                           COUNT(*) OVER (PARTITION BY media_id) AS nsig
+                    FROM sigs),
+          grp AS (SELECT sig, COUNT(*) AS n FROM sigs GROUP BY 1),
+          cand AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                          a.nsig AS n_a, b.nsig AS n_b
+                   FROM sized a
+                   JOIN sized b ON a.sig = b.sig AND a.media_id < b.media_id
+                   JOIN grp g ON g.sig = a.sig
+                   WHERE g.n BETWEEN 2 AND $BandCap),
+          agg AS (SELECT media_a, media_b, n_a, n_b, COUNT(*) AS shared_frames
+                  FROM cand GROUP BY 1, 2, 3, 4)
+          SELECT media_a, media_b, shared_frames,
+                 CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+          FROM agg WHERE shared_frames * 2 >= least(n_a, n_b)
           ORDER BY media_a, media_b"""
   )
 }

@@ -80,6 +80,44 @@ class MultimodalSpec extends SparkSuite {
       s"non-image media must not enter the image near-dup pass: $got")
   }
 
+  test("mm_video_near_pairs: planted trimmed copy and one-frame re-encode " +
+      "pair with the original; unrelated and non-video payloads don't") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vnear").toString
+    // 3 frames of 32 tokens each
+    val full = (0 until 96).map(i => s"t${i * 17 % 191}_v").toVector
+    val trimmed = full.drop(32)                 // first frame cut away
+    val reenc = full.updated(40, "GLITCH")      // one token inside frame 1
+    val other = (0 until 96).map(i => s"u${i * 13 % 181}_w").toVector
+    val docs = Seq(
+      (2L, full.mkString(" ")),     // video (doc_id % 3 == 2): original
+      (5L, trimmed.mkString(" ")),  // video: frame-aligned trim
+      (8L, reenc.mkString(" ")),    // video: re-encode artifact in frame 1
+      (11L, other.mkString(" ")),   // video: unrelated
+      (3L, full.mkString(" ")))     // identical payload but image kind
+    docs.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+
+    val got = graft.queries.MultimodalQueries
+      .queries("mm_video_near_pairs")(spark, tmp)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        ((r.getAs[Long]("shared_frames"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b")))).toMap
+
+    // trim: both surviving windows hash identically -> containment 1
+    assert(got.get((2L, 5L)).contains((2L, 3L, 2L)),
+      s"trimmed copy must pair with full containment: $got")
+    // re-encode: frames 0 and 2 survive the frame-1 edit (2*2 >= 3)
+    assert(got.get((2L, 8L)).contains((2L, 3L, 3L)),
+      s"one-frame re-encode must pair on the untouched frames: $got")
+    assert(!got.keys.exists(p => p._1 == 11L || p._2 == 11L),
+      s"unrelated video must not pair: $got")
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"non-video media must not enter the video near-dup pass: $got")
+  }
+
   test("frame sampling explodes one video into N frames by duration") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
     val perMedia = frames.groupBy("media_id").count()
