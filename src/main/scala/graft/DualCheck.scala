@@ -115,6 +115,23 @@ object DualCheck {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** One primary-vs-twin comparison: warm the primary once, time both
+    * sides, then distributed bit-equality. Prints one JSON line.
+    */
+  private def check(name: String, sfDir: String,
+      primary: => DataFrame, twin: => DataFrame): Boolean = {
+    val (_, warmA) = timed(primary.count())
+    val (_, primarySec) = timed(primary.count())
+    val (_, secondSec) = timed(twin.count())
+    val ((eq, na, nb), _) = timed(sameResult(primary, twin))
+    println(s"""{"check":"$name","sf":"$sfDir",""" +
+      s""""match":$eq,"rows_primary":$na,"rows_twin":$nb,""" +
+      s""""primary_sec":${f"$primarySec%.2f"},""" +
+      s""""twin_sec":${f"$secondSec%.2f"},""" +
+      s""""warm_sec":${f"$warmA%.2f"}}""")
+    eq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val which = if (args.length > 1) args(1) else "both"
@@ -130,7 +147,7 @@ object DualCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     var allMatch = true
-    if (which == "minhash" || which == "both") {
+    if (which == "minhash" || which == "both" || which == "all") {
       val (_, warmA) = timed(
         DedupQueries.queries("dedup_minhash_pairs")(spark, sfDir).count())
       val (_, primarySec) = timed(
@@ -146,7 +163,7 @@ object DualCheck {
         s""""secondary_self_join_sec":${f"$secondSec%.2f"},""" +
         s""""warm_sec":${f"$warmA%.2f"}}""")
     }
-    if (which == "knn" || which == "both") {
+    if (which == "knn" || which == "both" || which == "all") {
       val (_, warmA) = timed(
         SimilarityQueries.queries("sim_knn_graph")(spark, sfDir).count())
       val (_, primarySec) = timed(
@@ -161,6 +178,39 @@ object DualCheck {
         s""""primary_bucket_collect_sec":${f"$primarySec%.2f"},""" +
         s""""secondary_self_join_sec":${f"$secondSec%.2f"},""" +
         s""""warm_sec":${f"$warmA%.2f"}}""")
+    }
+    // Round-12 twins (DualCheckTwins): the three remaining restricted-only
+    // replay oracles. `which` accepts each name, or "all" for everything.
+    if (which == "clusters" || which == "all")
+      allMatch &&= check("sim_graph_clusters", sfDir,
+        SimilarityQueries.queries("sim_graph_clusters")(spark, sfDir),
+        DualCheckTwins.graphClustersLabelProp(spark, sfDir))
+    if (which == "incr" || which == "all")
+      allMatch &&= check("dedup_incremental_pairs", sfDir,
+        DedupQueries.queries("dedup_incremental_pairs")(spark, sfDir),
+        DualCheckTwins.incrementalPairsBatch(spark, sfDir))
+    if (which == "kmeans" || which == "all") {
+      // centroid-level equality first — the strongest statement (bit-equal
+      // models imply equal downstream queries; checked anyway)
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val primModel = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", k = 8, iters = 3)
+      val twinModel = DualCheckTwins.KMeansTwin.fitMany(
+        emb, "vec_id", Seq(col("embedding")), k = 8, iters = 3).head
+      val centEq = primModel.map { case (c, v, s2) => (c, v.toList, s2) }
+        .sameElements(twinModel.map { case (c, v, s2) => (c, v.toList, s2) })
+      println(s"""{"check":"kmeans_centroids_k8","sf":"$sfDir",""" +
+        s""""match":$centEq,"cells":${primModel.length}}""")
+      allMatch &&= centEq
+      allMatch &&= check("sim_kmeans_cells", sfDir,
+        SimilarityQueries.queries("sim_kmeans_cells")(spark, sfDir),
+        DualCheckTwins.kmeansCellsTwin(spark, sfDir))
+      allMatch &&= check("sim_knn_ivf_trained", sfDir,
+        SimilarityQueries.queries("sim_knn_ivf_trained")(spark, sfDir),
+        DualCheckTwins.ivfTrainedTwin(spark, sfDir))
+      allMatch &&= check("sim_pq_codes", sfDir,
+        SimilarityQueries.queries("sim_pq_codes")(spark, sfDir),
+        DualCheckTwins.pqCodesTwin(spark, sfDir))
     }
     spark.stop()
     if (!allMatch) sys.exit(2)
