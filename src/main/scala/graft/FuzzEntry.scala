@@ -48,8 +48,19 @@ object FuzzEntry {
     * accepts; window outputs stay deterministic as multisets because
     * ROW_NUMBER/LAG/running-SUM are position-functions of the (totally
     * sorted) value sequence, and fully-tied rows are interchangeable.
+    *
+    * v3 (round-12 VERDICT #5): a KERNEL shape family — the ~21 native
+    * Catalyst expressions are exactly where a codegen bug would hide, and
+    * none were reachable by the v2 scan/agg/join/window/union shapes.
+    * Each kernel case applies a random native kernel (fnv64, simhash64 —
+    * plain and over word_ngrams —, dhash64, a random minhash_ngrams
+    * signature position, vec_quantize6/vec_dotq/lsh_buckets elements)
+    * with random arguments to a guarded slice of documents/embeddings,
+    * dual-rendered against the same HUGEINT replay fragments the fixed
+    * oracle surface uses (OracleSql.fnvSql/mix64ChainSql/signedSql and
+    * the quantize/plane-weight formulas).
     */
-  val GeneratorVersion = 2
+  val GeneratorVersion = 3
 
   /** One expression, rendered for both engines from the same decisions. */
   final case class Ex(c: Column, sql: String)
@@ -579,17 +590,228 @@ object FuzzEntry {
     FuzzCase(f"fz_$seed%04d_union", seed, "union", build, sql)
   }
 
+  /** Shape F (v3) — native-kernel differential: one random custom kernel
+    * with random arguments over a mod-guarded slice of documents (string /
+    * token kernels) or embeddings (vector kernels), its DuckDB side built
+    * from the same replay fragments the fixed oracle surface uses. All
+    * outputs are BIGINT both sides; keys are unique (doc_id / vec_id) but
+    * the sort still spells every output column per the v2 discipline.
+    */
+  private def shapeKernel(r: Random, seed: Long): FuzzCase = {
+    import graft.queries.OracleSql.{fnvSql, mix64ChainSql, signedSql}
+    val prime = graft.functions.TextHashImpl.Prime
+
+    def docCase(kind: String, outs: Seq[(String, String, String)],
+        ctes: String, fromSql: String): FuzzCase = {
+      // outs: (name, sparkExpr, duckSelectExpr on the post-CTE from)
+      val m = 5 + r.nextInt(7); val k = r.nextInt(m)
+      val guard = s"((doc_id % $m) = $k)"
+      val ordSql = ("doc_id" +: outs.map(_._1))
+        .map(c => s"$c NULLS FIRST").mkString(", ")
+      val withSql = if (ctes.isEmpty) "" else
+        s"WITH base AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts\n" +
+          s"             FROM documents WHERE $guard),\n$ctes\n"
+      val whereSql = if (ctes.isEmpty) s"WHERE $guard" else ""
+      val sql =
+        s"""${withSql}SELECT doc_id, ${outs.map { case (n, _, d) =>
+             s"$d AS $n" }.mkString(", ")}
+           |FROM $fromSql $whereSql
+           |ORDER BY $ordSql""".stripMargin
+      val build = (s: SparkSession, dir: String) =>
+        graft.queries.Tables.load(s, dir, "documents")
+          .filter(expr(guard))
+          .select(col("doc_id") +: outs.map { case (n, sp, _) =>
+            expr(sp).as(n) }: _*)
+          .orderBy(("doc_id" +: outs.map(_._1))
+            .map(c => col(c).asc_nulls_first): _*)
+      FuzzCase(f"fz_$seed%04d_$kind", seed, kind, build, sql)
+    }
+
+    r.nextInt(5) match {
+      case 0 => // fnv64 over two random string expressions
+        def strExpr(): (String, String) = r.nextInt(7) match {
+          case 0 => ("text", "text")
+          case 1 =>
+            val a = 1 + r.nextInt(40); val l = 1 + r.nextInt(12)
+            (s"substring(text, $a, $l)", s"substring(text, $a, $l)")
+          case 2 => ("concat(lang, ':', source)", "lang || ':' || source")
+          case 3 => ("upper(source)", "upper(source)")
+          case 4 => ("lower(lang)", "lower(lang)")
+          case 5 => ("source", "source")
+          case _ => ("lang", "lang")
+        }
+        val (s0, d0) = strExpr(); val (s1, d1) = strExpr()
+        docCase("kfnv", Seq(
+          ("h0", s"fnv64($s0)", signedSql(fnvSql(d0))),
+          ("h1", s"fnv64($s1)", signedSql(fnvSql(d1)))),
+          ctes = "", fromSql = "documents")
+
+      case 1 => // simhash64 over tokens or word n-grams
+        val n = 1 + r.nextInt(4) // 1 = plain tokens, 2..4 = word_ngrams
+        val (sparkToks, itemCte, cntSpark, cntDuck) =
+          if (n == 1)
+            ("split(text, ' ')",
+              "item AS (SELECT doc_id, unnest(ts) AS it FROM base)",
+              "size(split(text, ' '))", "len(ts)")
+          else {
+            val gram = (0 until n).map(o => s"ts[i + $o]")
+              .mkString(" || ' ' || ")
+            (s"word_ngrams(split(text, ' '), $n)",
+              s"""item AS (SELECT doc_id, $gram AS it
+                  FROM base, LATERAL (SELECT unnest(range(1,
+                    len(ts) - ${n - 2})) AS i) u)""",
+              s"size(word_ngrams(split(text, ' '), $n))",
+              s"CASE WHEN len(ts) >= $n THEN len(ts) - ${n - 1} ELSE 0 END")
+          }
+        val ctes =
+          s"""$itemCte,
+             |th AS (SELECT doc_id, ${fnvSql("it")} AS h FROM item),
+             |bits AS (
+             |  SELECT doc_id, b,
+             |         SUM(CASE WHEN (h // CAST(2 ** b AS HUGEINT)) % 2 = 1
+             |             THEN 1 ELSE -1 END) AS v
+             |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bs
+             |  GROUP BY doc_id, b),
+             |sim AS (
+             |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(2 ** b AS HUGEINT)
+             |                     ELSE 0::HUGEINT END) AS sim_u
+             |  FROM bits GROUP BY doc_id)""".stripMargin
+        docCase("ksim", Seq(
+          ("sh", s"simhash64($sparkToks)",
+            signedSql("COALESCE(sim.sim_u, 0::HUGEINT)")),
+          ("cnt", s"CAST($cntSpark AS BIGINT)",
+            s"CAST($cntDuck AS BIGINT)")),
+          ctes, "base LEFT JOIN sim USING (doc_id)")
+
+      case 2 => // dhash64 over the token array (bigram-histogram bitmap)
+        val ctes =
+          """tk AS (SELECT doc_id,
+            |              CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1]),
+            |                1, 4)) AS INT) % 72 AS g
+            |       FROM base,
+            |            LATERAL (SELECT unnest(generate_series(1,
+            |              len(ts) - 1)) AS i) s
+            |       WHERE len(ts) >= 2),
+            |cnt AS (SELECT doc_id, g, COUNT(*) AS v FROM tk GROUP BY 1, 2),
+            |cells AS (SELECT b0.doc_id, gs.g, COALESCE(c.v, 0) AS v
+            |          FROM base b0
+            |          CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS g) gs
+            |          LEFT JOIN cnt c ON c.doc_id = b0.doc_id AND c.g = gs.g),
+            |bits AS (SELECT c1.doc_id, bs.b
+            |         FROM (SELECT unnest(generate_series(0, 63)) AS b) bs
+            |         JOIN cells c1 ON c1.g = bs.b + bs.b // 8
+            |         JOIN cells c2 ON c2.doc_id = c1.doc_id
+            |                      AND c2.g = bs.b + bs.b // 8 + 1
+            |         WHERE c1.v < c2.v),
+            |dh AS (SELECT b0.doc_id,
+            |              COALESCE(SUM(CAST(2 ** bb.b AS HUGEINT)),
+            |                0::HUGEINT) AS dh_u
+            |       FROM base b0 LEFT JOIN bits bb ON bb.doc_id = b0.doc_id
+            |       GROUP BY b0.doc_id)""".stripMargin
+        docCase("kdhash", Seq(
+          ("dh", "dhash64(split(text, ' '))", signedSql("dh.dh_u")),
+          ("cnt", "CAST(size(split(text, ' ')) AS BIGINT)",
+            "CAST(len(ts) AS BIGINT)")),
+          ctes, "base JOIN dh USING (doc_id)")
+
+      case 3 => // one random minhash_ngrams signature position
+        val ng = 2 + r.nextInt(3)
+        val k2 = Seq(8, 16, 32)(r.nextInt(3))
+        val j = 1 + r.nextInt(k2)
+        val gram = (0 until ng).map(o => s"ts[i + $o]")
+          .mkString(" || ' ' || ")
+        val ctes =
+          s"""gram AS (SELECT doc_id, $gram AS g
+             |         FROM base, LATERAL (SELECT unnest(range(1,
+             |           len(ts) - ${ng - 2})) AS i) u),
+             |gh AS (SELECT doc_id, ${fnvSql("g")} AS h FROM gram),
+             |mx AS (${mix64ChainSql("doc_id",
+                s"h + ${j - 1} * $prime::HUGEINT", "gh", "mixed")}),
+             |smin AS (SELECT doc_id, MIN(${signedSql("mixed")}) AS mv
+             |         FROM mx GROUP BY doc_id)""".stripMargin
+        docCase("kminhash", Seq(
+          ("mh", s"element_at(minhash_ngrams(split(text, ' '), $ng, $k2), $j)",
+            "COALESCE(smin.mv, 9223372036854775807)")),
+          ctes, "base LEFT JOIN smin USING (doc_id)")
+
+      case _ => // vector kernels over embeddings
+        val m = 5 + r.nextInt(7); val k = r.nextInt(m)
+        val guard = s"((vec_id % $m) = $k)"
+        def qeDuck(i: Int): String =
+          s"CAST(FLOOR(CAST(q.embedding[$i] AS DOUBLE) * 1000000.0 + 0.5) " +
+            "AS BIGINT)"
+        val i0 = 1 + r.nextInt(64)
+        val x0 = ("x0", s"element_at(vec_quantize6(embedding), $i0)",
+          qeDuck(i0))
+        val (x1, ctes, fromSql) = r.nextInt(3) match {
+          case 0 =>
+            val i1 = 1 + r.nextInt(64)
+            (("x1", s"element_at(vec_quantize6(embedding), $i1)", qeDuck(i1)),
+              "", "q")
+          case 1 => // exact squared norm on the micro-unit lattice
+            (("x1",
+              "vec_dotq(vec_quantize6(embedding), vec_quantize6(embedding))",
+              "sx.sxx"),
+              """d AS (SELECT vec_id, CAST(FLOOR(CAST(x AS DOUBLE)
+                |         * 1000000.0 + 0.5) AS BIGINT) AS xq
+                |      FROM (SELECT vec_id, unnest(embedding) AS x FROM q) u),
+                |sx AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS sxx
+                |       FROM d GROUP BY vec_id)""".stripMargin,
+              "q JOIN sx USING (vec_id)")
+          case _ => // one random lsh_buckets table
+            val t = 2 + r.nextInt(3); val p = 4 + r.nextInt(5)
+            val jt = 1 + r.nextInt(t)
+            (("x1", s"element_at(lsh_buckets(embedding, $t, $p), $jt)",
+              "b.bucket"),
+              s"""dd AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                 |             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                 |               * 1000000.0 + 0.5) AS BIGINT) AS xq
+                 |      FROM q),
+                 |proj AS (SELECT vec_id, j2,
+                 |                SUM(xq * (((${jt - 1} * $p + j2) * 2654435761
+                 |                  + dim * 2246822519) % 251 % 7 - 3)) AS s
+                 |         FROM dd, (SELECT unnest(range(0, $p)) AS j2) js
+                 |         GROUP BY vec_id, j2),
+                 |b AS (SELECT vec_id,
+                 |             CAST(SUM(CASE WHEN s > 0 THEN (1 << j2)
+                 |               ELSE 0 END) AS BIGINT) AS bucket
+                 |      FROM proj GROUP BY vec_id)""".stripMargin,
+              "q JOIN b USING (vec_id)")
+        }
+        val outs = Seq(x0, x1)
+        val ordSql = ("vec_id" +: outs.map(_._1))
+          .map(c => s"$c NULLS FIRST").mkString(", ")
+        val ctesSql = if (ctes.isEmpty) "" else s",\n$ctes"
+        val sql =
+          s"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+             |           WHERE $guard)$ctesSql
+             |SELECT vec_id, ${outs.map { case (n, _, d) =>
+               s"$d AS $n" }.mkString(", ")}
+             |FROM $fromSql
+             |ORDER BY $ordSql""".stripMargin
+        val build = (s: SparkSession, dir: String) =>
+          graft.queries.Tables.load(s, dir, "embeddings")
+            .filter(expr(guard))
+            .select(col("vec_id") +: outs.map { case (n, sp, _) =>
+              expr(sp).as(n) }: _*)
+            .orderBy(("vec_id" +: outs.map(_._1))
+              .map(c => col(c).asc_nulls_first): _*)
+        FuzzCase(f"fz_$seed%04d_kvec", seed, "kvec", build, sql)
+    }
+  }
+
   /** Generate the case for one seed — shape weights: scan 2, agg 3,
-    * join 3, window 2, union 1.
+    * join 3, window 2, union 1, kernel 3.
     */
   def gen(seed: Long): FuzzCase = {
     val r = new Random(seed * 0x9e3779b97f4a7c15L + GeneratorVersion)
-    r.nextInt(11) match {
+    r.nextInt(14) match {
       case 0 | 1 => shapeScan(r, seed)
       case 2 | 3 | 4 => shapeAgg(r, seed)
       case 5 | 6 | 7 => shapeJoin(r, seed)
       case 8 | 9 => shapeWindow(r, seed)
-      case _ => shapeUnion(r, seed)
+      case 10 => shapeUnion(r, seed)
+      case _ => shapeKernel(r, seed)
     }
   }
 

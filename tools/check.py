@@ -85,7 +85,10 @@ for name in names:
         if g.dtype.kind == 'f' or w.dtype.kind == 'f':
             eq = (pd.isna(g) & pd.isna(w)) | (g == w)
         else:
-            eq = pd.Series(g).astype(object).eq(pd.Series(w).astype(object)).values
+            # both-null == both-null here too (an all-NULL MAX(ts) column
+            # norm()s to NaN, and object-NaN != object-NaN under .eq)
+            eq = (pd.Series(g).isna().values & pd.Series(w).isna().values) | \
+                pd.Series(g).astype(object).eq(pd.Series(w).astype(object)).values
         if not eq.all():
             i = int(np.argmin(eq))
             bad = (c, i, g[i], w[i])
