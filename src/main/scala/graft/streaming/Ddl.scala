@@ -32,11 +32,30 @@ object Ddl {
     * given schema iff the directory holds no parquet footer yet. Safe to
     * call on every startup (the reference creates collections on every Run,
     * pkg/connector/connector.go:131-147).
+    *
+    * The empty footer is written DRIVER-SIDE (round-12 fixed-cost shave):
+    * a zero-row schema marker needs no Spark job — the schema converts
+    * with Spark's own parquet converter (so readers see exactly the types
+    * a Spark write would have produced) and a zero-row writer close emits
+    * the footer. Previously this cost two scheduled jobs per stream start.
     */
   def ensureTable(spark: SparkSession, path: String, schema: StructType): Unit =
     if (!tableExists(spark, path)) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .coalesce(1).write.mode("append").parquet(path)
+      val msgType = new org.apache.spark.sql.execution.datasources.parquet
+        .SparkToParquetSchemaConverter().convert(schema)
+      val hconf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      org.apache.parquet.hadoop.example.GroupWriteSupport
+        .setSchema(msgType, hconf)
+      val p = new Path(path,
+        s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+      org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(p, hconf))
+        .withConf(hconf)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+        .close()
     }
 }

@@ -63,7 +63,7 @@ object Observability {
     private[streaming] val started = new ConcurrentHashMap[Key, LongAdder]
     private[streaming] val succeeded = new ConcurrentHashMap[Key, LongAdder]
     private[streaming] val failed = new ConcurrentHashMap[Key, LongAdder]
-    private[streaming] val durations = new ConcurrentHashMap[Key, Histo]
+    private[graft] val durations = new ConcurrentHashMap[Key, Histo]
     private[streaming] val natsDurations = new ConcurrentHashMap[String, Histo]
 
     /** Time one storage command — the CommandStarted/Succeeded/Failed

@@ -128,8 +128,26 @@ object StreamingCdc {
     ledgerCache.computeIfAbsent(cfg.tokensDir, _ =>
       Observability.CommandMetrics.time(cfg.name, "tokens_read") {
         val s = ConcurrentHashMap.newKeySet[java.lang.Long]()
-        spark.read.parquet(cfg.tokensDir).select("batch_id")
-          .collect().foreach(r => s.add(r.getLong(0)))
+        // Footer fast path (round-12 fixed-cost shave): the parquet
+        // footers carry row counts, so an EMPTY ledger — every fresh
+        // start — is decided driver-side from two file opens instead of
+        // a Spark collect job. A non-empty ledger (restart path) still
+        // reads through Spark: it is rare per process lifetime and the
+        // table is capped-small.
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val dir = new org.apache.hadoop.fs.Path(cfg.tokensDir)
+        val fs = dir.getFileSystem(hconf)
+        val parts = fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+        val totalRows = parts.iterator.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, hconf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+        if (totalRows > 0)
+          spark.read.parquet(cfg.tokensDir).select("batch_id")
+            .collect().foreach(r => s.add(r.getLong(0)))
         s
       })
 
@@ -144,16 +162,17 @@ object StreamingCdc {
     // C2/C3 replay: skip batches whose token commit already landed.
     if (committedBatches(spark, cfg).contains(batchId)) return
 
-    // Two actions follow (invalidate probe, then the observed publish
-    // append), each re-executing the source scan. That is CHEAPER than
-    // persist(): caching materializes every row into block storage to
-    // save one columnar re-scan, a ~15% throughput tax measured at the
-    // bench SF — and the probe's pushed-down operationType filter makes
-    // its scan return ~0 rows. Re-execution is deterministic under the
-    // change-stream contract (input files are append-only with
-    // monotonically increasing tokens, so the [start,end] token range
-    // pins the same rows on both passes). Cost: numInputRows in the
-    // progress report counts the batch twice — cosmetic.
+    // ONE action publishes the batch (round-12 fixed-cost shave; the
+    // separate invalidate-probe job is gone): the F2 cut rides the same
+    // job as a broadcast 1-row subtree whose invalidate-equality filter
+    // pushes into its own source scan (~0 rows in steady state), and the
+    // driver learns "saw invalidate" from an Observation on that subtree.
+    // The two subtree scans stay deterministic under the change-stream
+    // contract (append-only input, the [start,end] token range pins the
+    // same rows on both passes). persist() would still be a net loss —
+    // caching materializes every row into block storage to save a
+    // columnar re-scan of ~0 rows (~15% throughput tax measured at the
+    // bench SF).
     processUncachedBatch(cfg, batch, batchId)
   }
 
@@ -161,13 +180,13 @@ object StreamingCdc {
       cfg: StreamConfig, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import Observability.CommandMetrics
-    // first action on the batch — the source-scan "command"; the
-    // operationType equality predicate pushes into the DSv2 scan
-    val sawInvalidate = CommandMetrics.time(cfg.name, "scan") {
-      CdcPipeline.containsInvalidate(batch)
-    }
-    val truncated =
-      if (sawInvalidate) CdcPipeline.truncateAtInvalidate(batch) else batch
+    // F2 — invalidate cut, observed (no separate action): `cut_seen` is
+    // non-null iff the batch contains an invalidate.
+    val obsInv = new org.apache.spark.sql.Observation(
+      s"graft-inv-${cfg.name}-$batchId")
+    val cut = CdcPipeline.invalidateCut(batch)
+      .observe(obsInv, max(col("cut")).as("cut_seen"))
+    val truncated = CdcPipeline.truncateWithCut(batch, cut)
     // D2 — pre/post images disabled ⇒ the source never delivers pre-images.
     val effective =
       if (cfg.preAndPostImages) truncated
@@ -213,21 +232,64 @@ object StreamingCdc {
 
     faultpoint(cfg.name, batchId)
 
-    // K2 — token commit point, from the same observed pass.
+    // K2 — token commit point, from the same observed pass. The commit
+    // marker is ONE row, so it is written driver-side with the parquet
+    // writer directly (round-12 fixed-cost shave: a Spark job per trigger
+    // just to serialize one row was ~0.1 s of scheduler overhead at the
+    // bench SF). Same commit discipline: the file lands AFTER the publish
+    // append, under a unique part- name, fsync'd before rename-free close
+    // — a crash before close leaves no part- file, i.e. an uncommitted
+    // batch, exactly the at-least-once window the replay tests pin.
     val nPublished = stats("n_published").asInstanceOf[Long]
-    val committed = spark.createDataFrame(
-      java.util.List.of[org.apache.spark.sql.Row](
-        org.apache.spark.sql.Row(batchId,
-          stats("max_msg_id").asInstanceOf[String], nPublished)),
-      tokenSchema)
     CommandMetrics.time(cfg.name, "tokens_append") {
-      committed.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
+      writeTokenRow(spark, cfg.tokensDir, batchId,
+        stats("max_msg_id").asInstanceOf[String], nPublished)
     }
     committedBatches(spark, cfg).add(batchId)
     if (cfg.tokensCapped) trimTokens(spark, cfg)
     publishedTotal.merge(cfg.name, nPublished, (a, b) => a + b) // K4 counter
 
-    if (sawInvalidate) invalidated.put(cfg.name, true) // F2: stop requested
+    // F2: stop requested — learned from the cut-subtree observation of
+    // the SAME job that published (no separate probe action).
+    val sawInvalidate = obsInv.get("cut_seen") != null
+    if (sawInvalidate) invalidated.put(cfg.name, true)
+  }
+
+  /** Driver-side single-row token write via parquet-hadoop's example
+    * writer: physical schema (required int64 batch_id, optional binary
+    * value (STRING), required int64 n_published) matches [[tokenSchema]],
+    * so Spark reads these files interchangeably with the Spark-written
+    * ones (ensureTable's empty seed file, trimTokens' compaction output).
+    */
+  private[graft] def writeTokenRow(spark: SparkSession, tokensDir: String,
+      batchId: Long, value: String, nPublished: Long): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{MessageTypeParser}
+    val schema = MessageTypeParser.parseMessageType(
+      """message token {
+        |  required int64 batch_id;
+        |  optional binary value (UTF8);
+        |  required int64 n_published;
+        |}""".stripMargin)
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    GroupWriteSupport.setSchema(schema, hconf)
+    val path = new org.apache.hadoop.fs.Path(tokensDir,
+      s"part-$batchId-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val w = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, hconf))
+      .withConf(hconf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new SimpleGroup(schema)
+      g.add("batch_id", batchId)
+      if (value != null) g.add("value", value)
+      g.add("n_published", nPublished)
+      w.write(g)
+    } finally w.close()
   }
 
   /** D1 capped-collection analog: keep only the newest tokensMaxRows rows.
@@ -295,7 +357,7 @@ object StreamingCdc {
     * pkg/connector/connector.go:128-174).
     */
   def runAll(spark: SparkSession, cfgs: Seq[StreamConfig],
-      availableNow: Boolean = false, pollMs: Long = 200L): Unit = {
+      availableNow: Boolean = false, pollMs: Long = 25L): Unit = {
     val queries = cfgs.map(c => c.name -> start(spark, c, availableNow)).toMap
     try {
       while (queries.values.exists(_.isActive)) {

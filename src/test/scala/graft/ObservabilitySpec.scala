@@ -44,8 +44,11 @@ class ObservabilitySpec extends SparkSuite {
         """mongodb_commands_started_total{database="obs1",command="messages_append"}"""))
       assert(text.contains(
         """mongodb_commands_succeeded_total{database="obs1",command="tokens_append"}"""))
+      // (the separate invalidate-probe "scan" command was folded into the
+      // publish job in round 12 — the command set is now messages_append /
+      // tokens_append / tokens_read; families unchanged)
       assert(text.contains(
-        """mongodb_command_duration_seconds_bucket{database="obs1",command="scan",le="+Inf"}"""))
+        """mongodb_command_duration_seconds_bucket{database="obs1",command="messages_append",le="+Inf"}"""))
       assert(text.contains(
         """mongodb_command_duration_seconds_count{database="obs1",command="tokens_read"}"""))
       // per-subject publish-duration histogram (prometheus.go:112-119)
