@@ -61,15 +61,25 @@ final class ChangeStreamTable(path: String) extends Table with SupportsRead {
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChangeStreamScanBuilder(path,
-      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+      // `ops` option: comma-separated operationType allow-list evaluated
+      // in the reader. Spark's optimizer does NOT run filter pushdown on
+      // STREAMING DSv2 scans (the plan shows `pushedOps=*` with a
+      // Spark-side Filter above the MicroBatchScan even when the filter
+      // is in the stream DAG — pinned by ChangeStreamSourceSpec), so the
+      // F1 op set rides in as a source option on the streaming path; on
+      // the batch path pushFilters() intersects it further.
+      Option(options.get("ops"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 }
 
 final class ChangeStreamScanBuilder(path: String,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    initialOps: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
-  private var opFilter: Option[Set[String]] = None
+  private var opFilter: Option[Set[String]] = initialOps
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Model.changeEventSchema
 
@@ -91,7 +101,7 @@ final class ChangeStreamScanBuilder(path: String,
       case _ => false
     }
     pushed = accepted
-    opFilter = accepted.foldLeft(Option.empty[Set[String]]) {
+    opFilter = accepted.foldLeft(initialOps) {
       case (acc, In(_, vs)) =>
         val s = vs.map(String.valueOf).toSet
         Some(acc.fold(s)(_.intersect(s)))

@@ -332,10 +332,16 @@ object StreamingCdc {
     // Re-seed the ledger cache from disk at (re)start: another process may
     // have committed since, and tests recreate dirs at the same path.
     ledgerCache.remove(cfg.tokensDir)
-    val src =
+    val src0 =
       if (cfg.sourceFormat == "changestream") {
         val r = spark.readStream
           .format(classOf[graft.sources.ChangeStreamSource].getName)
+          // F1 in the READER on the streaming path: Spark never runs
+          // filter pushdown on streaming DSv2 scans, so the op set rides
+          // in as a source option (see ChangeStreamSource) — the reader
+          // skips non-publishable rows before materializing them.
+          .option("ops",
+            (Model.PublishableOps :+ Model.InvalidateOp).mkString(","))
         cfg.maxRowsPerTrigger.foreach(n =>
           r.option("maxRowsPerTrigger", n.toString))
         r.load(cfg.inputDir)
@@ -344,6 +350,15 @@ object StreamingCdc {
           .schema(Model.changeEventSchema)
           .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
           .parquet(cfg.inputDir)
+    // F1 at the SOURCE on the streaming path too (round 12): DSv2
+    // pushdown engages at STREAM planning, not per foreachBatch batch —
+    // without a filter in the streaming DAG the reader materializes
+    // every op kind each trigger and filterPublishable re-drops them
+    // spark-side per batch. Publishable ∪ invalidate is exactly the set
+    // processBatch consumes (F2 needs the invalidate rows for the cut;
+    // drop/rename were always skipped downstream).
+    val src = src0.filter(col("operationType")
+      .isin((Model.PublishableOps :+ Model.InvalidateOp): _*))
     val w = src.writeStream
       .queryName(cfg.name)
       .option("checkpointLocation", cfg.checkpointDir)

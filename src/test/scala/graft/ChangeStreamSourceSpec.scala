@@ -204,6 +204,43 @@ class ChangeStreamSourceSpec extends SparkSuite {
       (1 to 8).map(i => f"$i%06d"))
   }
 
+  test("STREAMING path F1 pushdown: the publishable∪invalidate filter " +
+      "StreamingCdc puts in the stream DAG reaches the source scan") {
+    // Pins the round-12 fixed-cost finding: DSv2 pushdown engages at
+    // STREAM planning, not per foreachBatch batch — a filterless stream
+    // DAG makes the reader materialize every op kind each trigger.
+    // NOTE the foreachBatch DataFrame wraps the micro-batch output as an
+    // ExistingRDD — per-batch actions cannot re-plan the source, which is
+    // WHY the filter must live in the stream DAG. The scan with its
+    // pushed op set is visible only in the streaming query's own plan.
+    val root = Files.createTempDirectory("css").toString
+    write(s"$root/in", Seq(ev(1, "insert"), ev(2, "drop"), ev(3, "update")))
+    val ops = graft.model.Model.PublishableOps :+ graft.model.Model.InvalidateOp
+    @volatile var got: Set[String] = Set.empty
+    val q = spark.readStream.format(fmt)
+      .option("ops", ops.mkString(","))
+      .load(s"$root/in")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got = b.select("operationType").as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSet
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the reader itself dropped the drop event (no Spark-side filter
+      // exists in this DAG at all)
+      assert(got == Set("insert", "update"), got)
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      val planStr = buf.toString
+      assert(planStr.contains("pushedOps="), planStr)
+      assert(!planStr.contains("pushedOps=*"), planStr)
+      assert(planStr.contains("invalidate"), planStr)
+    } finally q.stop()
+  }
+
   test("end-to-end through StreamingCdc with sourceFormat=changestream") {
     val root = Files.createTempDirectory("css").toString
     val c = graft.streaming.StreamingCdc.StreamConfig(
