@@ -156,6 +156,54 @@ object MultimodalQueries {
         .select(col("media_a"), col("media_b"), col("shared_frames"),
           col("n_a"), col("n_b"))
         .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Perceptual near-dup for the AUDIO kind (round 12 — completes the
+    // modality symmetry: image=dHash, video=frame-signature containment,
+    // audio=this). A Haitsma-Kalker-style binary fingerprint (Haitsma &
+    // Kalker, "A Highly Robust Audio Fingerprint System", ISMIR 2002 —
+    // public algorithm): the track is cut into overlapping "spectral
+    // frames" (stub decode: frame b = a 4-token window of the payload at
+    // stride 2, its energy the 16-bit md5 bucket of the window — a real
+    // deployment swaps ONLY the energy function for a filterbank), and
+    // bit b encodes the SIGN OF THE TEMPORAL ENERGY DERIVATIVE
+    // energy(b) < energy(b+1) — the paper's difference coding, the same
+    // robustness idea as dHash but along time instead of space: a
+    // localized edit touches ≤2 windows ⇒ ≤4 bits; an end-trim leaves
+    // every earlier window bit-identical; unrelated tracks sit near 32
+    // (fixture-pinned in MultimodalSpec). Entirely row-local until the
+    // one keyed exchange on the compact 4×16-bit (band, bkey); bucket
+    // cap as everywhere — never all-pairs.
+    "mm_audio_near_pairs" -> ((s, dir) => {
+      def energy(start: String): String =
+        s"cast(conv(substring(md5(concat_ws(' ', slice(ts, $start, 4))), " +
+          "1, 4), 16, 10) as int)"
+      val au = Multimodal.fromDocuments(load(s, dir, "documents"))
+        .filter(col("kind") === "audio")
+        .select(col("media_id"),
+          split(col("content").cast("string"), " ").as("ts"))
+        .select(col("media_id"),
+          expr(
+            s"""aggregate(sequence(0, 63), cast(0 as bigint),
+                 (acc, b) -> acc + if(
+                   ${energy("b * 2 + 1")} < ${energy("b * 2 + 3")},
+                   shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""")
+            .as("fp"))
+      au.select(col("media_id"), col("fp"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> shiftrightunsigned(fp, b * 16) & 65535)"))
+            .as(Seq("band", "bkey")))
+        .groupBy(col("band"), col("bkey"))
+        .agg(expr("sort_array(collect_list(struct(media_id, fp)))").as("ds"))
+        .filter(size(col("ds")).between(2, BandCap))
+        .select(explode(expr("struct_pairs(ds)")).as("p"))
+        .select(col("p.a.media_id").as("media_a"),
+          col("p.b.media_id").as("media_b"),
+          expr("cast(bit_count(p.a.fp ^ p.b.fp) as bigint)").as("hamming"))
+        .groupBy(col("media_a"), col("media_b"))
+        .agg(min(col("hamming")).as("hamming"))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .orderBy(col("media_a"), col("media_b"))
     })
   )
 
@@ -309,6 +357,46 @@ object MultimodalQueries {
           SELECT media_a, media_b, shared_frames,
                  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
           FROM agg WHERE shared_frames * 2 >= least(n_a, n_b)
+          ORDER BY media_a, media_b""",
+
+    // Full fingerprint replay: per-bit window-energy comparison in
+    // HUGEINT, then the identical 4×16 banding / bucket cap / Hamming
+    // chain as mm_phash_pairs. signedSql converts the unsigned residue
+    // to the engine's BIGINT for bit_count(xor()).
+    "mm_audio_near_pairs" ->
+      s"""WITH au AS (SELECT doc_id AS media_id, string_split(text, ' ') AS ts
+                      FROM documents WHERE doc_id % 3 = 1),
+          fp AS (SELECT media_id,
+                        -- COALESCE inside md5: DuckDB's array_to_string of
+                        -- an EMPTY list is NULL where Spark's concat_ws is
+                        -- '' — past-the-end windows must hash like ''
+                        COALESCE(SUM(CASE WHEN
+                            CAST(('0x' || substr(md5(COALESCE(array_to_string(
+                              ts[(b*2+1):(b*2+4)], ' '), '')), 1, 4)) AS INT)
+                          < CAST(('0x' || substr(md5(COALESCE(array_to_string(
+                              ts[(b*2+3):(b*2+6)], ' '), '')), 1, 4)) AS INT)
+                          THEN CAST(2**b AS HUGEINT)
+                          ELSE 0::HUGEINT END), 0::HUGEINT) AS fp_u
+                 FROM au, (SELECT unnest(generate_series(0, 63)) AS b) bs
+                 GROUP BY media_id),
+          bands AS (SELECT media_id, fp_u, band,
+                           (fp_u // CAST(2**(band*16) AS HUGEINT)) % 65536
+                             AS bkey
+                    FROM fp, (SELECT unnest(range(0, 4)) AS band) bb),
+          grp AS (SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+          cand AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                          a.fp_u AS ua, b.fp_u AS ub
+                   FROM bands a
+                   JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                               AND a.media_id < b.media_id
+                   JOIN grp g ON g.band = a.band AND g.bkey = a.bkey
+                   WHERE g.n BETWEEN 2 AND $BandCap),
+          ham AS (SELECT media_a, media_b,
+                         MIN(bit_count(xor(${OracleSql.signedSql("ua")},
+                                           ${OracleSql.signedSql("ub")}))) AS hamming
+                  FROM cand GROUP BY 1, 2)
+          SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
+          FROM ham WHERE hamming <= $PhashMaxHamming
           ORDER BY media_a, media_b"""
   )
 }

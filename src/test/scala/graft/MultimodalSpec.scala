@@ -118,6 +118,46 @@ class MultimodalSpec extends SparkSuite {
       s"non-video media must not enter the video near-dup pass: $got")
   }
 
+  test("mm_audio_near_pairs: planted exact dup, end-trim and local edit " +
+      "pair with the original; unrelated and non-audio payloads don't") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anear").toString
+    // 140 tokens — enough for all 65 fingerprint windows (stride 2, w 4)
+    val full = (0 until 140).map(i => s"s${i * 19 % 211}_a").toVector
+    val trimmed = full.dropRight(20)            // end trim: late bits only
+    val edited = full.updated(30, "CLICK")      // local artifact: ≤4 bits
+    val other = (0 until 140).map(i => s"z${i * 23 % 199}_b").toVector
+    val docs = Seq(
+      (1L, full.mkString(" ")),     // audio (doc_id % 3 == 1): original
+      (4L, full.mkString(" ")),     // audio: exact duplicate → hamming 0
+      (7L, trimmed.mkString(" ")),  // audio: end trim
+      (10L, edited.mkString(" ")),  // audio: one-token local edit
+      (13L, other.mkString(" ")),   // audio: unrelated
+      (2L, full.mkString(" ")))     // identical payload but video kind
+    docs.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+
+    val got = graft.queries.MultimodalQueries
+      .queries("mm_audio_near_pairs")(spark, tmp)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("hamming")).toMap
+
+    assert(got((1L, 4L)) == 0L, s"exact dup must be hamming 0: $got")
+    // a trim at the END leaves every earlier window — and its sign-of-
+    // derivative bit — identical; only windows crossing the cut move
+    assert(got.contains((1L, 7L)) && got((1L, 7L)) <= 10L,
+      s"end-trim must land under the threshold: $got")
+    // a one-token edit touches ≤2 windows ⇒ ≤4 fingerprint bits
+    assert(got.contains((1L, 10L)) && got((1L, 10L)) <= 4L,
+      s"local edit must flip at most 4 bits: $got")
+    assert(!got.keys.exists(p => p._1 == 13L || p._2 == 13L),
+      s"unrelated audio must not pair: $got")
+    assert(!got.keys.exists(p => p._1 == 2L || p._2 == 2L),
+      s"non-audio media must not enter the audio near-dup pass: $got")
+  }
+
   test("frame sampling explodes one video into N frames by duration") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
     val perMedia = frames.groupBy("media_id").count()
