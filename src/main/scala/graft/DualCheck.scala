@@ -181,14 +181,22 @@ object DualCheck {
     }
     // Round-12 twins (DualCheckTwins): the three remaining restricted-only
     // replay oracles. `which` accepts each name, or "all" for everything.
-    if (which == "clusters" || which == "all")
-      allMatch &&= check("sim_graph_clusters", sfDir,
+    // Each check is forced into a val BEFORE folding into allMatch:
+    // `allMatch &&= check(...)` desugars to `allMatch = allMatch &&
+    // check(...)`, which short-circuits — one failure would silently
+    // skip (and un-report) every later check (ADVICE r12).
+    if (which == "clusters" || which == "all") {
+      val ok = check("sim_graph_clusters", sfDir,
         SimilarityQueries.queries("sim_graph_clusters")(spark, sfDir),
         DualCheckTwins.graphClustersLabelProp(spark, sfDir))
-    if (which == "incr" || which == "all")
-      allMatch &&= check("dedup_incremental_pairs", sfDir,
+      allMatch = allMatch && ok
+    }
+    if (which == "incr" || which == "all") {
+      val ok = check("dedup_incremental_pairs", sfDir,
         DedupQueries.queries("dedup_incremental_pairs")(spark, sfDir),
         DualCheckTwins.incrementalPairsBatch(spark, sfDir))
+      allMatch = allMatch && ok
+    }
     if (which == "kmeans" || which == "all") {
       // centroid-level equality first — the strongest statement (bit-equal
       // models imply equal downstream queries; checked anyway)
@@ -201,16 +209,19 @@ object DualCheck {
         .sameElements(twinModel.map { case (c, v, s2) => (c, v.toList, s2) })
       println(s"""{"check":"kmeans_centroids_k8","sf":"$sfDir",""" +
         s""""match":$centEq,"cells":${primModel.length}}""")
-      allMatch &&= centEq
-      allMatch &&= check("sim_kmeans_cells", sfDir,
+      allMatch = allMatch && centEq
+      // vals first (not &&=): a centroid mismatch must still run and
+      // report the three end-to-end checks below (ADVICE r12).
+      val cellsOk = check("sim_kmeans_cells", sfDir,
         SimilarityQueries.queries("sim_kmeans_cells")(spark, sfDir),
         DualCheckTwins.kmeansCellsTwin(spark, sfDir))
-      allMatch &&= check("sim_knn_ivf_trained", sfDir,
+      val ivfOk = check("sim_knn_ivf_trained", sfDir,
         SimilarityQueries.queries("sim_knn_ivf_trained")(spark, sfDir),
         DualCheckTwins.ivfTrainedTwin(spark, sfDir))
-      allMatch &&= check("sim_pq_codes", sfDir,
+      val pqOk = check("sim_pq_codes", sfDir,
         SimilarityQueries.queries("sim_pq_codes")(spark, sfDir),
         DualCheckTwins.pqCodesTwin(spark, sfDir))
+      allMatch = allMatch && cellsOk && ivfOk && pqOk
     }
     spark.stop()
     if (!allMatch) sys.exit(2)

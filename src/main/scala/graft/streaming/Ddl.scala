@@ -47,15 +47,24 @@ object Ddl {
         spark.sparkContext.hadoopConfiguration)
       org.apache.parquet.hadoop.example.GroupWriteSupport
         .setSchema(msgType, hconf)
-      val p = new Path(path,
-        s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+      // Two-phase like StreamingCdc.writeTokenRow (ADVICE r12): build()
+      // opens the destination, so a crash between build() and close()
+      // must not leave a truncated part- file readers would choke on.
+      // Write under a dot-temp (.inprogress also keeps it out of
+      // tableExists' *.parquet probe) and rename after close().
+      val name = s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet"
+      val p = new Path(path, name)
+      val tmp = new Path(path, s".$name.inprogress")
+      val fs = tmp.getFileSystem(hconf)
       org.apache.parquet.hadoop.example.ExampleParquetWriter
         .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-          .fromPath(p, hconf))
+          .fromPath(tmp, hconf))
         .withConf(hconf)
         .withCompressionCodec(
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
         .build()
         .close()
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"ensureTable rename failed: $tmp -> $p")
     }
 }

@@ -237,9 +237,14 @@ object StreamingCdc {
     // writer directly (round-12 fixed-cost shave: a Spark job per trigger
     // just to serialize one row was ~0.1 s of scheduler overhead at the
     // bench SF). Same commit discipline: the file lands AFTER the publish
-    // append, under a unique part- name, fsync'd before rename-free close
-    // — a crash before close leaves no part- file, i.e. an uncommitted
-    // batch, exactly the at-least-once window the replay tests pin.
+    // append, written under a dot-prefixed temp name and RENAMED into its
+    // part- name only after close() (ADVICE r12: the writer opens the
+    // destination at build(), so a rename-free write could crash into a
+    // truncated, footer-less part- file that poisons every later read).
+    // A crash before the rename leaves only a dot-file — ignored by
+    // Spark's listing and by the part- filters of the ledger and trim —
+    // i.e. an uncommitted batch, exactly the at-least-once window the
+    // replay tests pin.
     val nPublished = stats("n_published").asInstanceOf[Long]
     CommandMetrics.time(cfg.name, "tokens_append") {
       writeTokenRow(spark, cfg.tokensDir, batchId,
@@ -250,8 +255,26 @@ object StreamingCdc {
     publishedTotal.merge(cfg.name, nPublished, (a, b) => a + b) // K4 counter
 
     // F2: stop requested — learned from the cut-subtree observation of
-    // the SAME job that published (no separate probe action).
-    val sawInvalidate = obsInv.get("cut_seen") != null
+    // the SAME job that published (no separate probe action). The wait is
+    // BOUNDED (ADVICE r12): the metric rides a subtree under a broadcast
+    // exchange, and if a future Spark version / plan change stops
+    // delivering observed metrics from there, an unbounded get() would
+    // hang every micro-batch. Await the observation's own completion
+    // future with a deadline; on timeout fall back to the explicit
+    // one-action probe (the pre-r12 path) so the batch completes with
+    // correct F2 semantics and the degradation is visible in the log
+    // rather than a silent hang.
+    val sawInvalidate =
+      (try Some(scala.concurrent.Await.result(
+        obsInv.future, scala.concurrent.duration.Duration(30, "s")))
+      catch { case _: java.util.concurrent.TimeoutException => None }) match {
+        case Some(r) => r.getAs[Any]("cut_seen") != null
+        case None =>
+          Console.err.println(s"[graft] WARN ${cfg.name} batch $batchId: " +
+            "invalidate observation unresolved after 30s; falling back to " +
+            "explicit probe")
+          CdcPipeline.containsInvalidate(batch)
+      }
     if (sawInvalidate) invalidated.put(cfg.name, true)
   }
 
@@ -275,10 +298,17 @@ object StreamingCdc {
     val hconf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     GroupWriteSupport.setSchema(schema, hconf)
-    val path = new org.apache.hadoop.fs.Path(tokensDir,
-      s"part-$batchId-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val name = s"part-$batchId-${java.util.UUID.randomUUID()}.snappy.parquet"
+    val path = new org.apache.hadoop.fs.Path(tokensDir, name)
+    // Two-phase commit (ADVICE r12): build() opens the DESTINATION file,
+    // so write under a dot-temp (invisible to readers: Spark skips
+    // dot-files; committedBatches/trimTokens filter on the part- prefix;
+    // the .inprogress suffix keeps it out of tableExists' *.parquet probe)
+    // and rename after close() — rename is atomic on a posix fs.
+    val tmp = new org.apache.hadoop.fs.Path(tokensDir, s".$name.inprogress")
+    val fs = tmp.getFileSystem(hconf)
     val w = ExampleParquetWriter.builder(
-        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, hconf))
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, hconf))
       .withConf(hconf)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
@@ -290,6 +320,8 @@ object StreamingCdc {
       g.add("n_published", nPublished)
       w.write(g)
     } finally w.close()
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"token commit rename failed: $tmp -> $path")
   }
 
   /** D1 capped-collection analog: keep only the newest tokensMaxRows rows.

@@ -348,6 +348,29 @@ class StreamingCdcSpec extends SparkSuite {
     assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000060"))
   }
 
+  test("K2 crash-safety: a truncated in-progress token temp file (crash " +
+      "between build() and rename) is invisible to latestToken, the " +
+      "ledger seed, and trim — the stream recovers without cleanup") {
+    val root = tmp()
+    val c = cfg("s-crashfile", root).copy(tokensCapped = true, tokensMaxRows = 2)
+    // two committed tokens via the real writer (temp+rename path)
+    StreamingCdc.writeTokenRow(spark, c.tokensDir, 0L, "000010", 10L)
+    StreamingCdc.writeTokenRow(spark, c.tokensDir, 1L, "000020", 10L)
+    // simulate a crash mid-write: a dot-prefixed, FOOTER-LESS temp file
+    // (the writer opens the temp at build(); a kill before close leaves
+    // exactly this). It must not poison any reader.
+    val junk = new java.io.File(
+      c.tokensDir, ".part-99-deadbeef.snappy.parquet.inprogress")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](0x50, 0x41, 0x52))
+    assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000020"))
+    // ledger seed (footer fast path) skips the dot-file too
+    StreamingCdc.writeTokenRow(spark, c.tokensDir, 2L, "000030", 10L)
+    StreamingCdc.trimTokens(spark, c)
+    assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000030"))
+    assert(spark.read.parquet(c.tokensDir).count() <= 2)
+    assert(junk.exists(), "trim must not touch non-part- files")
+  }
+
   test("streaming state view (mapGroupsWithState): converges to the batch " +
       "view, state is exactly-once under at-least-once re-publish, and " +
       "per-collection keys never merge (update_test.go:52-56 live)") {
