@@ -1,0 +1,244 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{ChangeEvent, ChangeEventId, Ns}
+import graft.operators.CdcPipeline
+import graft.streaming.StreamingCdc
+import graft.streaming.StreamingCdc.StreamConfig
+
+/** Randomized differential gate for the STREAMING path (round-13 VERDICT
+  * #6): the batch fuzzer (graft.Fuzz) probes plans DuckDB can replay; the
+  * streaming runtime's state machine — micro-batch admission, the per-batch
+  * invalidate cut, the publish/commit ordering, replay-after-kill, capped
+  * token retention — is pinned only by fixed scenarios. This main generates
+  * seeded RANDOM change streams (random op mixes, invalidate placement,
+  * file/batch shapes, kill points, capped/uncapped tokens, pre/post-image
+  * toggles) and asserts per seed that the streamed outcome equals the BATCH
+  * replay of the same envelope input — the same streamed==batch discipline
+  * STREAMING_r12's fixed twins use, across a seed space instead of five
+  * hand-picked cases. (The reference's analog: the fault-injection harness
+  * probing what fixed acceptance cases don't enumerate,
+  * /root/reference/test/harness/harness.go:274-294.)
+  *
+  * Checks per scenario:
+  *  1. set equality — dedupByMsgId(streamed) == toMessages(truncateAt
+  *     Invalidate(input)) on (subject, msgId, data), both directions;
+  *  2. at-least-once — raw streamed count >= expected (duplicates only
+  *     from replayed batches, and only when a kill actually fired);
+  *  3. order — consecutive committed batches' [min,max] msgId ranges are
+  *     strictly increasing (token-ordered admission survives restarts);
+  *  4. token — for UNCAPPED tokens with a nonempty expected set, the max
+  *     committed non-null token value equals the max expected msgId
+  *     (capped runs may legitimately trim the carrying row when trailing
+  *     batches publish nothing, so the check is scoped like D1's).
+  *
+  * Usage: `sbt "runMain graft.StreamFuzz <outJson> [n] [seed0]"`.
+  * Exits 2 on any failed scenario.
+  */
+object StreamFuzz {
+
+  final val GeneratorVersion = 1
+
+  private val Ops = Seq(
+    // weighted op pool: publishable ops dominate, skip-ops and the odd
+    // unknown op keep the F1 filter honest
+    Seq.fill(30)("insert"), Seq.fill(18)("update"), Seq.fill(10)("replace"),
+    Seq.fill(10)("delete"), Seq.fill(3)("drop"), Seq.fill(3)("rename"),
+    Seq.fill(2)("dropDatabase")).flatten
+
+  private case class Scenario(
+      seed: Long,
+      nEvents: Int,
+      invPos: Option[Int],
+      nFiles: Int,
+      maxFiles: Int,
+      maxRows: Option[Long],
+      capped: Boolean,
+      maxTokRows: Int,
+      prePost: Boolean,
+      killBatch: Option[Long])
+
+  private def genScenario(seed: Long): Scenario = {
+    val r = new Random(seed * 0x9e3779b97f4a7c15L + GeneratorVersion)
+    val nEvents = 200 + r.nextInt(1301)
+    val invPos =
+      if (r.nextInt(3) == 0) Some(1 + r.nextInt(nEvents)) else None
+    Scenario(
+      seed = seed,
+      nEvents = nEvents,
+      invPos = invPos,
+      nFiles = 2 + r.nextInt(9),
+      maxFiles = 1 + r.nextInt(4),
+      maxRows = if (r.nextBoolean()) Some(50L + r.nextInt(400)) else None,
+      capped = r.nextBoolean(),
+      maxTokRows = 2 + r.nextInt(8),
+      prePost = r.nextBoolean(),
+      killBatch = if (r.nextBoolean()) Some(r.nextInt(4).toLong) else None)
+  }
+
+  /** Deterministic envelope row for token position i (1-based). */
+  private def event(sc: Scenario, r: Random, i: Int): ChangeEvent = {
+    val op =
+      if (sc.invPos.contains(i)) "invalidate" else Ops(r.nextInt(Ops.size))
+    // fixed epoch base (2024-01-01T00:00:00Z) + i seconds — reproducible
+    val ts = new java.sql.Timestamp(1704067200000L + i * 1000L)
+    ChangeEvent(
+      ChangeEventId(f"$i%012d"), op, Some(ts), Some(ts),
+      Some(Ns("db", "c")),
+      Some(s"""{"_id":$i}"""),
+      if (op == "delete" || op == "invalidate") None
+      else Some(s"""{"_id":$i,"v":${r.nextInt(1000)}}"""),
+      if (op == "update" && r.nextBoolean())
+        Some(s"""{"_id":$i,"v":${r.nextInt(1000)}}""")
+      else None,
+      if (op == "update") Some(s"""{"updatedFields":{"v":$i}}""") else None)
+  }
+
+  /** The batch replay the stream must converge to: truncate at the first
+    * invalidate, the D2 pre-image mask, then the same toMessages plan the
+    * runtime publishes through.
+    */
+  private def expectedMessages(spark: SparkSession, cfg: StreamConfig,
+      input: DataFrame): DataFrame = {
+    val truncated = CdcPipeline.truncateAtInvalidate(input)
+    val effective =
+      if (cfg.preAndPostImages) truncated
+      else truncated.withColumn("fullDocumentBeforeChange",
+        lit(null).cast("string"))
+    CdcPipeline.toMessages(spark, cfg.resolvedStreamName)(effective).toDF()
+  }
+
+  private def runScenario(spark: SparkSession, root: String,
+      sc: Scenario): (Boolean, String) = {
+    import spark.implicits._
+    val r = new Random(sc.seed * 0x9e3779b97f4a7c15L - GeneratorVersion)
+    val dir = s"$root/fz${sc.seed}"
+    val cfg = StreamConfig(s"fz${sc.seed}", s"$dir/in", s"$dir/messages",
+      s"$dir/tokens", s"$dir/ckpt",
+      tokensCapped = sc.capped, tokensMaxRows = sc.maxTokRows,
+      maxFilesPerTrigger = sc.maxFiles, preAndPostImages = sc.prePost,
+      sourceFormat = "changestream", maxRowsPerTrigger = sc.maxRows)
+
+    val events = (1 to sc.nEvents).map(i => event(sc, r, i))
+    events.toDF()
+      .repartitionByRange(sc.nFiles, col("_id").getField("_data"))
+      .write.mode("overwrite").parquet(cfg.inputDir)
+
+    // Optional one-shot kill in the publish→commit gap at a random batch,
+    // then restart until the stream drains (<=4 attempts; the kill trips
+    // once, so 2 suffice unless the batch never exists).
+    val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var killFired = false
+    StreamingCdc.faultpoint = (name, batchId) =>
+      if (name == cfg.name && sc.killBatch.contains(batchId) &&
+          tripped.compareAndSet(false, true))
+        throw new java.io.IOException(s"streamfuzz: injected kill @$batchId")
+    try {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 4) {
+        attempts += 1
+        try {
+          StreamingCdc.runAll(spark, Seq(cfg), availableNow = true)
+          done = true
+        } catch {
+          case e: Throwable if e.toString.contains("streamfuzz") ||
+              Option(e.getCause).exists(_.toString.contains("streamfuzz")) ||
+              tripped.get() =>
+            killFired = true
+        }
+      }
+      if (!done) return (false, "\"err\":\"stream never drained\"")
+    } finally StreamingCdc.faultpoint = (_, _) => ()
+
+    val raw = spark.read.parquet(cfg.messagesDir)
+    val rawN = raw.count()
+    val streamed = CdcPipeline.dedupByMsgId(raw.drop("batch_id"))
+    val expected = expectedMessages(spark, cfg,
+      spark.read.parquet(cfg.inputDir))
+    val expN = expected.count()
+
+    val extra = streamed.exceptAll(expected).count()
+    val missing = expected.exceptAll(streamed).count()
+    val setOk = extra == 0 && missing == 0
+    val dupOk = rawN >= expN && (killFired || rawN == expN)
+
+    // order: committed batches' msgId ranges strictly increase
+    val ranges = raw.groupBy(col("batch_id"))
+      .agg(min(col("msgId")).as("lo"), max(col("msgId")).as("hi"))
+      .orderBy(col("batch_id"))
+      .select("lo", "hi").as[(String, String)].collect()
+    val orderOk = ranges.sliding(2).forall {
+      case Array((_, hiA), (loB, _)) => hiA < loB
+      case _ => true
+    }
+
+    // token commit point (uncapped only — see scaladoc)
+    val tokOk =
+      if (sc.capped || expN == 0) true
+      else {
+        val maxTok = spark.read.parquet(cfg.tokensDir)
+          .agg(max(col("value"))).head().getString(0)
+        val maxExp = expected.agg(max(col("msgId"))).head().getString(0)
+        maxTok == maxExp
+      }
+
+    val pass = setOk && dupOk && orderOk && tokOk
+    val detail =
+      s""""n_events":${sc.nEvents},"invalidate_pos":${sc.invPos.getOrElse(-1)},""" +
+      s""""n_files":${sc.nFiles},"max_files":${sc.maxFiles},""" +
+      s""""max_rows":${sc.maxRows.getOrElse(-1L)},"capped":${sc.capped},""" +
+      s""""pre_post":${sc.prePost},""" +
+      s""""kill_batch":${sc.killBatch.getOrElse(-1L)},"kill_fired":$killFired,""" +
+      s""""expected":$expN,"raw":$rawN,"extra":$extra,"missing":$missing,""" +
+      s""""set_ok":$setOk,"dup_ok":$dupOk,"order_ok":$orderOk,""" +
+      s""""token_ok":$tokOk,"batches":${ranges.length},"pass":$pass"""
+    (pass, detail)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outJson = if (args.nonEmpty) args(0) else "STREAMING_FUZZ_r13.json"
+    val n = if (args.length > 1) args(1).toInt else 50
+    val seed0 = if (args.length > 2) args(2).toLong else 1L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("graft-streamfuzz").toString
+
+    val rows = (seed0 until seed0 + n).map { seed =>
+      val sc = genScenario(seed)
+      val (pass, detail) =
+        try runScenario(spark, root, sc)
+        catch {
+          case e: Throwable =>
+            (false, s""""err":${"\"" + e.toString.take(300)
+              .replace("\\", "\\\\").replace("\"", "\\\"") + "\""}""")
+        }
+      println(s"[streamfuzz] seed $seed ${if (pass) "PASS" else "FAIL"}")
+      (seed, pass, s"""{"seed":$seed,$detail}""")
+    }
+    val nPass = rows.count(_._2)
+    val json =
+      s"""{"generator_version":$GeneratorVersion,"n":$n,"seed0":$seed0,
+         |"n_pass":$nPass,"all_pass":${nPass == n},
+         |"scenarios":[
+         |${rows.map(_._3).mkString(",\n")}
+         |]}""".stripMargin
+    Files.writeString(Paths.get(outJson), json)
+    println(s"[streamfuzz] $nPass/$n scenarios passed -> $outJson")
+    spark.stop()
+    if (nPass != n) sys.exit(2)
+  }
+}
