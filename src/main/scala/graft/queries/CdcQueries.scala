@@ -113,7 +113,30 @@ object CdcQueries {
                  ts as wallTime,
                  props as fullDocument))""").as("data"))
         .orderBy(col("msg_id"))
-    })
+    }),
+
+    // Variant-typed document access (SURVEY.md §1.2 flags Spark 4's
+    // VariantType as the native fit for the reference's opaque BSON
+    // payloads, internal/mongo/client.go:222): the envelope JSON is
+    // parsed ONCE into a variant and fields are read with TYPED
+    // variant_get paths — at rest this is the layout that gives shredded
+    // pushdown on a stored variant column, vs get_json_object re-parsing
+    // the string per field. The nested '$.e.*' paths exercise depth; the
+    // try_variant_get probe pins missing-path → NULL (not error)
+    // semantics under ANSI mode. Scan pruning to the three used columns
+    // is pinned in VariantSpec.
+    "cdc_variant_extract" -> ((s, dir) =>
+      load(s, dir, "events")
+        .select(col("event_id"),
+          expr("""parse_json(concat('{"e":{"id":', cast(event_id as string),
+            ',"t":"', event_type, '"},"p":', props, '}'))""").as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.e.id', 'bigint')").as("eid"),
+          expr("variant_get(v, '$.e.t', 'string')").as("etype"),
+          expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
+          coalesce(expr("try_variant_get(v, '$.p.missing', 'bigint')"),
+            lit(-1L)).as("miss"))
+        .orderBy(col("event_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -206,6 +229,15 @@ object CdcQueries {
                   || ',"fullDocument":' || props || '}' AS data
          FROM events
          WHERE event_type IN ('click','purchase','signup','view')
-         ORDER BY msg_id"""
+         ORDER BY msg_id""",
+    // The variant extraction round-trips the constructed envelope, so the
+    // oracle reads the same values straight from the source columns (and
+    // the one REAL json path, props.k, through DuckDB's JSON extractor).
+    "cdc_variant_extract" ->
+      """SELECT event_id, CAST(event_id AS BIGINT) AS eid,
+                event_type AS etype,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                CAST(-1 AS BIGINT) AS miss
+         FROM events ORDER BY event_id"""
   )
 }

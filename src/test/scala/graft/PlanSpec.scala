@@ -82,6 +82,22 @@ class PlanSpec extends SparkSuite {
     assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
   }
 
+  test("cdc_variant_extract: the variant path prunes the scan to the " +
+      "three used columns (value/ts never read) and extraction returns " +
+      "typed values end-to-end") {
+    val df = graft.queries.CdcQueries.queries("cdc_variant_extract")(
+      spark, sf("sf0.001"))
+    val readSchema = planOf(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    for (c <- Seq("event_id", "event_type", "props"))
+      assert(readSchema.contains(s"$c:"), s"$c missing from scan: $readSchema")
+    for (c <- Seq("value", "user_id", "ts")) // `ts:` — bare "ts" hits struct<
+      assert(!readSchema.contains(s"$c:"), s"$c not pruned: $readSchema")
+    val r = df.limit(1).head()
+    assert(r.getLong(0) == r.getLong(1)) // eid round-trips via the variant
+    assert(r.getLong(4) == -1L)          // missing path -> NULL -> sentinel
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a full sort (topk)") {
     val plan = planOf(AnalyticsQueries.queries("topk_customers")(
       spark, sf("sf0.001")))

@@ -348,6 +348,40 @@ class StreamingCdcSpec extends SparkSuite {
     assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000060"))
   }
 
+  test("fixed-cost budget: exactly 3 Spark jobs per micro-batch trigger " +
+      "— the engine's micro-batch materialization, the broadcast build " +
+      "of the observed invalidate-cut subtree, and the ONE publish " +
+      "append action (round-12 shave). The removed fixed costs (separate " +
+      "invalidate probe action, Spark-side token commit, Spark-side " +
+      "ledger seed/ensureTable) would each add a job per trigger or per " +
+      "start; StreamProfile measured them at ~0.1 s of scheduler " +
+      "overhead each, so this pin keeps them from silently returning") {
+    val root = tmp()
+    val c = cfg("s-jobs", root).copy(
+      sourceFormat = "changestream", maxRowsPerTrigger = Some(25L))
+    (0 until 4).foreach(b => writeBatchFile(c.inputDir,
+      (b * 25 + 1 to b * 25 + 25).map(ev(_, "insert"))))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    finally {
+      // the listener bus is async — settle before detaching
+      var last = -1
+      var n = jobs.get()
+      while (n != last) { last = n; Thread.sleep(300); n = jobs.get() }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(spark.read.parquet(c.tokensDir).count() == 4) // 4 committed triggers
+    assert(jobs.get() == 3 * 4,
+      s"expected exactly 3 Spark jobs per trigger (12 total), saw ${jobs.get()}")
+  }
+
   test("K2 crash-safety: a truncated in-progress token temp file (crash " +
       "between build() and rename) is invisible to latestToken, the " +
       "ledger seed, and trim — the stream recovers without cleanup") {
