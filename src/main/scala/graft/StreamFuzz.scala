@@ -63,6 +63,10 @@ object StreamFuzz {
       prePost: Boolean,
       killBatch: Option[Long])
 
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+
   private def genScenario(seed: Long): Scenario = {
     val r = new Random(seed * 0x9e3779b97f4a7c15L + GeneratorVersion)
     val nEvents = 200 + r.nextInt(1301)
@@ -134,6 +138,13 @@ object StreamFuzz {
     // once, so 2 suffice unless the batch never exists).
     val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
     var killFired = false
+    // Retry-loop hygiene (ADVICE r13): only the injected-kill marker is
+    // SWALLOWED; any other exception after the trip is logged and recorded
+    // in the scenario detail (a deterministic real bug that keeps a stream
+    // from draining must surface its actual exception, not vanish behind
+    // "stream never drained"). A non-marker exception BEFORE any trip is a
+    // genuine failure and propagates immediately.
+    var unexpected: Option[String] = None
     StreamingCdc.faultpoint = (name, batchId) =>
       if (name == cfg.name && sc.killBatch.contains(batchId) &&
           tripped.compareAndSet(false, true))
@@ -147,13 +158,24 @@ object StreamFuzz {
           StreamingCdc.runAll(spark, Seq(cfg), availableNow = true)
           done = true
         } catch {
-          case e: Throwable if e.toString.contains("streamfuzz") ||
-              Option(e.getCause).exists(_.toString.contains("streamfuzz")) ||
-              tripped.get() =>
-            killFired = true
+          case e: Throwable =>
+            val chain = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null).take(10).toSeq
+            val isMarker = chain.exists(_.toString.contains("streamfuzz"))
+            if (isMarker) killFired = true
+            else if (!tripped.get()) throw e
+            else {
+              unexpected = Some(e.toString.take(200))
+              System.err.println(
+                s"[streamfuzz] seed ${sc.seed} retry $attempts " +
+                  s"after NON-marker exception: $e")
+            }
         }
       }
-      if (!done) return (false, "\"err\":\"stream never drained\"")
+      if (!done) {
+        val why = unexpected.map(u => s"; last unexpected: $u").getOrElse("")
+        return (false, s""""err":${jsonStr(s"stream never drained$why")}""")
+      }
     } finally StreamingCdc.faultpoint = (_, _) => ()
 
     val raw = spark.read.parquet(cfg.messagesDir)
@@ -197,6 +219,7 @@ object StreamFuzz {
       s""""kill_batch":${sc.killBatch.getOrElse(-1L)},"kill_fired":$killFired,""" +
       s""""expected":$expN,"raw":$rawN,"extra":$extra,"missing":$missing,""" +
       s""""set_ok":$setOk,"dup_ok":$dupOk,"order_ok":$orderOk,""" +
+      unexpected.map(u => s""""unexpected":${jsonStr(u)},""").getOrElse("") +
       s""""token_ok":$tokOk,"batches":${ranges.length},"pass":$pass"""
     (pass, detail)
   }

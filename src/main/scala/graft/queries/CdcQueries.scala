@@ -124,12 +124,17 @@ object CdcQueries {
     // the string per field. The nested '$.e.*' paths exercise depth; the
     // try_variant_get probe pins missing-path → NULL (not error)
     // semantics under ANSI mode. Scan pruning to the three used columns
-    // is pinned in VariantSpec.
+    // is pinned in VariantSpec. The `e` sub-object goes through
+    // to_json(struct(...)) so quotes/backslashes in event_type are escaped
+    // (ADVICE r13 — raw concat broke on such values); props is embedded
+    // raw because it IS a JSON document column (the data contract the
+    // oracle relies on too), with NULL mapped to JSON null.
     "cdc_variant_extract" -> ((s, dir) =>
       load(s, dir, "events")
         .select(col("event_id"),
-          expr("""parse_json(concat('{"e":{"id":', cast(event_id as string),
-            ',"t":"', event_type, '"},"p":', props, '}'))""").as("v"))
+          expr("""parse_json(concat('{"e":',
+            to_json(struct(event_id as id, event_type as t)),
+            ',"p":', coalesce(props, 'null'), '}'))""").as("v"))
         .select(col("event_id"),
           expr("variant_get(v, '$.e.id', 'bigint')").as("eid"),
           expr("variant_get(v, '$.e.t', 'string')").as("etype"),

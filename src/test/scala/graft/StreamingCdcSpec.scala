@@ -348,14 +348,18 @@ class StreamingCdcSpec extends SparkSuite {
     assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000060"))
   }
 
-  test("fixed-cost budget: exactly 3 Spark jobs per micro-batch trigger " +
+  test("fixed-cost budget: at most 3 Spark jobs per micro-batch trigger " +
       "— the engine's micro-batch materialization, the broadcast build " +
       "of the observed invalidate-cut subtree, and the ONE publish " +
       "append action (round-12 shave). The removed fixed costs (separate " +
       "invalidate probe action, Spark-side token commit, Spark-side " +
       "ledger seed/ensureTable) would each add a job per trigger or per " +
       "start; StreamProfile measured them at ~0.1 s of scheduler " +
-      "overhead each, so this pin keeps them from silently returning") {
+      "overhead each, so this pin keeps them from silently returning. " +
+      "Upper bound, not equality (ADVICE r13): exact job counts are a " +
+      "scheduler implementation detail, and the bounded invalidate-wait " +
+      "fallback legitimately adds a probe job if the Observation ever " +
+      "times out — neither should fail this budget pin") {
     val root = tmp()
     val c = cfg("s-jobs", root).copy(
       sourceFormat = "changestream", maxRowsPerTrigger = Some(25L))
@@ -378,8 +382,10 @@ class StreamingCdcSpec extends SparkSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
     assert(spark.read.parquet(c.tokensDir).count() == 4) // 4 committed triggers
-    assert(jobs.get() == 3 * 4,
-      s"expected exactly 3 Spark jobs per trigger (12 total), saw ${jobs.get()}")
+    assert(jobs.get() <= 3 * 4,
+      s"expected at most 3 Spark jobs per trigger (<=12 total), saw ${jobs.get()}")
+    // and sanity: the stream actually did per-trigger work (>=1 job each)
+    assert(jobs.get() >= 4, s"implausibly few jobs: ${jobs.get()}")
   }
 
   test("K2 crash-safety: a truncated in-progress token temp file (crash " +
