@@ -223,6 +223,39 @@ object DualCheck {
         DualCheckTwins.pqCodesTwin(spark, sfDir))
       allMatch = allMatch && cellsOk && ivfOk && pqOk
     }
+    // Round-14 twins (VERDICT r13 #4): the sf10 oracle-timeout queries
+    // that had no independent full-sf10 check. `which` accepts "r14" for
+    // the whole set or any single name.
+    val r14 = Seq[(String, (SparkSession, String) => DataFrame,
+        (SparkSession, String) => DataFrame)](
+      ("dedup_winnow_pairs", DedupQueries.queries("dedup_winnow_pairs"),
+        DualCheckTwins.winnowPairsJoin),
+      ("dedup_cdc_chunks", DedupQueries.queries("dedup_cdc_chunks"),
+        DualCheckTwins.cdcChunksTwoPhase),
+      ("dedup_simhash_pairs", DedupQueries.queries("dedup_simhash_pairs"),
+        DualCheckTwins.simhashPairsJoin),
+      ("dedup_embedding_near", DedupQueries.queries("dedup_embedding_near"),
+        DualCheckTwins.embeddingNearJoin),
+      ("dedup_semantic_survivors",
+        DedupQueries.queries("dedup_semantic_survivors"),
+        DualCheckTwins.semanticSurvivorsTwin),
+      ("dedup_split_leakproof",
+        DedupQueries.queries("dedup_split_leakproof"),
+        DualCheckTwins.splitLeakproofTwin),
+      ("text_corpus_fingerprint",
+        graft.queries.TextQueries.queries("text_corpus_fingerprint"),
+        DualCheckTwins.corpusFingerprintVotes),
+      ("text_fingerprint",
+        graft.queries.TextQueries.queries("text_fingerprint"),
+        DualCheckTwins.fingerprintVotes),
+      ("text_cms_counts",
+        graft.queries.TextQueries.queries("text_cms_counts"),
+        DualCheckTwins.cmsCountsVocab))
+    for ((name, primary, twin) <- r14
+        if which == name || which == "r14" || which == "all") {
+      val ok = check(name, sfDir, primary(spark, sfDir), twin(spark, sfDir))
+      allMatch = allMatch && ok
+    }
     spark.stop()
     if (!allMatch) sys.exit(2)
   }

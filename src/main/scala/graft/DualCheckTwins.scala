@@ -285,6 +285,23 @@ object DualCheckTwins {
     val edges = SimilarityQueries.queries("sim_knn_graph")(s, dir)
       .filter(col("mutual") && col("vec_id") < col("nid"))
       .select(col("vec_id").as("a"), col("nid").as("b"))
+    val labels = labelPropagate(edges, maxIter)
+    Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      .join(labels.select(col("node").as("vec_id"), col("lbl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Naive min-label propagation over an (a, b) edge list — the reusable
+    * core of [[graphClustersLabelProp]] (round 14 extracts it so every
+    * ConnectedComponents consumer can be twinned with the O(diameter)
+    * algorithm the primary's large-star/small-star is NOT). Returns
+    * (node, lbl) where lbl = min node id reachable — the same contract
+    * as [[graft.operators.ConnectedComponents.run]]'s `component`.
+    */
+  def labelPropagate(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val sym = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(false)
@@ -314,12 +331,7 @@ object DualCheckTwins {
     }
     require(converged,
       s"label propagation did not converge in $maxIter rounds")
-    Tables.load(s, dir, "embeddings").select(col("vec_id"))
-      .join(labels.select(col("node").as("vec_id"), col("lbl")),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
-      .orderBy(col("vec_id"))
+    labels
   }
 
   // -------------------------------------------------------------------
@@ -360,5 +372,299 @@ object DualCheckTwins {
       .agg(max(col("est")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("delta_id"), col("base_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // Round-14 twins (VERDICT r13 #4): independent second implementations
+  // for the remaining sf10 oracle-timeout queries. Same independence
+  // contract as above — scalar kernels (fnv64, winnow_fingerprint,
+  // cdc_chunks, simhash64, shingle_hashes, lsh_buckets, vec_dot/vec_cos)
+  // are SHARED (fuzz- and sf1-pinned); the distributed machinery
+  // (bucket-collect vs self-join, single-pass distinct agg vs two-phase,
+  // mergeable summary vs exploded votes, large-star/small-star vs label
+  // propagation) is what differs, because that is what the fixed oracles
+  // cannot pin at full sf10.
+  // -------------------------------------------------------------------
+
+  /** dedup_winnow_pairs twin: banded SELF-JOIN replay of the primary's
+    * bucket-collect inverted index (parallels DualCheck.minhashPairsJoin).
+    * The shared-fingerprint count comes from a pair-keyed groupBy over the
+    * join, not ordered_pairs over a collected posting list.
+    */
+  def winnowPairsJoin(s: SparkSession, dir: String): DataFrame = {
+    import DedupQueries.{DfCap, WinnowK, WinnowMinShared, WinnowW}
+    val fp = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(s"winnow_fingerprint(text, $WinnowK, $WinnowW)"))
+          .as("f"))
+    val good = fp.groupBy(col("f")).agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, DfCap)).select(col("f"))
+    val g = fp.join(good, Seq("f"))
+    g.select(col("f"), col("doc_id").as("doc_a"))
+      .join(g.select(col("f"), col("doc_id").as("doc_b")), Seq("f"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("shared_fp"))
+      .filter(col("shared_fp") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** dedup_cdc_chunks twin: two-phase keyed aggregation — groupBy
+    * (chunk, doc) then groupBy chunk — instead of the primary's single
+    * countDistinct pass (different partial-aggregation tree).
+    */
+  def cdcChunksTwoPhase(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("cdc_chunks(text, 5)")).as("ch"))
+      .groupBy(col("ch"), col("doc_id")).agg(count(lit(1)).as("hits"))
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("n_hits"))
+      .filter(col("n_docs").between(2, 64))
+      .select(col("ch"), col("n_docs").cast("bigint").as("n_docs"),
+        col("n_hits").cast("bigint").as("n_hits"))
+      .orderBy(col("ch"))
+
+  /** dedup_simhash_pairs twin: banded self-join with a count prefilter,
+    * instead of the primary's capped bucket-collect + struct_pairs.
+    */
+  def simhashPairsJoin(s: SparkSession, dir: String): DataFrame = {
+    import DedupQueries.DfCap
+    val bands = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr(s"simhash64(${DedupQueries.toks})").as("sh"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftrightunsigned(sh, b * 16) & 65535)"))
+          .as(Seq("band", "bkey")))
+    val good = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, DfCap))
+      .select(col("band"), col("bkey"))
+    val bg = bands.join(good, Seq("band", "bkey"))
+    bg.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_a"), col("sh").as("sha"))
+      .join(bg.select(col("band"), col("bkey"),
+          col("doc_id").as("doc_b"), col("sh").as("shb")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sha ^ shb) as bigint)").as("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** dedup_embedding_near twin: banded self-join on (table, bucket) with
+    * the same good-bucket prefilter, instead of bucket-collect +
+    * struct_pairs.
+    */
+  def embeddingNearJoin(s: SparkSession, dir: String): DataFrame = {
+    import DedupQueries.{EmbCosMin, LshTables, VecBucketCap}
+    val pl = DedupQueries.lshPlanes(s, dir)
+    val b = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
+        posexplode(expr(s"lsh_buckets(embedding, $LshTables, $pl)"))
+          .as(Seq("table_id", "bucket")))
+    val good = b.groupBy(col("table_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, VecBucketCap))
+      .select(col("table_id"), col("bucket"))
+    val bg = b.join(good, Seq("table_id", "bucket"))
+    bg.select(col("table_id"), col("bucket"),
+        col("vec_id").as("vec_a"), col("ne").as("nea"))
+      .join(bg.select(col("table_id"), col("bucket"),
+          col("vec_id").as("vec_b"), col("ne").as("neb")),
+        Seq("table_id", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("vec_dot(nea, neb)"), 6).as("cos"))
+      .groupBy(col("vec_a"), col("vec_b")).agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= EmbCosMin.toDouble)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** dedup_semantic_survivors twin: self-join pair generation (keyed by
+    * label + table + bucket) and label-propagation connected components,
+    * instead of bucket-collect + large-star/small-star.
+    */
+  def semanticSurvivorsTwin(s: SparkSession, dir: String): DataFrame = {
+    import DedupQueries.{LshTables, SemCosMin, VecBucketCap}
+    val pl = DedupQueries.lshPlanes(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val b = emb.select(col("vec_id"), col("label"), col("embedding"),
+      posexplode(expr(s"lsh_buckets(embedding, $LshTables, $pl)"))
+        .as(Seq("table_id", "bucket")))
+    val good = b.groupBy(col("label"), col("table_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, VecBucketCap))
+      .select(col("label"), col("table_id"), col("bucket"))
+    val bg = b.join(good, Seq("label", "table_id", "bucket"))
+    val pairs = bg.select(col("label"), col("table_id"), col("bucket"),
+        col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(bg.select(col("label"), col("table_id"), col("bucket"),
+          col("vec_id").as("vb"), col("embedding").as("eb")),
+        Seq("label", "table_id", "bucket"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(expr("vec_cos(ea, eb)"), 6).as("cos"))
+      .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= SemCosMin.toDouble)
+    val comp = labelPropagate(
+        pairs.select(col("va").as("a"), col("vb").as("b")))
+      .select(col("node").as("vec_id"), col("lbl").as("rep"))
+    val sizes = comp.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+    emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(comp, Seq("vec_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("vec_id")))
+      .filter(col("vec_id") === col("rep"))
+      .join(sizes, Seq("rep"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** dedup_split_leakproof twin: self-join Jaccard pair machinery (no
+    * collected posting lists) + label-propagation components; the md5
+    * split mapping is the shared contract.
+    */
+  def splitLeakproofTwin(s: SparkSession, dir: String): DataFrame = {
+    import DedupQueries.{DfCap, JaccardMin}
+    val docs = Tables.load(s, dir, "documents")
+    val ex = docs.select(col("doc_id"),
+      explode(expr(s"shingle_hashes(${DedupQueries.toks}, 3)")).as("sh"))
+    // primary caps bucket SIZE at DfCap but keeps singletons for the
+    // per-doc shingle counts — mirror that exactly
+    val good = ex.groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= DfCap).select(col("sh"))
+    val kept = ex.join(good, Seq("sh"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = kept.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JaccardMin)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = labelPropagate(pairs)
+      .select(col("node").as("doc_id"), col("lbl").as("cid"))
+    val bucket = conv(substring(
+      md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 2),
+      16, 10).cast("int")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .withColumn("split", when(bucket < 204, "train")
+        .when(bucket < 230, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_corpus_fingerprint twin: exploded per-bit votes over a
+    * vocab-keyed pre-aggregation — the dataflow the oracle SQL replays —
+    * instead of the mergeable simhash_agg summaries.
+    */
+  def corpusFingerprintVotes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val hv = docs
+      .select(col("source"), col("lang"),
+        explode(expr(DedupQueries.toks)).as("tok"))
+      .select(col("source"), col("lang"), expr("fnv64(tok)").as("h"))
+      .groupBy(col("source"), col("lang"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val votes = hv
+      .select(col("source"), col("lang"), col("h"), col("cnt"),
+        explode(expr("sequence(0, 63)")).as("b"))
+      .groupBy(col("source"), col("lang"), col("b"))
+      .agg(sum(when(expr("(shiftrightunsigned(h, b) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as("v"))
+    val sim = votes.groupBy(col("source"), col("lang"))
+      .agg(sum(when(col("v") > 0,
+          expr("shiftleft(cast(1 as bigint), b)")).otherwise(lit(0L)))
+        .as("corpus_simhash"))
+    val nd = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    sim.join(nd, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("corpus_simhash"),
+        col("n_docs"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** text_fingerprint twin: per-doc SimHash via exploded bit votes and
+    * the winnow COUNT via char_windows + a window-min replay (the oracle
+    * SQL's formulation run distributed) — instead of the fused per-row
+    * kernels. fp64 stays the shared fnv64 scalar (fuzz-pinned).
+    */
+  def fingerprintVotes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val sim = docs
+      .select(col("doc_id"), explode(expr(DedupQueries.toks)).as("tok"))
+      .select(col("doc_id"), expr("fnv64(tok)").as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("h"), col("cnt"),
+        explode(expr("sequence(0, 63)")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(shiftrightunsigned(h, b) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+          expr("shiftleft(cast(1 as bigint), b)")).otherwise(lit(0L)))
+        .as("simhash"))
+    // winnow k=8, w=4 (the registered defaults): char windows -> fnv64 ->
+    // min per 4-window -> distinct count; m <= w picks the global min
+    val grams = docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), (length(col("text")) - 7).as("m"),
+        posexplode(expr("char_windows(text, 8, 1)")).as(Seq("i", "g")))
+      .select(col("doc_id"), col("m"), col("i"), expr("fnv64(g)").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, 3)
+    val wc = grams.withColumn("wm", min(col("h")).over(w))
+      .filter((col("m") <= 4 && col("i") === 0) ||
+        (col("m") > 4 && col("i") + 4 <= col("m")))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("wm")).cast("bigint").as("n_winnow"))
+    docs.select(col("doc_id"), expr("fnv64(text)").as("fp64"))
+      .join(sim, Seq("doc_id"))
+      .join(wc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp64"),
+        coalesce(col("n_winnow"), lit(0L)).as("n_winnow"), col("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_cms_counts twin: sketch cells built from a VOCAB-keyed
+    * pre-aggregation (per-token exact counts, then weighted cell sums)
+    * instead of counting raw token instances per cell — a different
+    * aggregation tree whose totals must agree cell-for-cell.
+    */
+  def cmsCountsVocab(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextQueries.{CmsDepth, CmsTopK, CmsWidth}
+    val cellExpr = (tokCol: String) =>
+      s"""transform(sequence(0, ${CmsDepth - 1}),
+           r -> named_struct('r', r,
+             'c', pmod(fnv64(concat(cast(r as string), '|', $tokCol)),
+                       ${CmsWidth}L)))"""
+    val vocab = Tables.load(s, dir, "documents")
+      .select(explode(expr(DedupQueries.toks)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    val cells = vocab
+      .select(col("exact_cnt"), explode(expr(cellExpr("tok"))).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
+    val topk = vocab.orderBy(col("exact_cnt").desc, col("tok")).limit(CmsTopK)
+    topk
+      .select(col("tok"), col("exact_cnt"),
+        explode(expr(cellExpr("tok"))).as("rc"))
+      .select(col("tok"), col("exact_cnt"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(cells, Seq("r", "c"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
   }
 }

@@ -22,6 +22,37 @@ import Tables._
   */
 object CdcQueries {
 
+  /** Variant-at-rest derivative table (round-14 VERDICT #5): the envelope
+    * parsed ONCE into a VariantType column and WRITTEN with Spark 4's
+    * shredded-variant layout (`writeShredding` + `inferShreddingSchema`),
+    * so typed `variant_get` paths on the read side prune to shredded
+    * sub-columns and equality predicates push into the parquet scan
+    * (PushVariantIntoScan) — the 100 TB layout SURVEY.md §1.2 names for
+    * the reference's opaque BSON payloads (internal/mongo/client.go:222),
+    * vs cdc_variant_extract's per-query parse. Built once per JVM per SF
+    * dir into a fresh temp directory (never stale across testdata
+    * regenerations; the oracle never reads it — it replays from the
+    * source columns).
+    */
+  private val variantDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def variantTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    variantDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-variant").toString + "/events_variant"
+      s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+      s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+      load(s, dir, "events")
+        .select(col("event_id"),
+          expr("""parse_json(concat('{"e":',
+            to_json(struct(event_id as id, event_type as t)),
+            ',"p":', coalesce(props, 'null'), '}'))""").as("v"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   val queries: Map[String, Q] = Map(
     // F1 — publishable-op filter (internal/mongo/client.go:231-237)
     "cdc_filter_publishable" -> ((s, dir) =>
@@ -141,7 +172,22 @@ object CdcQueries {
           expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
           coalesce(expr("try_variant_get(v, '$.p.missing', 'bigint')"),
             lit(-1L)).as("miss"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Variant AT REST (see variantTable): read the STORED shredded
+    // variant table; the '$.e.t' equality pushes into the parquet scan as
+    // a shredded-column predicate and ReadSchema prunes below the variant
+    // root to exactly the two referenced paths (struct<0:bigint,1:string>
+    // — pinned in PlanSpec). The oracle replays from the source columns.
+    "cdc_variant_at_rest" -> ((s, dir) => {
+      s.conf.set("spark.sql.variant.allowReadingShredded", "true")
+      s.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+      s.read.parquet(variantTable(s, dir))
+        .filter(expr("variant_get(v, '$.e.t', 'string')") === "purchase")
+        .select(col("event_id"),
+          expr("variant_get(v, '$.p.k', 'bigint')").as("k"))
+        .orderBy(col("event_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,6 +289,11 @@ object CdcQueries {
                 event_type AS etype,
                 CAST(json_extract(props, '$.k') AS BIGINT) AS k,
                 CAST(-1 AS BIGINT) AS miss
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    // cdc_variant_at_rest round-trips the stored shredded envelope; the
+    // oracle reads the equivalent values straight off the source columns.
+    "cdc_variant_at_rest" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id"""
   )
 }

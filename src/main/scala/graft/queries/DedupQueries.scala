@@ -79,13 +79,13 @@ object DedupQueries {
                  (SELECT COUNT(*) AS n FROM embeddings)
             WHERE (CAST(1 AS BIGINT) << p)
                     * ${SimilarityQueries.GraphOccupancy} >= n)"""
-  private val SemCosMin = "0.30"
-  private val EmbCosMin = "0.45"
+  private[graft] val SemCosMin = "0.30"
+  private[graft] val EmbCosMin = "0.45"
   /** dedup_threshold_sweep grid — all ≥ EmbCosMin (the pair set's floor),
     * interpolated into the Spark literal AND the oracle so they can't
     * drift. */
   private val SweepThresholds = Seq(0.45, 0.55, 0.65, 0.75, 0.85, 0.95)
-  private val JaccardMin = 0.5
+  private[graft] val JaccardMin = 0.5
   // Containment threshold (Broder's asymmetric twin of Jaccard): the
   // fraction of the SMALLER doc's shingles shared with the other doc.
   // 0.8 means "4/5 of the shorter document appears verbatim in the
@@ -117,9 +117,9 @@ object DedupQueries {
   // family size, max 4 at sf0.01), so the cap only ever trims genuine
   // boilerplate. MinShared=8 keeps recall 1.0 of the jaccard>=0.9 pairs
   // at sf0.01 while emitting nothing else (measured; spec pins >=0.9).
-  private val WinnowK = 24
-  private val WinnowW = 8
-  private val WinnowMinShared = 8
+  private[graft] val WinnowK = 24
+  private[graft] val WinnowW = 8
+  private[graft] val WinnowMinShared = 8
 
   val queries: Map[String, Q] = Map(
     // Exact dedup groups: one row per distinct content hash with the
@@ -839,7 +839,7 @@ object DedupQueries {
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
   }
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     pairStats(s, dir)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))

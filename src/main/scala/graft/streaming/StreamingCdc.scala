@@ -349,6 +349,12 @@ object StreamingCdc {
       val kept = spark.createDataFrame(
         java.util.Arrays.asList(keep: _*), tokenSchema)
       kept.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
+      // fault-injection hook in the trim RACE WINDOW (kept rows appended,
+      // old files not yet deleted — the crash point the scaladoc above
+      // reasons about; batchId -1 marks "inside trim"). No-op in
+      // production; StreamFuzz v2 kills here to probe the duplicate-file
+      // recovery path across restarts.
+      faultpoint(cfg.name, -1L)
       oldFiles.foreach(p => fs.delete(p, false))
     }
   }

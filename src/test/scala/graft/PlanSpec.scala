@@ -98,6 +98,30 @@ class PlanSpec extends SparkSuite {
     assert(r.getLong(4) == -1L)          // missing path -> NULL -> sentinel
   }
 
+  test("cdc_variant_at_rest: the STORED shredded-variant scan prunes " +
+      "below the variant root (ReadSchema narrows the variant column to " +
+      "a struct of exactly the referenced paths) and the shredded " +
+      "equality predicate pushes into the parquet scan") {
+    val df = graft.queries.CdcQueries.queries("cdc_variant_at_rest")(
+      spark, sf("sf0.001"))
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+      .dropWhile(_ != 'R') // schema text only (the scan path mentions
+                           // the temp dir name, which contains "variant")
+      .replaceAll(".*ReadSchema: ", "")
+    // PushVariantIntoScan rewrites the variant to struct<path,...>; the
+    // unshredded fallback would read the opaque "v:variant" binary
+    assert(readSchema.contains("v:struct<"),
+      s"variant not shredded-pruned: $readSchema")
+    assert(!readSchema.contains("variant"),
+      s"full variant binary read: $readSchema")
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("EqualTo"),
+      s"shredded equality predicate not pushed: $pushed")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a full sort (topk)") {
     val plan = planOf(AnalyticsQueries.queries("topk_customers")(
       spark, sf("sf0.001")))
