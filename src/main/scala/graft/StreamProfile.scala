@@ -8,12 +8,16 @@ import org.apache.spark.sql.SparkSession
   * warmup, per-trial wall, and the CommandMetrics per-command sums — so
   * the per-trigger overhead is measured, not guessed.
   *
-  * Usage: `sbt "runMain graft.StreamProfile <sfDir> [trials]"`.
+  * Usage: `sbt "runMain graft.StreamProfile <sfDir> [trials] [sourceFormat]"`
+  * — sourceFormat `changestream` (default, the DSv2 source) or `file`
+  * (Spark's built-in file stream), so the two S1 modes can be A/B'd on
+  * the identical fixture (round-13 VERDICT stretch #7).
   */
 object StreamProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val trials = if (args.length > 1) args(1).toInt else 3
+    val sourceFormat = if (args.length > 2) args(2) else "changestream"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +51,7 @@ object StreamProfile {
         graft.streaming.StreamingCdc.StreamConfig(
           "prof-warm", s"$root/warm-in", s"$root/warm-messages",
           s"$root/warm-tokens", s"$root/warm-ckpt",
-          sourceFormat = "changestream")), availableNow = true)
+          sourceFormat = sourceFormat)), availableNow = true)
     }
 
     import graft.streaming.Observability.CommandMetrics
@@ -64,7 +68,7 @@ object StreamProfile {
         graft.streaming.StreamingCdc.runAll(spark, Seq(
           graft.streaming.StreamingCdc.StreamConfig(
             "prof", s"$root/in", s"$root/messages-$i", s"$root/tokens-$i",
-            s"$root/ckpt-$i", sourceFormat = "changestream")),
+            s"$root/ckpt-$i", sourceFormat = sourceFormat)),
           availableNow = true)
       }
       val after = snap()
@@ -79,7 +83,8 @@ object StreamProfile {
         s""""commands":{$cmds}}""")
       sec
     }
-    println(f"""{"events":$cnt,"fixture_sec":$fixSec%.3f,""" +
+    println(f"""{"events":$cnt,"source_format":"$sourceFormat",""" +
+      f""""fixture_sec":$fixSec%.3f,""" +
       f""""warm_sec":$warmSec%.3f,"best_sec":${secs.min}%.3f,""" +
       f""""best_ev_per_sec":${cnt / secs.min}%.0f}""")
     spark.stop()

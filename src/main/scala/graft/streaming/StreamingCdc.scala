@@ -94,6 +94,34 @@ object StreamingCdc {
   def wasInvalidated(name: String): Boolean =
     invalidated.getOrDefault(name, false)
 
+  /** F2 DURABILITY (found by StreamFuzz v2, seeds 11/40/54/62): the
+    * in-memory invalidate flag dies with the process, and once the
+    * invalidate batch's token is committed the ledger early-return skips
+    * re-observing it — so a restart after an unrelated abort (a sibling's
+    * errgroup cancel, a trim-window crash) would resume publishing PAST
+    * the invalidate. The reference never resumes an invalidated watch
+    * (resuming from an invalidate token is itself invalid in MongoDB;
+    * watcher.go stops for good) — mirror that with a durable marker file
+    * in the tokens dir, written wherever the in-memory flag is set.
+    * Underscore-prefixed: invisible to Spark's listing, the part- filters
+    * of ledger/trim, and tableExists' *.parquet probe.
+    */
+  private def invalidatedMarker(cfg: StreamConfig) =
+    new org.apache.hadoop.fs.Path(cfg.tokensDir, "_invalidated")
+
+  private def markInvalidated(spark: SparkSession, cfg: StreamConfig): Unit = {
+    invalidated.put(cfg.name, true)
+    val p = invalidatedMarker(cfg)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
+  }
+
+  private def hasInvalidatedMarker(spark: SparkSession,
+      cfg: StreamConfig): Boolean = {
+    val p = invalidatedMarker(cfg)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Fault-injection seam (the test/faultinjection layer's analog,
     * restart_mongo_test.go / restart_nats_test.go): invoked between
     * publish (K1) and token commit (K2) — the at-least-once window.
@@ -159,8 +187,14 @@ object StreamingCdc {
       cfg: StreamConfig)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (wasInvalidated(cfg.name)) return
-    // C2/C3 replay: skip batches whose token commit already landed.
-    if (committedBatches(spark, cfg).contains(batchId)) return
+    // C2/C3 replay: skip batches whose token commit already landed — but
+    // still PROBE a replayed batch for the invalidate (F2 durability: a
+    // crash can land between the token commit and the marker write below;
+    // the probe costs one job on replayed batches only).
+    if (committedBatches(spark, cfg).contains(batchId)) {
+      if (CdcPipeline.containsInvalidate(batch)) markInvalidated(spark, cfg)
+      return
+    }
 
     // ONE action publishes the batch (round-12 fixed-cost shave; the
     // separate invalidate-probe job is gone): the F2 cut rides the same
@@ -275,7 +309,7 @@ object StreamingCdc {
             "explicit probe")
           CdcPipeline.containsInvalidate(batch)
       }
-    if (sawInvalidate) invalidated.put(cfg.name, true)
+    if (sawInvalidate) markInvalidated(spark, cfg)
   }
 
   /** Driver-side single-row token write via parquet-hadoop's example
@@ -366,7 +400,12 @@ object StreamingCdc {
       availableNow: Boolean = false): StreamingQuery = {
     Ddl.ensureTable(spark, cfg.messagesDir, messagesSchema)
     Ddl.ensureTable(spark, cfg.tokensDir, tokenSchema)
-    invalidated.remove(cfg.name)
+    // F2 durability: a collection whose stream saw an invalidate stays
+    // terminated across restarts (processBatch's entry check publishes
+    // nothing; runAll's poll stops the query) — the marker survives where
+    // the in-memory flag does not.
+    if (hasInvalidatedMarker(spark, cfg)) invalidated.put(cfg.name, true)
+    else invalidated.remove(cfg.name)
     // Re-seed the ledger cache from disk at (re)start: another process may
     // have committed since, and tests recreate dirs at the same path.
     ledgerCache.remove(cfg.tokensDir)

@@ -388,6 +388,29 @@ class StreamingCdcSpec extends SparkSuite {
     assert(jobs.get() >= 4, s"implausibly few jobs: ${jobs.get()}")
   }
 
+  test("F2 durability: a collection whose invalidate batch COMMITTED " +
+      "stays terminated across a restart — the durable marker survives " +
+      "where the in-memory flag does not (found by StreamFuzz v2: a " +
+      "sibling abort after the invalidate batch's token landed, then a " +
+      "restart, published events PAST the invalidate)") {
+    val root = tmp()
+    val c = cfg("s-invdur", root)
+    writeBatchFile(c.inputDir, (1 to 10).map(i => ev(i, "insert")))
+    writeBatchFile(c.inputDir,
+      (11 to 19).map(i => ev(i, "insert")) :+ ev(20, "invalidate"))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    assert(readMessages(c).count() == 19) // truncated at the invalidate
+    // the invalidate batch committed — exactly the state a sibling-abort
+    // restart resumes from
+    assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000019"))
+    // post-invalidate input arrives; a RESTART must publish none of it
+    writeBatchFile(c.inputDir, (21 to 30).map(i => ev(i, "insert")))
+    StreamingCdc.runAll(spark, Seq(c), availableNow = true)
+    assert(readMessages(c).count() == 19,
+      "restart resumed publishing past a committed invalidate")
+    assert(StreamingCdc.latestToken(spark, c.tokensDir).contains("000019"))
+  }
+
   test("K2 crash-safety: a truncated in-progress token temp file (crash " +
       "between build() and rename) is invisible to latestToken, the " +
       "ledger seed, and trim — the stream recovers without cleanup") {
