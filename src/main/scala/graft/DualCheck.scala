@@ -250,7 +250,7 @@ object DualCheck {
         DualCheckTwins.fingerprintVotes),
       ("text_cms_counts",
         graft.queries.TextQueries.queries("text_cms_counts"),
-        DualCheckTwins.cmsCountsVocab))
+        DualCheckTwins.cmsCountsRaw))
     for ((name, primary, twin) <- r14
         if which == name || which == "r14" || which == "all") {
       val ok = check(name, sfDir, primary(spark, sfDir), twin(spark, sfDir))

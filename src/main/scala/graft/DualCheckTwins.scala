@@ -635,26 +635,27 @@ object DualCheckTwins {
       .orderBy(col("doc_id"))
   }
 
-  /** text_cms_counts twin: sketch cells built from a VOCAB-keyed
-    * pre-aggregation (per-token exact counts, then weighted cell sums)
-    * instead of counting raw token instances per cell — a different
-    * aggregation tree whose totals must agree cell-for-cell.
+  /** text_cms_counts twin: sketch cells counted from RAW token instances
+    * (|tokens|×d exploded rows) — the round-13 primary's machinery, kept
+    * as the independence twin after the round-14 A/B promoted the
+    * vocab-preaggregated form into the primary (same integers by
+    * associativity; this form proves it from the other direction).
     */
-  def cmsCountsVocab(s: SparkSession, dir: String): DataFrame = {
+  def cmsCountsRaw(s: SparkSession, dir: String): DataFrame = {
     import graft.queries.TextQueries.{CmsDepth, CmsTopK, CmsWidth}
     val cellExpr = (tokCol: String) =>
       s"""transform(sequence(0, ${CmsDepth - 1}),
            r -> named_struct('r', r,
              'c', pmod(fnv64(concat(cast(r as string), '|', $tokCol)),
                        ${CmsWidth}L)))"""
-    val vocab = Tables.load(s, dir, "documents")
+    val tk = Tables.load(s, dir, "documents")
       .select(explode(expr(DedupQueries.toks)).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
-    val cells = vocab
-      .select(col("exact_cnt"), explode(expr(cellExpr("tok"))).as("rc"))
+    val cells = tk
+      .select(explode(expr(cellExpr("tok"))).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-      .agg(sum(col("exact_cnt")).as("cnt"))
-    val topk = vocab.orderBy(col("exact_cnt").desc, col("tok")).limit(CmsTopK)
+      .agg(count(lit(1)).as("cnt"))
+    val topk = tk.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(CmsTopK)
     topk
       .select(col("tok"), col("exact_cnt"),
         explode(expr(cellExpr("tok"))).as("rc"))

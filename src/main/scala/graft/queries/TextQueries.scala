@@ -571,11 +571,21 @@ object TextQueries {
                'c', pmod(fnv64(concat(cast(r as string), '|', $tokCol)),
                          ${CmsWidth}L)))"""
       val tk = load(s, dir, "documents").select(explode(expr(toks)).as("tok"))
-      val cells = tk
-        .select(explode(expr(cellExpr("tok"))).as("rc"))
+      // Cells from the VOCAB aggregation, not raw token instances: count
+      // each distinct token once (the same map-side-partial groupBy the
+      // top-k needs anyway), then sum those counts into cells — the cell
+      // explode runs over |vocab|×d rows instead of |tokens|×d. Same
+      // integers by associativity; A/B'd via the round-14 dual twin
+      // (bench/dualcheck_r14_sf10.json): 68 s → 3.4 s at sf10, where the
+      // token stream is 100M+ instances but the vocabulary is ~100k. The
+      // raw-instance form lives on as the independence twin
+      // (DualCheckTwins.cmsCountsRaw).
+      val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      val cells = vocab
+        .select(col("exact_cnt"), explode(expr(cellExpr("tok"))).as("rc"))
         .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-        .agg(count(lit(1)).as("cnt"))
-      val topk = tk.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum(col("exact_cnt")).as("cnt"))
+      val topk = vocab
         .orderBy(col("exact_cnt").desc, col("tok")).limit(CmsTopK)
       topk
         .select(col("tok"), col("exact_cnt"),
