@@ -28,7 +28,16 @@ Usage: python3 tools/bench_capture.py <sfdir> <out.json> [attempts]
 """
 import json, os, shutil, subprocess, sys, time
 
-DRIFT_MAX = 1.10
+# Parallel-vs-single CPU reference drift bound. NOT 1.0-ish: on this
+# 32-thread guest the all-core reference runs ~1.2x the single-thread
+# time even at loadavg<1 with nothing else running (measured 1.17-1.29
+# across rounds 13-14 idle captures — SMT/turbo means per-thread speed
+# under full fan-out is inherently lower). 1.10 was below that floor, so
+# every capture self-flagged regardless of host state; 1.35 sits above
+# the measured idle ceiling while still catching the co-tenant membw
+# contention episodes the gate exists for (observed >1.5 when busy).
+# Override with GRAFT_BENCH_DRIFT_MAX.
+DRIFT_MAX = float(os.environ.get("GRAFT_BENCH_DRIFT_MAX", "1.35"))
 LOAD_MAX = float(os.environ.get("GRAFT_BENCH_LOAD_MAX", "2.0"))
 ADMIT_POLL_SEC = int(os.environ.get("GRAFT_BENCH_ADMIT_POLL_SEC", "30"))
 ADMIT_WAIT_SEC = int(os.environ.get("GRAFT_BENCH_ADMIT_WAIT_SEC", "900"))
