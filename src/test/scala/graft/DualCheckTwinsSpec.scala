@@ -68,4 +68,39 @@ class DualCheckTwinsSpec extends SparkSuite {
       SimilarityQueries.queries("sim_pq_codes")(spark, dir),
       DualCheckTwins.pqCodesTwin(spark, dir))
   }
+
+  test("round-14 twins (the former sf10 oracle-timeout set) match their " +
+      "primaries at sf0.01 — self-join vs bucket-collect, two-phase agg " +
+      "vs countDistinct, exploded bit votes vs simhash_agg, raw-instance " +
+      "CMS cells vs the vocab form, label propagation vs star CC") {
+    val dir = sf("sf0.01")
+    import graft.queries.TextQueries
+    assertSame("dedup_winnow_pairs",
+      DedupQueries.queries("dedup_winnow_pairs")(spark, dir),
+      DualCheckTwins.winnowPairsJoin(spark, dir))
+    assertSame("dedup_cdc_chunks",
+      DedupQueries.queries("dedup_cdc_chunks")(spark, dir),
+      DualCheckTwins.cdcChunksTwoPhase(spark, dir))
+    assertSame("dedup_simhash_pairs",
+      DedupQueries.queries("dedup_simhash_pairs")(spark, dir),
+      DualCheckTwins.simhashPairsJoin(spark, dir))
+    assertSame("dedup_embedding_near",
+      DedupQueries.queries("dedup_embedding_near")(spark, dir),
+      DualCheckTwins.embeddingNearJoin(spark, dir))
+    assertSame("dedup_semantic_survivors",
+      DedupQueries.queries("dedup_semantic_survivors")(spark, dir),
+      DualCheckTwins.semanticSurvivorsTwin(spark, dir))
+    assertSame("dedup_split_leakproof",
+      DedupQueries.queries("dedup_split_leakproof")(spark, dir),
+      DualCheckTwins.splitLeakproofTwin(spark, dir))
+    assertSame("text_corpus_fingerprint",
+      TextQueries.queries("text_corpus_fingerprint")(spark, dir),
+      DualCheckTwins.corpusFingerprintVotes(spark, dir))
+    assertSame("text_fingerprint",
+      TextQueries.queries("text_fingerprint")(spark, dir),
+      DualCheckTwins.fingerprintVotes(spark, dir))
+    assertSame("text_cms_counts",
+      TextQueries.queries("text_cms_counts")(spark, dir),
+      DualCheckTwins.cmsCountsRaw(spark, dir))
+  }
 }
