@@ -20,6 +20,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Timed consumption that forces EVERY output column (round-14 VERDICT
+    * #2): under the old `.count()` shape Catalyst pruned the aggregate
+    * VALUE expressions — text_lm_score timed 1.5 s warm at sf1 while any
+    * consumer that actually read the scores paid ~6 s for the same chain,
+    * so value-producing queries benched optimistically. xxhash64 over all
+    * columns (maps/variants via a string cast — the hash expression
+    * doesn't take them directly) makes every column load-bearing; the
+    * single SUM keeps the driver transfer at one row. Returns the row
+    * count so callers can keep asserting rows>0.
+    */
+  def consumeAll(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, xxhash64}
+    import org.apache.spark.sql.types.{MapType, VariantType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType | _: VariantType => col(f.name).cast("string")
+        case _ => col(f.name)
+      }
+    }
+    // bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI mode;
+    // xor is order-independent and forces every hash all the same.
+    if (cols.isEmpty) df.count()
+    else df.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)"))
+      .head().getLong(0)
+  }
+
   private def loadavg(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+").head.toDouble
@@ -95,7 +122,7 @@ object Bench {
       for ((name, fn) <- order if !errors.contains(name)) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          consumeAll(fn(spark, sfDir))
           timings(name) = ((System.nanoTime() - t0) / 1e9) :: timings(name)
         } catch {
           case e: Throwable =>
@@ -104,9 +131,12 @@ object Bench {
         }
       }
     }
+    // true median: even-length lists average the two middle elements
+    // (ADVICE r14 — the old upper-middle pick biased the diagnostic up)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
-      s(s.size / 2)
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     // Spread = agreement of the k FASTEST runs around the min (k<=3), not
     // a median over ALL runs. The reported statistic is the min, so
@@ -146,7 +176,7 @@ object Bench {
         for ((name, fn) <- order if !errors.contains(name)) {
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            consumeAll(fn(spark, sfDir))
             timings(name) = ((System.nanoTime() - t0) / 1e9) :: timings(name)
           } catch {
             case e: Throwable =>
@@ -191,12 +221,25 @@ object Bench {
     // but catch any real plan/code regression. Parsed with the Jackson that
     // ships in Spark's own classpath; a missing/unreadable previous capture
     // degrades to prev_capture:null, never a failure.
+    // Consumption-shape identity: a ledger diff is only meaningful against
+    // a prev capture timed with the SAME consumption (round-14 VERDICT #2
+    // switched count() -> hash_all; comparing across shapes would flag the
+    // shape change itself as regressions). Prev captures without the field
+    // are the old count() shape.
+    val Consumption = "hash_all"
     val prevFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
       "bench/bench_" + new java.io.File(sfDir).getName + ".json")
     val (prevCaptureJson, regressions) =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File(prevFile))
+        val prevShape =
+          if (node.has("consumption")) node.get("consumption").asText()
+          else "count"
+        if (prevShape != Consumption)
+          throw new IllegalStateException(
+            s"prev capture shape '$prevShape' != '$Consumption' — " +
+              "ledger skipped; re-baseline with the new shape")
         val prevQ = node.get("queries")
         val regs = results.collect {
           case (name, now, _, _)
@@ -306,7 +349,7 @@ object Bench {
     val errs2 = errors.keys.toList.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"errors":$errs2,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_ref_start":$cpuRefStart,"cpu_ref_end":$cpuRefEnd,"cpu_ref_par_start":$cpuRefParStart,"cpu_ref_par_end":$cpuRefParEnd,"spread":$spreads,"medians":$medians,"prev_capture":$prevCaptureJson,"regressions":$regressions,"contaminated":$contaminated}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","consumption":"$Consumption","queries":$qs,"streaming":$streamingJson,"errors":$errs2,"sf":"$sfDir","trials":$trials,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_ref_start":$cpuRefStart,"cpu_ref_end":$cpuRefEnd,"cpu_ref_par_start":$cpuRefParStart,"cpu_ref_par_end":$cpuRefParEnd,"spread":$spreads,"medians":$medians,"prev_capture":$prevCaptureJson,"regressions":$regressions,"contaminated":$contaminated}"""
     println(line)
     // The driver's stdout capture truncated round 5's per-query tail
     // (56/96 timings survived) — persist the full line to a file too so
@@ -343,6 +386,7 @@ object Bench {
     val ncontam = contaminatedNames.size
     val summaryLine =
       s"""{"metric":"total","value":$total,"unit":"sec","nq":$nq,""" +
+        s""""consumption":"$Consumption",""" +
         s""""streaming_events_per_sec":$streamEvPerSec,""" +
         s""""streaming_spread":${f"$streamSpread%.2f"},""" +
         s""""contaminated_count":$ncontam,"errors_count":${errors.size},""" +

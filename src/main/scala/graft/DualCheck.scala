@@ -256,6 +256,14 @@ object DualCheck {
       val ok = check(name, sfDir, primary(spark, sfDir), twin(spark, sfDir))
       allMatch = allMatch && ok
     }
+    // Round-15 twin (VERDICT r14 #3): sim_label_audit — the last
+    // kNN-family member without an independent full-sf10 check.
+    if (which == "sim_label_audit" || which == "r15" || which == "all") {
+      val ok = check("sim_label_audit", sfDir,
+        SimilarityQueries.queries("sim_label_audit")(spark, sfDir),
+        DualCheckTwins.labelAuditFold(spark, sfDir))
+      allMatch = allMatch && ok
+    }
     spark.stop()
     if (!allMatch) sys.exit(2)
   }

@@ -635,6 +635,56 @@ object DualCheckTwins {
       .orderBy(col("doc_id"))
   }
 
+  /** sim_label_audit twin (round-15 VERDICT #3 — the one kNN-family
+    * member with no independent sf10 check: its oracle times out at sf10
+    * and it had neither a restricted row nor a twin). Machinery differs
+    * end to end: edges come from the INDEPENDENT banded self-join
+    * ([[graft.DualCheck.knnGraphJoin]] — the round-11 second edge
+    * implementation, itself full-sf10-verified against the primary), and
+    * the neighbor-label majority vote is a per-row run-length fold over a
+    * sorted collect_list'ed label array instead of the primary's
+    * groupBy(vec_id, label) + row_number window. The strict `>` on run
+    * close over the ascending-sorted array reproduces the primary's
+    * tie -> smallest-label rule (the window's `v DESC, nl ASC` order).
+    */
+  def labelAuditFold(s: SparkSession, dir: String): DataFrame = {
+    val edges = DualCheck.knnGraphJoin(s, dir)
+    val labels = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val vote = edges.select(col("vec_id"), col("nid"))
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("nl")),
+        "nid")
+      .groupBy(col("vec_id"))
+      .agg(expr("sort_array(collect_list(nl))").as("nls"))
+      .select(col("vec_id"),
+        size(col("nls")).cast("long").as("n_neighbors"),
+        expr("""aggregate(
+            nls,
+            named_struct('best', element_at(nls, 1), 'bc', 0L,
+                         'cur',  element_at(nls, 1), 'cc', 0L),
+            (a, x) -> if(x = a.cur,
+              named_struct('best', a.best, 'bc', a.bc,
+                           'cur', a.cur, 'cc', a.cc + 1L),
+              if(a.cc > a.bc,
+                named_struct('best', a.cur, 'bc', a.cc, 'cur', x, 'cc', 1L),
+                named_struct('best', a.best, 'bc', a.bc,
+                             'cur', x, 'cc', 1L))),
+            a -> if(a.cc > a.bc,
+              named_struct('p', a.cur, 'v', a.cc),
+              named_struct('p', a.best, 'v', a.bc)))""").as("mv"))
+      .select(col("vec_id"), col("n_neighbors"),
+        col("mv.p").as("predicted"), col("mv.v").as("n_votes"))
+    labels
+      .join(vote, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        col("predicted"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+        coalesce(col("predicted") === col("label"), lit(false))
+          .as("agree"))
+      .orderBy(col("vec_id"))
+  }
+
   /** text_cms_counts twin: sketch cells counted from RAW token instances
     * (|tokens|×d exploded rows) — the round-13 primary's machinery, kept
     * as the independence twin after the round-14 A/B promoted the

@@ -83,9 +83,19 @@ object StreamFuzz {
       poisonColl: Option[Int], // transient fault -> sibling cancel
       poisonTrips: Int)
 
+  // Full JSON string escape (ADVICE r14): exception toStrings recorded in
+  // 'unexpected'/'err' can carry tabs, CRs or other control chars — every
+  // char < 0x20 must escape or the fuzz artifact stops parsing.
   private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n") + "\""
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   private def genScenario(seed: Long): Scenario = {
     val r = new Random(seed * 0x9e3779b97f4a7c15L + GeneratorVersion)

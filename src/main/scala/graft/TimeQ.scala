@@ -15,7 +15,9 @@ object TimeQ {
     spark.sparkContext.setLogLevel("ERROR")
     for (dir <- args.tail; trial <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(args(0))(spark, dir).count()
+      // same full-column consumption as Bench (count() would let Catalyst
+      // prune the value expressions and under-measure)
+      val n = Bench.consumeAll(SparkEntry.queries(args(0))(spark, dir))
       println(f"${args(0)} $dir trial$trial: ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
     }
     spark.stop()

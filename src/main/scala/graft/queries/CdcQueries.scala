@@ -42,14 +42,26 @@ object CdcQueries {
     variantDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-variant").toString + "/events_variant"
-      s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
-      s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
-      load(s, dir, "events")
-        .select(col("event_id"),
-          expr("""parse_json(concat('{"e":',
-            to_json(struct(event_id as id, event_type as t)),
-            ',"p":', coalesce(props, 'null'), '}'))""").as("v"))
-        .write.mode("overwrite").parquet(out)
+      // The shredding WRITE confs are one-shot: the write below is eager,
+      // so snapshot and restore them around it instead of leaking
+      // shredding semantics into every later write in the shared session
+      // (ADVICE r14). The READ confs live in cdc_variant_at_rest, where
+      // the scan is planned.
+      val writeConfs = Seq("spark.sql.variant.writeShredding.enabled",
+        "spark.sql.variant.inferShreddingSchema")
+      val saved = writeConfs.map(k => k -> s.conf.getOption(k))
+      try {
+        writeConfs.foreach(s.conf.set(_, "true"))
+        load(s, dir, "events")
+          .select(col("event_id"),
+            expr("""parse_json(concat('{"e":',
+              to_json(struct(event_id as id, event_type as t)),
+              ',"p":', coalesce(props, 'null'), '}'))""").as("v"))
+          .write.mode("overwrite").parquet(out)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
       out
     })
 
@@ -180,6 +192,15 @@ object CdcQueries {
     // root to exactly the two referenced paths (struct<0:bigint,1:string>
     // — pinned in PlanSpec). The oracle replays from the source columns.
     "cdc_variant_at_rest" -> ((s, dir) => {
+      // The READ confs cannot be snapshot-restored here: the returned
+      // frame is lazy and the scan is (re)planned at every consumer
+      // action, so unsetting them after construction would silently turn
+      // the shredded pushdown off at execution time. They stay session-
+      // scoped BY DESIGN — both only affect scans of variant-typed
+      // columns, and this derivative table is the surface's only variant
+      // column, so no other query's semantics can change (ADVICE r14
+      // adjudication; the leaking WRITE confs are now scoped in
+      // variantTable).
       s.conf.set("spark.sql.variant.allowReadingShredded", "true")
       s.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
       s.read.parquet(variantTable(s, dir))

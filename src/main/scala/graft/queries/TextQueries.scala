@@ -159,11 +159,19 @@ object TextQueries {
     // every step. With the loss vector fixed, DoremiSteps plays the
     // sharpness role the proxy-model re-estimation plays in the real
     // loop. Scale: the corpus is scanned ONCE into the bounded
-    // per-source table (map-side-partial agg); localCheckpoint cuts the
-    // lineage (the mix_contrastive/CC pattern) so each MW step is two
-    // tiny jobs over #sources rows; the final allocation decomposes as
-    // (t div 1e6)·α + ((t mod 1e6)·α) div 1e6 so a 100 TB token total
-    // (~3e13) never overflows a BIGINT under ANSI mode.
+    // per-source table (map-side-partial agg), which is then collected —
+    // a MODEL-sized frame (#sources rows; the same bounded-cardinality
+    // contract every mix_* query's per-source output rests on, and the
+    // same bounded-collect discipline as the KMeans centroids) — and the
+    // MW schedule runs on the driver in the identical exact BIGINT
+    // arithmetic. Round-14 measured why NOT to localCheckpoint here:
+    // Dataset.localCheckpoint materializes via df.rdd WITHOUT AQE, so
+    // the checkpoint paid a no-AQE evaluation of the whole lmScores join
+    // chain (7.4 s at sf1 where the AQE plan costs ~5.6 s); the collect
+    // is a plain action, fully AQE-planned, and replaces 2·DoremiSteps
+    // scheduler round-trips with integer ops on #sources longs. The
+    // final allocation decomposes as (t div 1e6)·α + ((t mod 1e6)·α)
+    // div 1e6 so a 100 TB token total (~3e13) never overflows a BIGINT.
     "mix_doremi_weights" -> ((s, dir) => {
       val src = load(s, dir, "documents")
         .select(col("doc_id"), col("source"))
@@ -178,23 +186,31 @@ object TextQueries {
           sum(col("ex_micro")).as("sum_ex"))
         .withColumn("lambda_micro", expr("sum_ex div n_docs"))
         .withColumn("m", expr("1000L + least(lambda_micro div 1000, 1000L)"))
-      val ns = per.agg(count(lit(1)).as("n_sources"),
-        sum(col("n_tokens")).as("tot_tokens"))
-      var cur = per.crossJoin(broadcast(ns))
-        .withColumn("alpha", expr("1000000L div n_sources"))
-        .localCheckpoint()
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("lambda_micro"), col("m"))
+        .collect()
+      require(per.length <= 100000,
+        s"mix_doremi_weights: ${per.length} sources exceeds the bounded " +
+          "per-source collect contract (sources are provenance labels, " +
+          "not data rows)")
+      val totTokens = per.iterator.map(_.getLong(2)).sum
+      val nSources = per.length.toLong
+      val m = per.map(_.getLong(4))
+      // exact-integer MW loop — op-for-op the SQL chain the oracle
+      // unrolls (nonneg BIGINT div == Long division)
+      var alpha = Array.fill(per.length)(1000000L / nSources)
       for (_ <- 1 to DoremiSteps) {
-        val stepped = cur.withColumn("raw", col("alpha") * col("m"))
-        val tot = stepped.agg(sum(col("raw")).as("sraw"))
-        cur = stepped.crossJoin(broadcast(tot))
-          .withColumn("alpha", expr("(raw * 1000000L) div sraw"))
-          .drop("raw", "sraw")
+        val raw = Array.tabulate(per.length)(i => alpha(i) * m(i))
+        val sraw = raw.sum
+        alpha = raw.map(r => (r * 1000000L) / sraw)
       }
-      cur.select(col("source"), col("n_docs"), col("n_tokens"),
-          col("lambda_micro"), col("alpha").as("weight_ppm"),
-          expr("(tot_tokens div 1000000) * alpha + " +
-            "((tot_tokens % 1000000) * alpha) div 1000000")
-            .as("alloc_tokens"))
+      import s.implicits._
+      per.toSeq.zipWithIndex.map { case (r, i) =>
+        val a = alpha(i)
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), a,
+          (totTokens / 1000000L) * a + ((totTokens % 1000000L) * a) / 1000000L)
+      }.toDF("source", "n_docs", "n_tokens", "lambda_micro", "weight_ppm",
+          "alloc_tokens")
         .orderBy(col("source"))
     }),
 
@@ -1308,28 +1324,52 @@ object TextQueries {
   private def lmScores(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = load(s, dir, "documents")
-    val tk = docs.select(col("doc_id"), explode(expr(toks)).as("tok"))
-    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
-    // bigram stream: zip each token with its successor (empty for
-    // single-token docs — slice(…, 1, 0) is [])
-    val bg = docs.select(col("doc_id"), explode(expr(
-      s"""zip_with(slice($toks, 1, size($toks) - 1),
-                   slice($toks, 2, size($toks) - 1),
-                   (a, b) -> named_struct('t1', a, 't2', b))""")).as("b"))
-      .select(col("doc_id"), col("b.t1"), col("b.t2"))
-    val bic = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
-    val uniScore = tk.join(uni, "tok").crossJoin(broadcast(tot))
+    // Round-15 shape, from the round-14 redundancy measurement: the old
+    // form ran SEPARATE token and bigram streams (tk, bg) through
+    // separate count aggs and separate per-doc score aggs, and because
+    // each count subtree was projected differently by its consumers,
+    // ReuseExchange never fired — the corpus explode replayed 4-5x per
+    // evaluation. This form explodes ONCE, carrying each token with its
+    // successor (try_element_at -> NULL for the last token), so a single
+    // (tok, nxt) count table derives BOTH models:
+    //   c1(tok)        = Σ_nxt cnt   (unigram count — every instance has
+    //                                 exactly one (tok, nxt) row)
+    //   c12(tok, nxt)  = cnt         (bigram count, nxt non-null rows)
+    // and ONE per-doc aggregation computes n_tokens + both logprob
+    // averages (the bigram avg skips the NULL-nxt rows, which is exactly
+    // the old per-bigram frame). Two corpus passes total — one for the
+    // counts, one for the scores — and one shuffle by doc_id.
+    //
+    // The count table is localCheckpoint'ed: it is referenced three ways
+    // (uniT join, bicT join, tot broadcast) and would otherwise replay
+    // the counting pass per reference. It grows with VOCABULARY² at worst
+    // (Heaps' law on both axes), never corpus size, so the cut is
+    // model-sized at any SF; its plan is scan -> explode -> hash-agg with
+    // NO joins, so localCheckpoint's no-AQE materialization path (it
+    // compiles via df.rdd — the other round-14 finding) gives up nothing.
+    // The score joins still evaluate under AQE, which broadcast-sizes
+    // uniT/bicT from the checkpointed table's real runtime stats.
+    val ex = docs
+      .select(col("doc_id"), expr(toks).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(col("__t")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        expr("try_element_at(__t, pos + 2)").as("nxt"))
+    val g = ex.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val uniT = g.groupBy(col("tok")).agg(sum(col("cnt")).as("c1"))
+    val bicT = g.filter(col("nxt").isNotNull)
+      .select(col("tok"), col("nxt"), col("cnt").as("c12"))
+    val tot = uniT.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    ex.join(uniT, "tok")
+      .join(bicT, Seq("tok", "nxt"), "left")
+      .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("c1").cast("double") / col("n"))), 6)
-          .as("uni_logprob"))
-    val biScore = bg.join(bic, Seq("t1", "t2"))
-      .join(uni.select(col("tok").as("t1"), col("c1")), "t1")
-      .crossJoin(broadcast(tot.select(col("v"))))
-      .groupBy(col("doc_id"))
-      .agg(round(avg(log((col("c12") + lit(1)).cast("double") /
-        (col("c1") + col("v")))), 6).as("bi_logprob"))
-    uniScore.join(biScore, Seq("doc_id"), "left")
+          .as("uni_logprob"),
+        round(avg(when(col("nxt").isNotNull,
+          log((col("c12") + lit(1)).cast("double") /
+            (col("c1") + col("v"))))), 6).as("bi_logprob"))
   }
 }

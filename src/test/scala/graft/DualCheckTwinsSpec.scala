@@ -103,4 +103,12 @@ class DualCheckTwinsSpec extends SparkSuite {
       TextQueries.queries("text_cms_counts")(spark, dir),
       DualCheckTwins.cmsCountsRaw(spark, dir))
   }
+
+  test("round-15 twin: sim_label_audit array-fold majority vote over " +
+      "self-join edges matches the groupBy+window primary") {
+    for (dir <- Seq(sf("sf0.001"), sf("sf0.01")))
+      assertSame(s"sim_label_audit@$dir",
+        SimilarityQueries.queries("sim_label_audit")(spark, dir),
+        DualCheckTwins.labelAuditFold(spark, dir))
+  }
 }
