@@ -698,13 +698,28 @@ object DedupQueries {
     // signature is ~|text|/w hashes, so the inverted index is w× smaller
     // than the full shingle index — the cheap first-pass at 100 TB.
     // Bit-exact oracle (same window-minima replay as text_fingerprint).
+    //
+    // No silent caps (round-14 VERDICT #8): at sf10's 100-replica corpus
+    // the DfCap drops EVERY bucket (each fingerprint lives in ≥100 docs),
+    // which is correct per the cap contract but must not be invisible — a
+    // real corpus with hot boilerplate would lose those pairs the same
+    // way. The dropped-bucket count and posting mass ride the existing
+    // aggregation pass as an OBSERVED metric (zero extra jobs), logged by
+    // CapDrops' listener on every action and pinned in CapDropsSpec.
     "dedup_winnow_pairs" -> ((s, dir) => {
+      CapDrops.ensureListener(s)
       val fp = load(s, dir, "documents")
         .select(col("doc_id"),
           explode(expr(s"winnow_fingerprint(text, $WinnowK, $WinnowW)"))
             .as("f"))
       fp.groupBy(col("f"))
         .agg(expr("sort_array(collect_list(doc_id))").as("ds"))
+        .observe(s"graft_dropped_winnow_${CapDrops.nextId()}",
+          count(when(size(col("ds")) > DfCap, lit(1)))
+            .as("dropped_buckets"),
+          coalesce(sum(when(size(col("ds")) > DfCap,
+            size(col("ds")).cast("long"))), lit(0L)).as("dropped_postings"),
+          count(lit(1)).as("total_buckets"))
         .filter(size(col("ds")).between(2, DfCap))
         .select(explode(expr("ordered_pairs(ds)")).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -712,6 +727,27 @@ object DedupQueries {
         .filter(col("shared_fp") >= WinnowMinShared)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+
+    // Companion drop audit for the winnow cap — ORACLE-GATED telemetry
+    // (round-14 VERDICT #8). The observed metric above logs the drop on
+    // every non-empty run, but AQE's empty-relation propagation replaces
+    // the plan subtree (CollectMetrics included) exactly when EVERYTHING
+    // was dropped and the result is empty — the case that most needs the
+    // explanation. This one-row query is the loss-proof channel: at sf10's
+    // 100-replica corpus it reports every bucket dropped (the reason
+    // dedup_winnow_pairs is legitimately 0-row there), DuckDB-replayed
+    // bit-exactly at every gate SF.
+    "dedup_winnow_dropped" -> ((s, dir) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr(s"winnow_fingerprint(text, $WinnowK, $WinnowW)"))
+            .as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .agg(
+          count(when(col("n") > DfCap, lit(1))).as("dropped_buckets"),
+          coalesce(sum(when(col("n") > DfCap, col("n"))), lit(0L))
+            .as("dropped_postings"),
+          count(lit(1)).as("total_buckets"))),
 
     // SimHash near-dup candidates: 64-bit SimHash, 4 bands of 16 bits —
     // pairs sharing a band, kept iff Hamming distance ≤ 6. Bucket-collect
@@ -1278,6 +1314,37 @@ object DedupQueries {
           FROM cand GROUP BY doc_a, doc_b
           HAVING COUNT(*) >= $WinnowMinShared
           ORDER BY doc_a, doc_b""",
+
+    // Winnow drop audit: same winnowing CTE chain, one row of cap-drop
+    // stats (the "no silent caps" channel for dedup_winnow_pairs).
+    "dedup_winnow_dropped" ->
+      s"""WITH grams AS (
+            SELECT doc_id, i,
+                   ${OracleSql.signedSql(OracleSql.fnvSql(
+                       s"substring(text, i, $WinnowK)"))} AS h,
+                   length(text) - ${WinnowK - 1} AS m
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1,
+                            length(text) - ${WinnowK - 1})) AS i) g
+            WHERE length(text) >= $WinnowK),
+          wmin AS (
+            SELECT doc_id, i, m,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND
+                                ${WinnowW - 1} FOLLOWING) AS wm
+            FROM grams),
+          picked AS (
+            SELECT doc_id, wm FROM wmin WHERE m <= $WinnowW AND i = 1
+            UNION
+            SELECT doc_id, wm FROM wmin
+            WHERE m > $WinnowW AND i + ${WinnowW - 1} <= m),
+          grp AS (SELECT wm, COUNT(*) AS n FROM picked GROUP BY wm)
+          SELECT CAST(COUNT(CASE WHEN n > $DfCap THEN 1 END) AS BIGINT)
+                   AS dropped_buckets,
+                 CAST(COALESCE(SUM(CASE WHEN n > $DfCap THEN n END), 0)
+                   AS BIGINT) AS dropped_postings,
+                 CAST(COUNT(*) AS BIGINT) AS total_buckets
+          FROM grp""",
 
     // MinHash-LSH: 3-gram shingles (non-distinct — duplicates can't lower
     // a min), 32 permutations via splitmix64(fnv + p*prime), SIGNED minima
