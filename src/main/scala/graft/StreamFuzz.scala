@@ -48,12 +48,17 @@ import graft.streaming.StreamingCdc.StreamConfig
   *    mid-stream; errgroup fail-fast cancels the healthy siblings
   *    mid-batch, and the retry must converge everyone).
   *
+  * Generator v3 (round 15) additionally flips each scenario between the
+  * foreachBatch runtime and the DSv2 StreamingWrite sink
+  * (graft.sinks.MessageSink) — the same seed space of kills, trim races,
+  * invalidates and poisons now exercises the epoch-commit path too.
+  *
   * Usage: `sbt "runMain graft.StreamFuzz <outJson> [n] [seed0]"`.
   * Exits 2 on any failed scenario.
   */
 object StreamFuzz {
 
-  final val GeneratorVersion = 2
+  final val GeneratorVersion = 3
 
   private val Ops = Seq(
     // weighted op pool: publishable ops dominate, skip-ops and the odd
@@ -81,7 +86,8 @@ object StreamFuzz {
       killColl: Int,
       killBatch: Option[Long], // -1 = inside trimTokens' race window
       poisonColl: Option[Int], // transient fault -> sibling cancel
-      poisonTrips: Int)
+      poisonTrips: Int,
+      dsv2Sink: Boolean)       // K1/K2 via the DSv2 StreamingWrite
 
   // Full JSON string escape (ADVICE r14): exception toStrings recorded in
   // 'unexpected'/'err' can carry tabs, CRs or other control chars — every
@@ -129,7 +135,8 @@ object StreamFuzz {
       killColl = r.nextInt(nColls),
       killBatch = killBatch,
       poisonColl = if (poison) Some(r.nextInt(nColls)) else None,
-      poisonTrips = 1 + r.nextInt(2))
+      poisonTrips = 1 + r.nextInt(2),
+      dsv2Sink = r.nextBoolean())
   }
 
   /** Deterministic envelope row for token position i (1-based). */
@@ -173,7 +180,8 @@ object StreamFuzz {
         s"$dir/tokens$ci", s"$dir/ckpt$ci",
         tokensCapped = sc.capped, tokensMaxRows = sc.maxTokRows,
         maxFilesPerTrigger = sc.maxFiles, preAndPostImages = sc.prePost,
-        sourceFormat = "changestream", maxRowsPerTrigger = sc.maxRows)
+        sourceFormat = "changestream", maxRowsPerTrigger = sc.maxRows,
+        sinkFormat = if (sc.dsv2Sink) "dsv2" else "foreachbatch")
     }
     sc.colls.zipWithIndex.foreach { case (cl, ci) =>
       val r = new Random(
@@ -302,6 +310,7 @@ object StreamFuzz {
       s""""kill_fired":$killFired,""" +
       s""""poison_coll":${sc.poisonColl.getOrElse(-1)},""" +
       s""""poison_fired":$poisonFired,""" +
+      s""""dsv2_sink":${sc.dsv2Sink},""" +
       unexpected.map(u => s""""unexpected":${jsonStr(u)},""").getOrElse("") +
       s""""colls":[${collResults.map(_._2).mkString(",")}],"pass":$pass"""
     (pass, detail)

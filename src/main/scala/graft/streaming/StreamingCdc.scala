@@ -63,7 +63,13 @@ object StreamingCdc {
       // changestream-source admission control: row budget per trigger
       // (whole files in token order until the budget is hit). None =
       // all available.
-      maxRowsPerTrigger: Option[Long] = None) {
+      maxRowsPerTrigger: Option[Long] = None,
+      // K1/K2 sink: "foreachbatch" = the micro-batch driver loop below;
+      // "dsv2" = the DataSource V2 StreamingWrite (graft.sinks
+      // .MessageSink) — same two-phase publish/token contract declared
+      // through Spark's epoch commit API. Parity + crash-replay pinned
+      // on both paths by StreamingCdcSpec/StreamFuzz.
+      sinkFormat: String = "foreachbatch") {
     def resolvedStreamName: String =
       streamName.getOrElse(Model.defaultStreamName(name))
   }
@@ -106,19 +112,23 @@ object StreamingCdc {
     * Underscore-prefixed: invisible to Spark's listing, the part- filters
     * of ledger/trim, and tableExists' *.parquet probe.
     */
-  private def invalidatedMarker(cfg: StreamConfig) =
-    new org.apache.hadoop.fs.Path(cfg.tokensDir, "_invalidated")
+  private def invalidatedMarker(tokensDir: String) =
+    new org.apache.hadoop.fs.Path(tokensDir, "_invalidated")
 
-  private def markInvalidated(spark: SparkSession, cfg: StreamConfig): Unit = {
-    invalidated.put(cfg.name, true)
-    val p = invalidatedMarker(cfg)
+  private[graft] def markInvalidatedAt(spark: SparkSession, name: String,
+      tokensDir: String): Unit = {
+    invalidated.put(name, true)
+    val p = invalidatedMarker(tokensDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) fs.create(p, true).close()
   }
 
+  private def markInvalidated(spark: SparkSession, cfg: StreamConfig): Unit =
+    markInvalidatedAt(spark, cfg.name, cfg.tokensDir)
+
   private def hasInvalidatedMarker(spark: SparkSession,
       cfg: StreamConfig): Boolean = {
-    val p = invalidatedMarker(cfg)
+    val p = invalidatedMarker(cfg.tokensDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -153,8 +163,12 @@ object StreamingCdc {
 
   private def committedBatches(
       spark: SparkSession, cfg: StreamConfig): java.util.Set[java.lang.Long] =
-    ledgerCache.computeIfAbsent(cfg.tokensDir, _ =>
-      Observability.CommandMetrics.time(cfg.name, "tokens_read") {
+    committedBatchIds(spark, cfg.name, cfg.tokensDir)
+
+  private[graft] def committedBatchIds(spark: SparkSession, name: String,
+      tokensDir: String): java.util.Set[java.lang.Long] =
+    ledgerCache.computeIfAbsent(tokensDir, _ =>
+      Observability.CommandMetrics.time(name, "tokens_read") {
         val s = ConcurrentHashMap.newKeySet[java.lang.Long]()
         // Footer fast path (round-12 fixed-cost shave): the parquet
         // footers carry row counts, so an EMPTY ledger — every fresh
@@ -163,7 +177,7 @@ object StreamingCdc {
         // reads through Spark: it is rare per process lifetime and the
         // table is capped-small.
         val hconf = spark.sparkContext.hadoopConfiguration
-        val dir = new org.apache.hadoop.fs.Path(cfg.tokensDir)
+        val dir = new org.apache.hadoop.fs.Path(tokensDir)
         val fs = dir.getFileSystem(hconf)
         val parts = fs.listStatus(dir).map(_.getPath)
           .filter(_.getName.startsWith("part-"))
@@ -174,7 +188,7 @@ object StreamingCdc {
           try r.getRecordCount finally r.close()
         }.sum
         if (totalRows > 0)
-          spark.read.parquet(cfg.tokensDir).select("batch_id")
+          spark.read.parquet(tokensDir).select("batch_id")
             .collect().foreach(r => s.add(r.getLong(0)))
         s
       })
@@ -370,25 +384,29 @@ object StreamingCdc {
     * (max_by) and the ledger (set membership) are insensitive to
     * duplicates, and the next trim converges the row count.
     */
-  private[graft] def trimTokens(spark: SparkSession, cfg: StreamConfig): Unit = {
-    val t = spark.read.parquet(cfg.tokensDir)
-    if (t.count() > cfg.tokensMaxRows) {
+  private[graft] def trimTokens(spark: SparkSession, cfg: StreamConfig): Unit =
+    trimTokensAt(spark, cfg.name, cfg.tokensDir, cfg.tokensMaxRows)
+
+  private[graft] def trimTokensAt(spark: SparkSession, name: String,
+      tokensDir: String, tokensMaxRows: Int): Unit = {
+    val t = spark.read.parquet(tokensDir)
+    if (t.count() > tokensMaxRows) {
       val hconf = spark.sparkContext.hadoopConfiguration
-      val dir = new org.apache.hadoop.fs.Path(cfg.tokensDir)
+      val dir = new org.apache.hadoop.fs.Path(tokensDir)
       val fs = dir.getFileSystem(hconf)
       val oldFiles = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("part-"))
-      val keep = t.orderBy(col("batch_id").desc).limit(cfg.tokensMaxRows)
+      val keep = t.orderBy(col("batch_id").desc).limit(tokensMaxRows)
         .collect()
       val kept = spark.createDataFrame(
         java.util.Arrays.asList(keep: _*), tokenSchema)
-      kept.coalesce(1).write.mode("append").parquet(cfg.tokensDir)
+      kept.coalesce(1).write.mode("append").parquet(tokensDir)
       // fault-injection hook in the trim RACE WINDOW (kept rows appended,
       // old files not yet deleted — the crash point the scaladoc above
       // reasons about; batchId -1 marks "inside trim"). No-op in
       // production; StreamFuzz v2 kills here to probe the duplicate-file
       // recovery path across restarts.
-      faultpoint(cfg.name, -1L)
+      faultpoint(name, -1L)
       oldFiles.foreach(p => fs.delete(p, false))
     }
   }
@@ -436,10 +454,34 @@ object StreamingCdc {
     // drop/rename were always skipped downstream).
     val src = src0.filter(col("operationType")
       .isin((Model.PublishableOps :+ Model.InvalidateOp): _*))
-    val w = src.writeStream
-      .queryName(cfg.name)
-      .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch(processBatch(cfg) _)
+    val w =
+      if (cfg.sinkFormat == "dsv2") {
+        // K1/K2 through the DSv2 StreamingWrite (graft.sinks.MessageSink):
+        // the projection (D2 image mask included) moves INTO the stream
+        // dataflow — invalidate rows ride along flagged by `op`, and the
+        // F2 cut + token commit happen in the sink's epoch commit. The
+        // per-file token ordering the foreachBatch path got from
+        // sortWithinPartitions happens in the sink's DataWriter instead
+        // (Spark's analyzer rejects any Sort on a streaming plan).
+        val effective =
+          if (cfg.preAndPostImages) src
+          else src.withColumn("fullDocumentBeforeChange",
+            lit(null).cast("string"))
+        CdcPipeline.toSinkRows(cfg.resolvedStreamName)(effective)
+          .writeStream
+          .queryName(cfg.name)
+          .option("checkpointLocation", cfg.checkpointDir)
+          .format(classOf[graft.sinks.MessageSink].getName)
+          .option("path", cfg.messagesDir)
+          .option("tokensDir", cfg.tokensDir)
+          .option("name", cfg.name)
+          .option("capped", cfg.tokensCapped.toString)
+          .option("maxTokRows", cfg.tokensMaxRows.toString)
+      } else
+        src.writeStream
+          .queryName(cfg.name)
+          .option("checkpointLocation", cfg.checkpointDir)
+          .foreachBatch(processBatch(cfg) _)
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
