@@ -46,6 +46,20 @@ object DedupQueries {
   // per task) — the point is an upper bound, not shingle-level sparsity.
   private[graft] val VecBucketCap = 200
 
+  /** Distributed lineage cut: evaluate `df` ONCE under the normal
+    * AQE-planned path by writing it to a session-temp parquet table and
+    * re-reading it. The scale-safe alternative to `localCheckpoint` for
+    * frames that are NOT model-sized (localCheckpoint compiles its
+    * materialization via `df.rdd`, losing AQE's runtime broadcast-join
+    * conversions — the round-14 measurement) and too big to collect.
+    */
+  private[graft] def materialize(s: SparkSession, df: DataFrame): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-mat").toString + "/t"
+    df.write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+  }
+
   // Corpus doc count for the prefix-pairs activation floor — cached per
   // dir like SimilarityQueries.embCount (footer-only count, but the bench
   // re-invokes the query every trial).
@@ -438,11 +452,16 @@ object DedupQueries {
       // anchor list, and the collision anti-join); without a lineage cut
       // each reference recomputes the whole df-capped Jaccard chain —
       // measured 3-4x the query's real work at sf1 (21 s -> the chain
-      // once). localCheckpoint materializes the bounded pair list
-      // (2 longs/row) exactly once — the same lifecycle pattern as the
-      // ConnectedComponents rounds.
-      val pos = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
+      // once). Round 15 swaps the localCheckpoint for a parquet
+      // round-trip: Dataset.localCheckpoint materializes via df.rdd
+      // WITHOUT AQE (the r14 finding), so the one chain evaluation lost
+      // its runtime broadcast-join conversions and still paid ~15 s at
+      // sf1; the temp-table write is a plain AQE-planned action, stays
+      // fully distributed (no driver bound — the pair list grows with
+      // corpus size, unlike doremi's model-sized frame), and the three
+      // consumers re-read a plain scan. sf1: 20.3 -> ~6 s.
+      val pos = materialize(s, jaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b")))
       val docs = load(s, dir, "documents").select(col("doc_id"))
       val nRow = docs.agg(count(lit(1)).as("n"))
       val pool = docs.crossJoin(broadcast(nRow))
@@ -461,15 +480,28 @@ object DedupQueries {
           conv(substring(md5(concat(lit("nb:"), col("a").cast("string"),
             lit(":"), col("j").cast("string"))), 1, 2), 16, 10)
             .cast("bigint"))
-      val w = Window.partitionBy(col("a"), col("j"))
-        .orderBy(col("h"), col("doc_id"))
+      // per-(anchor, j) argmin by (h, doc_id) as a plain MIN aggregate,
+      // not a row_number window and not min_by-over-struct: the window
+      // form sorted the full probes×bucket-members stream (6.2M rows at
+      // sf1 — 13 of the query's 20 s), and min_by with a struct ordering
+      // key silently degrades to SortAggregate (struct agg buffers are
+      // not hash-aggregable), which re-sorts the same stream. Encoding
+      // the ordering key as ONE string — h (fixed 32 hex chars) ++
+      // zero-padded doc_id (lexicographic == numeric for non-negative
+      // longs) — keeps the argmin a declarative min() inside
+      // HashAggregate with map-side partial combine: nothing is ever
+      // sorted, the exchange carries one candidate per (a, j). Same
+      // selection as the oracle's ROW_NUMBER ... ORDER BY h, doc_id.
       val neg = probes.join(pool, "bucket")
         .filter(col("doc_id") =!= col("a"))
         .withColumn("h", md5(concat(lit("np:"), col("a").cast("string"),
           lit(":"), col("j").cast("string"), lit(":"),
           col("doc_id").cast("string"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("a"), col("j"))
+        .agg(min(concat(col("h"),
+          lpad(col("doc_id").cast("string"), 20, "0"))).as("mk"))
+        .select(col("a"),
+          expr("cast(substring(mk, 33) as bigint)").as("doc_id"))
         .select(least(col("a"), col("doc_id")).as("doc_a"),
           greatest(col("a"), col("doc_id")).as("doc_b"))
         .distinct()
