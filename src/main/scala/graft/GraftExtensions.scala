@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "token_mode(tokens) - struct(top_word, top_cnt): dominant token, " +
           "smallest-lexicographic tie-break"),
       (es: Seq[Expression]) => TokenMode(es.head)))
+    ext.injectFunction((FunctionIdentifier("token_counts"),
+      info("token_counts",
+        "token_counts(tokens) - array<struct<token, cnt>> sorted by " +
+          "token: per-row term frequencies"),
+      (es: Seq[Expression]) => TokenCounts(es.head)))
     ext.injectFunction((FunctionIdentifier("sig_match"),
       info("sig_match",
         "sig_match(sig_a, sig_b) - matching-position count of signatures"),

@@ -340,6 +340,38 @@ object TextHashImpl {
     InternalRow(best, bestCnt)
   }
 
+  /** token_counts(tokens): array<struct<token, cnt>> sorted by token
+    * (binary UTF-8 ascending, nulls skipped) — the per-row term-frequency
+    * table. The zero-shuffle backbone of TF-style scoring: computes in
+    * one sorted run-length pass what an explode + groupBy(doc_id, token)
+    * buys with a corpus-wide exchange (the round-15 tfidf rewrite).
+    */
+  def tokenCounts(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    var m = 0
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) { arr(m) = tokens.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    java.util.Arrays.sort(arr, 0, m,
+      new java.util.Comparator[UTF8String] {
+        def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+      })
+    val out = new java.util.ArrayList[Any](m)
+    var cur = arr(0); var curCnt = 1L
+    i = 1
+    while (i < m) {
+      if (arr(i).equals(cur)) curCnt += 1L
+      else { out.add(InternalRow(cur, curCnt)); cur = arr(i); curCnt = 1L }
+      i += 1
+    }
+    out.add(InternalRow(cur, curCnt))
+    new GenericArrayData(out.toArray)
+  }
+
   /** 64-bit perceptual difference-hash (dHash, public algorithm — Krawetz,
     * "Kind of Like That", hackerfactor 2013) over the synthetic bitmap that
     * [[graft.operators.Multimodal]]'s stub decode produces for image-kind
@@ -596,6 +628,25 @@ case class TokenMode(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** token_counts(tokens): array<struct<token, cnt>> sorted by token —
+  * per-row term frequencies (see TextHashImpl.tokenCounts).
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression
+    with GraftTypedUnary {
+  override def expectedInputType: DataType = ArrayType(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.tokenCounts(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.tokenCounts($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCounts =
+    copy(child = c)
+}
+
 /** sig_match(array<long>, array<long>): matching-position count. */
 case class SigMatch(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -790,6 +841,8 @@ object TextHashes {
       wordNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("token_mode",
       es => TokenMode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("token_counts",
+      es => TokenCounts(es.head), "built-in")
     reg.createOrReplaceTempFunction("char_windows",
       charWindowsBuilder, "built-in")
     reg.createOrReplaceTempFunction("cdc_chunks",

@@ -65,12 +65,20 @@ object ConnectedComponents {
     // Materialize the normalized input once: round 1 references `e` three
     // times (both large-star directions + the signature) — without this,
     // an expensive upstream (e.g. the Jaccard pair pipeline) re-executes
-    // per reference.
-    var e = edges
-      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(false) // materialized by the signature action below
+    // per reference. Round 15: temp-parquet materialize instead of
+    // localCheckpoint — localCheckpoint compiles its one evaluation via
+    // df.rdd WITHOUT AQE (the round-14 measurement), so the expensive
+    // upstream lost its runtime broadcast-join conversions exactly where
+    // it is evaluated. The in-loop round checkpoints below stay local:
+    // their inputs are already-materialized edge RDDs with no joins to
+    // re-plan, so the no-AQE path gives up nothing there and they avoid
+    // a per-round parquet round-trip.
+    var e = graft.queries.DedupQueries.materialize(edges.sparkSession,
+      edges
+        .select(col(src).cast("long").as("src"),
+          col(dst).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
 
     var sig = signature(e)
     if (sig._1 <= driverBound) return unionFind(e)

@@ -39,64 +39,120 @@ object ClassifierQueries {
   private val toks = "split(text, ' ')"
 
   /** All (doc_id, lang_actual, lang, score) rows before the argmax — the
-    * margin-audit surface ClassifierSpec checks tie-safety on.
+    * margin-audit surface ClassifierSpec checks tie-safety on. Unpivoted
+    * from the wide per-doc score columns (identical values — the wide
+    * frame computes the same exact BIGINT sums).
     */
-  private[graft] def allScores(s: SparkSession, dir: String): DataFrame =
-    scoreFrame(s, dir)
-
-  /** Per-test-doc NB predictions: (doc_id, lang_actual, lang_pred, score). */
-  private def nbScored(s: SparkSession, dir: String): DataFrame = {
-    val scored = scoreFrame(s, dir)
-    val rk = row_number().over(
-      Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("lang").asc))
-    scored.withColumn("rk", rk).filter(col("rk") === 1)
+  private[graft] def allScores(s: SparkSession, dir: String): DataFrame = {
+    val (wide, langs) = wideScores(s, dir)
+    wide.select(col("doc_id"), col("lang_actual"),
+      explode(array(langs.zipWithIndex.map { case (l, i) =>
+        struct(lit(l._1).as("lang"), col(s"__s$i").as("score"))
+      }: _*)).as("ls"))
       .select(col("doc_id"), col("lang_actual"),
-        col("lang").as("lang_pred"), col("score"))
+        col("ls.lang").as("lang"), col("ls.score").as("score"))
   }
 
-  private def scoreFrame(s: SparkSession, dir: String): DataFrame = {
+  /** Per-test-doc NB predictions: (doc_id, lang_actual, lang_pred, score).
+    * Argmax (score desc, lang asc) is ROW-LOCAL over the wide score
+    * columns — array_min of (-score, lang, score) structs; score is a sum
+    * of micro-nat longs (|score| ≪ 2^62), so the negation is exact and
+    * -0 cannot occur. The row_number window this replaces re-shuffled
+    * and sorted the ×|langs| exploded score stream (round-15 plan diff:
+    * one Exchange+Sort gone, |langs|× fewer aggregation rows).
+    */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    val (wide, langs) = wideScores(s, dir)
+    val best = array_min(array(langs.zipWithIndex.map { case (l, i) =>
+      struct((-col(s"__s$i")).as("ns"), lit(l._1).as("lang"),
+        col(s"__s$i").as("score"))
+    }: _*))
+    wide.select(col("doc_id"), col("lang_actual"),
+      best.getField("lang").as("lang_pred"),
+      best.getField("score").as("score"))
+  }
+
+  /** The NB fit + scoring dataflow, round-15 shape. The fit derives
+    * EVERYTHING from one checkpointed (lang, token) count table (the old
+    * form re-scanned and re-exploded the train corpus for counts, totals
+    * and vocab separately — DataFrame subtrees never ReuseExchange) plus
+    * one explode-free doc pass for priors. Scoring joins each test token
+    * against a broadcast token → (lang→weight) MAP and sums per-lang
+    * columns in ONE per-doc aggregation — the old ×|langs| crossJoin
+    * explode probed the weight relation |tokens|·|langs| times and
+    * shipped |langs| rows per doc into the aggregation. Values are
+    * unchanged: the same microNats longs, summed exactly (BIGINT, order-
+    * free), same Laplace smoothing, same OOV default via the same dm.
+    *
+    * Returns (wide frame with __s<i> score columns, langs meta); langs
+    * is the COLLECTED per-lang model (lang, dm, pm) — #langs rows,
+    * the same bounded model-frame collect discipline as the KMeans
+    * centroids and the doremi per-source table, enforced loudly.
+    */
+  private def wideScores(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(String, Long, Long)]) = {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), expr(toks).as("tokens"))
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val test = docs.filter(col("doc_id") % 5 === 0)
 
-    val grams = train.select(col("lang"), explode(col("tokens")).as("token"))
-    val counts = grams.groupBy("lang", "token").agg(count(lit(1)).as("c"))
-    val totals = grams.groupBy("lang").agg(count(lit(1)).as("tot"))
-    val vocab = grams.agg(countDistinct(col("token")).as("v"))
+    // ONE train-corpus explode; the count table is vocab×langs-sized
+    // (model, not data) and is referenced by totals/vocab/weights, so cut
+    // its lineage — scan→explode→agg has no joins, so localCheckpoint's
+    // no-AQE materialization gives up nothing (the lmScores argument).
+    val counts = train
+      .select(col("lang"), explode(col("tokens")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = counts.groupBy("lang").agg(sum(col("c")).as("tot"))
+    val vocab = counts.agg(countDistinct(col("token")).as("v"))
     val nTrain = train.agg(count(lit(1)).as("n_train"))
     val priors = train.groupBy("lang").agg(count(lit(1)).as("n_lang"))
 
     def microNats(x: Column): Column =
       round(log(x) * lit(1e6), 0).cast("long")
 
-    // Laplace-smoothed token weights, quantized once per (lang, token).
-    val weights = counts
-      .join(totals, Seq("lang"))
-      .crossJoin(broadcast(vocab))
-      .select(col("lang"), col("token"),
-        microNats((col("c") + lit(1)).cast("double") / (col("tot") + col("v")))
-          .as("wm"))
-    // Per-lang OOV default + prior — a 5-row frame, broadcast.
-    val langInfo = totals
+    // Per-lang OOV default + prior — #langs rows, collected (bounded:
+    // langs are labels, not data rows; same contract as doremi sources).
+    val langRows = totals
       .crossJoin(broadcast(vocab))
       .join(priors, Seq("lang"))
       .crossJoin(broadcast(nTrain))
       .select(col("lang"),
         microNats(lit(1.0) / (col("tot") + col("v"))).as("dm"),
         microNats(col("n_lang").cast("double") / col("n_train")).as("pm"))
+      .orderBy(col("lang"))
+      .collect()
+    require(langRows.length <= 1000,
+      s"NB classifier: ${langRows.length} languages exceeds the bounded " +
+        "per-lang model collect contract (langs are labels, not data)")
+    val langs = langRows.toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // Laplace-smoothed token weights, quantized once per (lang, token),
+    // then pivoted to ONE row per token: token → map(lang → wm).
+    val wmap = counts
+      .join(totals, Seq("lang"))
+      .crossJoin(broadcast(vocab))
+      .select(col("lang"), col("token"),
+        microNats((col("c") + lit(1)).cast("double") / (col("tot") + col("v")))
+          .as("wm"))
+      .groupBy(col("token"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("lang"), col("wm"))))).as("wv"))
 
     val testToks = test.select(
       col("doc_id"), col("lang").as("lang_actual"),
       explode(col("tokens")).as("token"))
-    testToks
-      .crossJoin(broadcast(langInfo))
-      .join(broadcast(weights), Seq("lang", "token"), "left")
-      .groupBy(col("doc_id"), col("lang_actual"), col("lang"), col("pm"))
-      .agg(sum(coalesce(col("wm"), col("dm"))).as("tok_score"))
-      .select(col("doc_id"), col("lang_actual"), col("lang"),
-        (col("pm") + col("tok_score")).cast("long").as("score"))
+    val sums = langs.zipWithIndex.map { case ((l, dm, pm), i) =>
+      (sum(coalesce(try_element_at(col("wv"), lit(l)), lit(dm))) + lit(pm))
+        .cast("long").as(s"__s$i")
+    }
+    val wide = testToks
+      .join(broadcast(wmap), Seq("token"), "left")
+      .groupBy(col("doc_id"), col("lang_actual"))
+      .agg(sums.head, sums.tail: _*)
+    (wide, langs)
   }
 
   // Shared oracle CTE chain — the fit and scoring replayed in DuckDB. SUMs

@@ -114,11 +114,14 @@ object CurationQueries {
       (expr(s"cast(size(array_distinct($toks)) as double)") /
         expr(s"size($toks)")) >= 0.5
     val flagged = corpus.withColumn("q", quality)
-    // exact-dedup keeper among quality survivors
-    val keepers = flagged.filter(col("q"))
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keep_id"))
-      .select(col("keep_id"))
+    // exact-dedup keeper among quality survivors: doc is the keeper iff
+    // it carries the MIN doc_id among same-md5(text) quality docs. As a
+    // window min over the md5 partition this annotates rows IN PLACE —
+    // the groupBy(md5)+join-back-by-doc_id form it replaces re-scanned
+    // `documents` for the keeper subtree and paid two more corpus-sized
+    // exchanges (the agg's and the join's); round-15 plan diff for
+    // curation_survivors/pipeline_e2e: 8 scans → 6, one less shuffle
+    // join. Same shuffle-key discipline: 16-byte md5, never the text.
     // contaminated = shares >= 2 distinct 4-grams with some eval doc.
     // Grams are deduplicated PER DOC inside the row (array_distinct before
     // the explode — codegen, zero shuffle), so every joined
@@ -131,7 +134,14 @@ object CurationQueries {
     val evalGrams = evalDocs
       .select(explode(expr(s"array_distinct(word_ngrams($toks, 4))"))
         .as("gram"), col("doc_id").as("eval_doc_id"))
-    val contaminated = corpus
+    // Round-15: the corpus gram side filters to QUALITY docs before the
+    // explode — `quality` is a row-local predicate, and the contamination
+    // flag is only ever READ through `c = k && !contam` where k ⇒ q, so
+    // dropping non-q docs from the gram join cannot change any output
+    // column (non-q docs have k = false ⇒ c = false regardless). This
+    // cuts the query's dominant stage (the gram explode + broadcast
+    // probe) to the quality-survivor fraction of the corpus.
+    val contaminated = corpus.filter(quality)
       .select(col("doc_id"),
         explode(expr(s"array_distinct(word_ngrams($toks, 4))")).as("gram"))
       .join(broadcast(evalGrams), "gram")
@@ -142,12 +152,12 @@ object CurationQueries {
     val mixKeep = substring(md5(col("text")), 1, 1) <
       when(col("source").isInCollection(RankMixQueries.heavySources),
         lit("4")).otherwise(lit("c"))
+    val keepMin = min(when(col("q"), col("doc_id")))
+      .over(Window.partitionBy(md5(col("text"))))
     flagged
-      .join(keepers.withColumnRenamed("keep_id", "doc_id")
-        .withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
+      .withColumn("k", col("q") && col("doc_id") === keepMin)
       .join(contaminated.withColumn("is_contam", lit(true)),
         Seq("doc_id"), "left")
-      .withColumn("k", col("q") && col("is_keeper").isNotNull)
       .withColumn("c", col("k") && col("is_contam").isNull)
       .withColumn("m", col("c") && mixKeep)
   }
@@ -277,7 +287,13 @@ object CurationQueries {
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, DedupQueries.VecBucketCap))
         .select(col("table_id"), col("bucket"))
-      val bg = b.join(good, Seq("table_id", "bucket"))
+      // Round-15 lineage cut: bg feeds BOTH candidate sides (corpus probe
+      // and eval build) and each reference re-ran the LSH bucket explode +
+      // cap join (no ReuseExchange across the differently-filtered
+      // subtrees). One AQE-planned temp-parquet evaluation — 3-long rows,
+      // corpus-growing, so the distributed cut, not a collect.
+      val bg = DedupQueries.materialize(s,
+        b.join(good, Seq("table_id", "bucket")))
       val cand = bg.filter(col("vec_id") % m =!= 0)
         .join(bg.filter(col("vec_id") % m === 0)
             .select(col("table_id"), col("bucket"),

@@ -239,10 +239,16 @@ object DedupQueries {
       // exact verification — no separate window pass, no second per-doc
       // aggregation. (A/B at sf0.1: row_number-window form 4.3 s → this
       // form + the positional filter below 1.9 s.)
-      val sets = ex.join(dfreq, "s")
+      // Round-15 lineage cut: `sets` feeds THREE consumers (the prefix
+      // extraction and both exact-verification join sides) and each
+      // reference re-evaluated the whole shingle index + rare-first sort
+      // chain (no ReuseExchange across differently-projected subtrees —
+      // 6 corpus scans in the initial plan). One AQE-planned temp-parquet
+      // evaluation; consumers re-read a plain scan.
+      val sets = materialize(s, ex.join(dfreq, "s")
         .groupBy(col("doc_id"))
         .agg(expr("transform(sort_array(collect_list(struct(df, s))), " +
-          "x -> x.s)").as("ss"))
+          "x -> x.s)").as("ss")))
       // prefix postings keep their rank: the ppjoin POSITIONAL filter
       // (Xiao et al.) bounds a pair's possible overlap at the meeting
       // point — 1 + min(remaining-in-A, remaining-in-B) — and drops it if

@@ -178,6 +178,16 @@ object MultimodalQueries {
       def energy(start: String): String =
         s"cast(conv(substring(md5(concat_ws(' ', slice(ts, $start, 4))), " +
           "1, 4), 16, 10) as int)"
+      // Round-15 NEGATIVE RESULT (kept as the baseline): hoisting the 65
+      // window energies into one array (projected alias AND let-bound
+      // lambda-variable forms) to halve the md5 evaluations measured
+      // SLOWER than this inline fold at sf1 (8.0-10.1 s vs 4.7-5.1 s
+      // warm, 3 alternating A/B pairs) — and an isolation probe showed
+      // even a bare 64-md5 aggregate sum timing ~1.7x this 128-eval
+      // form, so the md5 count is not the stage's cost driver; the
+      // array-building HOF forms lose more to interpreted-lambda
+      // overhead than the duplicate hashes cost. Details in
+      // OPTIMIZATION_r15.md.
       val au = Multimodal.fromDocuments(load(s, dir, "documents"))
         .filter(col("kind") === "audio")
         .select(col("media_id"),

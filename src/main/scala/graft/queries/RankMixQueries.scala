@@ -43,16 +43,28 @@ object RankMixQueries {
 
   val queries: Map[String, Q] = Map(
     // Top-3 TF-IDF terms per document. tf = in-doc term count, df = #docs
-    // containing the term, idf = ln(N/df). One explode, two partial aggs,
-    // a vocab-sized join, and a per-doc top-k window.
+    // containing the term, idf = ln(N/df).
+    //
+    // Round-15 shape: tf is ROW-LOCAL (the native token_counts kernel —
+    // one sorted run-length pass per document inside codegen), so the
+    // (doc_id, token)-wide exchange the old groupBy(doc_id, token) paid
+    // is gone; df comes from a distinct-tokens explode into a vocab-keyed
+    // partial agg (the old form re-derived the whole tf table — scan,
+    // explode, (doc_id, token) exchange — a second time for the df
+    // subtree, since DataFrame subtrees never ReuseExchange). Remaining
+    // exchanges: the vocab agg, the top-k window (WindowGroupLimit keeps
+    // it per-partition-pruned), the output sort. Same tf/df/N integers,
+    // same round(tf·ln(N/df), 6) expression ⇒ bit-identical rows.
     "text_tfidf_topk" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
       val n = docs.agg(count(lit(1)).as("n"))
       val tf = docs
-        .select(col("doc_id"), explode(expr(toks)).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .select(col("doc_id"), explode(expr(s"token_counts($toks)")).as("e"))
+        .select(col("doc_id"), col("e.token").as("token"),
+          col("e.cnt").as("tf"))
+      val dfreq = docs
+        .select(explode(expr(s"array_distinct($toks)")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
       val scored = tf
         .join(dfreq, "token") // vocab side ≪ corpus: AQE broadcasts
         .crossJoin(broadcast(n))

@@ -436,7 +436,10 @@ object SimilarityQueries {
     // rows. Fully oracle-replayed through the shared edges CTE chain.
     "sim_label_audit" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val edges = knnGraphEdges(s, dir)
+      // cut forced on: the edge list feeds the vote AND degree subtrees
+      // beyond knnGraphEdges' own two reads — A/B wins at every measured
+      // size (sf1 5.69 -> 4.16 s, sf10 15.1 -> 13.9 s warm).
+      val edges = knnGraphEdges(s, dir, cut = Some(true))
       val labels = load(s, dir, "embeddings")
         .select(col("vec_id"), col("label"))
       val nbr = edges.select(col("vec_id"), col("nid"))
@@ -497,9 +500,26 @@ object SimilarityQueries {
     */
   def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
       dir: String, tables: Int = GraphTables, planes: Int = 0,
-      cap: Int = GraphBucketCap, k: Int = TopK): DataFrame = {
+      cap: Int = GraphBucketCap, k: Int = TopK,
+      cut: Option[Boolean] = None): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val pl = if (planes > 0) planes else autoPlanes(embCount(s, dir))
+      // Lineage-cut gate (round 15): materializing `pairs`/`edges` to
+      // session-temp parquet trades ~2 fixed write/read round-trips for
+      // NOT re-evaluating the LSH chain 2-4x (no ReuseExchange across the
+      // union / reverse-join subtrees). The chain's duplicate cost grows
+      // with corpus size while the round-trip is ~fixed — A/B crossover
+      // measured between 20k vectors (sim_knn_graph 4.0 -> 5.1 s warm at
+      // sf1: cut loses) and 200k (14.1 -> 12.6 s at sf10: cut wins), so
+      // the default follows the corpus count, like autoPlanes. Callers
+      // that re-reference the edge list beyond the internal two reads
+      // (sim_label_audit: vote + degree subtrees — cut wins already at
+      // 20k, 5.7 -> 4.2 s) force it on. Env-overridable for scale
+      // experiments.
+      val doCut = cut.getOrElse(embCount(s, dir) >=
+        sys.env.getOrElse("SPARK_GRAFT_GRAPH_CUT_MIN", "100000").toLong)
+      def maybeCut(df: DataFrame): DataFrame =
+        if (doCut) DedupQueries.materialize(s, df) else df
       val sigs = load(s, dir, "embeddings")
         .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
           posexplode(expr(s"lsh_buckets(embedding, $tables, $pl)"))
@@ -518,20 +538,30 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, cap))
         .select(col("table_id"), col("bucket"))
-      val pairs = sigs.join(good, Seq("table_id", "bucket"))
-        .groupBy(col("table_id"), col("bucket"))
-        .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
-        .select(explode(expr("struct_pairs(vs)")).as("p"))
-        .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"),
-          round(expr("vec_dot(p.a.ne, p.b.ne)"), 6).as("cos"))
-        .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos"))
+      // `pairs` feeds the union's TWO branches and `edges` its own
+      // reverse join — DataFrame subtrees never ReuseExchange (AQE's
+      // stage reuse fired only partially: executed sim_knn_graph ran 8
+      // shuffles / 4 corpus scans, the LSH chain 2-4x per evaluation;
+      // sim_label_audit's initial plan held 18 scans). Under the gate
+      // above, each frame is evaluated ONCE into a session-temp parquet
+      // (AQE-planned, distributed — both frames grow with the corpus, so
+      // neither localCheckpoint's no-AQE path nor a collect fits).
+      val pairs = maybeCut(
+        sigs.join(good, Seq("table_id", "bucket"))
+          .groupBy(col("table_id"), col("bucket"))
+          .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
+          .select(explode(expr("struct_pairs(vs)")).as("p"))
+          .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"),
+            round(expr("vec_dot(p.a.ne, p.b.ne)"), 6).as("cos"))
+          .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos")))
       val sym = pairs.unionByName(pairs.select(col("vb").as("va"),
         col("va").as("vb"), col("cos")))
       val w = Window.partitionBy(col("va"))
         .orderBy(col("cos").desc, col("vb"))
-      val edges = sym.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("va"), col("vb"), col("cos"), col("rank"))
+      val edges = maybeCut(
+        sym.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("va"), col("vb"), col("cos"), col("rank")))
       val rev = edges.select(col("vb").as("va"), col("va").as("vb"),
         lit(true).as("m"))
       edges.join(rev, Seq("va", "vb"), "left")

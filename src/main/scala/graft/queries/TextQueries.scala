@@ -115,9 +115,9 @@ object TextQueries {
     // the LM scoring plan (vocabulary-sized count tables) plus one
     // language-partitioned window.
     "curation_rho_selection" -> ((s, dir) => {
-      val lang = load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"))
-      val sc = lmScores(s, dir).join(lang, "doc_id")
+      // lang rides the lmScores per-doc aggregation (carry) — the old
+      // re-scan + corpus-sized doc_id join is gone (round 15).
+      val sc = lmScores(s, dir, carry = Seq("lang"))
         .withColumn("excess", col("bi_logprob") - col("uni_logprob"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("excess").desc_nulls_last, col("doc_id"))
@@ -132,11 +132,10 @@ object TextQueries {
     }),
 
     "curation_lm_buckets" -> ((s, dir) => {
-      val lang = load(s, dir, "documents").select(col("doc_id"), col("lang"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
         .orderBy(col("uni_logprob").desc, col("doc_id"))
-      lmScores(s, dir).join(lang, "doc_id")
+      lmScores(s, dir, carry = Seq("lang"))
         .withColumn("tercile", ntile(3).over(w))
         .select(col("doc_id"), col("lang"), col("uni_logprob"),
           element_at(lit(Array("head", "middle", "tail")),
@@ -173,9 +172,7 @@ object TextQueries {
     // final allocation decomposes as (t div 1e6)·α + ((t mod 1e6)·α)
     // div 1e6 so a 100 TB token total (~3e13) never overflows a BIGINT.
     "mix_doremi_weights" -> ((s, dir) => {
-      val src = load(s, dir, "documents")
-        .select(col("doc_id"), col("source"))
-      val ex = lmScores(s, dir).join(src, "doc_id")
+      val ex = lmScores(s, dir, carry = Seq("source"))
         .withColumn("ex_micro",
           greatest(lit(0L),
             floor(coalesce(col("bi_logprob") - col("uni_logprob"),
@@ -1321,8 +1318,19 @@ object TextQueries {
     * integer counts, floats only in the final LN/AVG (6dp both engines).
     * Shared by text_lm_score and curation_lm_buckets.
     */
+  /** `carry`: document attribute columns (lang/source) grouped alongside
+    * doc_id — they are doc-functional, so the per-doc aggregation's
+    * cardinality is unchanged, and the consumers that used to re-scan
+    * `documents` and shuffle-join the scores back by doc_id
+    * (curation_rho_selection, curation_lm_buckets, mix_doremi_weights —
+    * one corpus scan + one corpus-sized exchange each, round-15
+    * measurement) read them straight off the score frame instead. The
+    * count-table subtree prunes the carried columns (it only projects
+    * tok/nxt), so the single extra cost is a short string riding the one
+    * doc_id exchange.
+    */
   private def lmScores(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val docs = load(s, dir, "documents")
     // Round-15 shape, from the round-14 redundancy measurement: the old
     // form ran SEPARATE token and bigram streams (tk, bg) through
@@ -1349,12 +1357,13 @@ object TextQueries {
     // compiles via df.rdd — the other round-14 finding) gives up nothing.
     // The score joins still evaluate under AQE, which broadcast-sizes
     // uniT/bicT from the checkpointed table's real runtime stats.
+    val carryCols = carry.map(col)
     val ex = docs
-      .select(col("doc_id"), expr(toks).as("__t"))
-      .select(col("doc_id"), col("__t"),
-        posexplode(col("__t")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("tok"),
-        expr("try_element_at(__t, pos + 2)").as("nxt"))
+      .select((col("doc_id") +: carryCols) :+ expr(toks).as("__t"): _*)
+      .select((col("doc_id") +: carryCols) :+ col("__t") :+
+        posexplode(col("__t")).as(Seq("pos", "tok")): _*)
+      .select((col("doc_id") +: carryCols) :+ col("tok") :+
+        expr("try_element_at(__t, pos + 2)").as("nxt"): _*)
     val g = ex.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val uniT = g.groupBy(col("tok")).agg(sum(col("cnt")).as("c1"))
@@ -1364,7 +1373,7 @@ object TextQueries {
     ex.join(uniT, "tok")
       .join(bicT, Seq("tok", "nxt"), "left")
       .crossJoin(broadcast(tot))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id") +: carryCols: _*)
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("c1").cast("double") / col("n"))), 6)
           .as("uni_logprob"),

@@ -43,6 +43,34 @@ class TextHashesSpec extends SparkSuite {
     assert(empty(0).isNullAt(0), "empty array -> null struct")
   }
 
+  test("token_counts: per-row term table == explode+groupBy exactly; " +
+      "sorted by token; null/empty contract") {
+    import org.apache.spark.sql.Row
+    // literal contract: sorted by token, nulls skipped, empty -> empty
+    val lit0 = Seq(Tuple1(Array[String]("b", "a", "b")))
+      .toDF("a").select(expr("token_counts(a)")).collect()
+    assert(lit0(0).getSeq[Row](0) == Seq(Row("a", 1L), Row("b", 2L)))
+    val lit1 = Seq(Tuple1(Array[String](null, "x", null)))
+      .toDF("a").select(expr("token_counts(a)")).collect()
+    assert(lit1(0).getSeq[Row](0) == Seq(Row("x", 1L)), "nulls skipped")
+    val lit2 = Seq(Tuple1(Array.empty[String]))
+      .toDF("a").select(expr("token_counts(a)")).collect()
+    assert(lit2(0).getSeq[Row](0).isEmpty, "empty array -> empty table")
+    // equivalence on real data: the round-15 tfidf rewrite rests on this
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(expr("token_counts(split(text, ' '))")).as("e"))
+      .select(col("doc_id"), col("e.token").as("token"),
+        col("e.cnt").as("cnt"))
+    val viaGroup = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    assert(viaKernel.exceptAll(viaGroup).isEmpty &&
+      viaGroup.exceptAll(viaKernel).isEmpty,
+      "token_counts must equal the explode+groupBy term table")
+  }
+
   test("text_repetition (zero-shuffle form) matches the groupBy " +
       "formulation exactly") {
     val dir = sf("sf0.001")
