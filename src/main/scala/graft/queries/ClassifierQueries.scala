@@ -45,6 +45,10 @@ object ClassifierQueries {
     */
   private[graft] def allScores(s: SparkSession, dir: String): DataFrame = {
     val (wide, langs) = wideScores(s, dir)
+    if (langs.isEmpty)
+      return wide.select(col("doc_id"), col("lang_actual"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("long").as("score"))
     wide.select(col("doc_id"), col("lang_actual"),
       explode(array(langs.zipWithIndex.map { case (l, i) =>
         struct(lit(l._1).as("lang"), col(s"__s$i").as("score"))
@@ -63,6 +67,10 @@ object ClassifierQueries {
     */
   private def nbScored(s: SparkSession, dir: String): DataFrame = {
     val (wide, langs) = wideScores(s, dir)
+    if (langs.isEmpty)
+      return wide.select(col("doc_id"), col("lang_actual"),
+        lit(null).cast("string").as("lang_pred"),
+        lit(null).cast("long").as("score"))
     val best = array_min(array(langs.zipWithIndex.map { case (l, i) =>
       struct((-col(s"__s$i")).as("ns"), lit(l._1).as("lang"),
         col(s"__s$i").as("score"))
@@ -123,6 +131,12 @@ object ClassifierQueries {
         microNats(col("n_lang").cast("double") / col("n_train")).as("pm"))
       .orderBy(col("lang"))
       .collect()
+    // Empty train corpus ⇒ the oracle's langinfo CTE is empty and its
+    // CROSS JOIN annihilates every score row: return the empty wide frame
+    // (EmptyInputSpec contract — empty output, never an opaque throw).
+    if (langRows.isEmpty)
+      return (test.select(col("doc_id"), col("lang").as("lang_actual"))
+        .limit(0), Seq.empty)
     require(langRows.length <= 1000,
       s"NB classifier: ${langRows.length} languages exceeds the bounded " +
         "per-lang model collect contract (langs are labels, not data)")
