@@ -28,9 +28,18 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // SPARK_GRAFT_PLAN_EXEC=1: consume the query first (Bench shape) so
+    // the dump shows the FINAL adaptive plan (isFinalPlan=true) — AQE
+    // runtime decisions (ReusedExchange/AQEShuffleRead/broadcast
+    // conversions) are invisible in the initial plan, and several
+    // round-15 claims are exactly about those.
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     for (name <- names) {
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
+        // run THIS df's own QueryExecution (consumeAll would execute a
+        // derived plan and leave this one un-finalized)
+        if (exec) df.queryExecution.toRdd.count()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)

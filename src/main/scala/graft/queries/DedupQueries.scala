@@ -56,7 +56,10 @@ object DedupQueries {
   private[graft] def materialize(s: SparkSession, df: DataFrame): DataFrame = {
     val out = java.nio.file.Files
       .createTempDirectory("graft-mat").toString + "/t"
-    df.write.mode("overwrite").parquet(out)
+    df.write.mode("overwrite")
+      .option("compression",
+        sys.env.getOrElse("SPARK_GRAFT_MAT_CODEC", "lz4"))
+      .parquet(out)
     s.read.parquet(out)
   }
 
@@ -488,17 +491,37 @@ object DedupQueries {
             .cast("bigint"))
       // per-(anchor, j) argmin by (h, doc_id) as a plain MIN aggregate,
       // not a row_number window and not min_by-over-struct: the window
-      // form sorted the full probes×bucket-members stream (6.2M rows at
-      // sf1 — 13 of the query's 20 s), and min_by with a struct ordering
-      // key silently degrades to SortAggregate (struct agg buffers are
-      // not hash-aggregable), which re-sorts the same stream. Encoding
-      // the ordering key as ONE string — h (fixed 32 hex chars) ++
-      // zero-padded doc_id (lexicographic == numeric for non-negative
-      // longs) — keeps the argmin a declarative min() inside
-      // HashAggregate with map-side partial combine: nothing is ever
-      // sorted, the exchange carries one candidate per (a, j). Same
-      // selection as the oracle's ROW_NUMBER ... ORDER BY h, doc_id.
-      val neg = probes.join(pool, "bucket")
+      // form shuffled and sorted the full probes×bucket-members stream
+      // (6.2M rows at sf1 — 13 of the query's 20 s); min() combines
+      // map-side, so the exchange carries one candidate per (a, j).
+      // (A string min buffer is not hash-aggregable — the partial agg is
+      // a SortAggregate — but each task sorts only its own slice by
+      // (a, j) and ships one row per probe; the ordering key is ONE
+      // string — h (fixed 32 hex chars) ++ zero-padded doc_id,
+      // lexicographic == numeric for non-negative longs. Same selection
+      // as the oracle's ROW_NUMBER ... ORDER BY h, doc_id.)
+      //
+      // broadcast(pool), NOT the planner's choice: pool is ≤ ~PoolTarget
+      // rows BY CONSTRUCTION (a bounded model-sized frame at any corpus
+      // size), while probes grow with the corpus. Round-15 probe: AQE
+      // broadcast the PROBES side instead, so the ×64 bucket fan-out —
+      // 6.2M md5+compare rows at sf1 — streamed through the pool scan's
+      // 1-2 input partitions and the whole argmin ran on one core
+      // (15.9 s of the query's 18; executed-plan evidence in
+      // plans/r15/mix_contrastive_pairs2_before.txt).
+      //
+      // The explicit repartition by the aggregation key exists because
+      // AQE sizes partitions from the PRE-fan-out bytes: the probes
+      // exchange is ~4 MiB at sf1, so coalescing collapses it to one
+      // partition and the ×64 explode behind the broadcast join — and
+      // the whole argmin — still ran serial (6.9 s piecewise). AQE
+      // cannot see through an expansion; the partition count is the
+      // session's shuffle-partitions conf (scale-configured, never a
+      // local constant). sf1 warm (hash_all): 17.4 → ~5.4 s across the
+      // two steps; sf0.1 unchanged (the fan-out is tiny there).
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val neg = probes.repartition(nPart, col("a"), col("j"))
+        .join(broadcast(pool), "bucket")
         .filter(col("doc_id") =!= col("a"))
         .withColumn("h", md5(concat(lit("np:"), col("a").cast("string"),
           lit(":"), col("j").cast("string"), lit(":"),

@@ -185,9 +185,14 @@ object TemporalQueries {
         .filter(col("to_type").isNotNull)
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
-      val ft = cnt.groupBy(col("from_type"))
-        .agg(sum(col("n")).as("n_from"))
-      cnt.join(broadcast(ft), "from_type")
+      // Per-from totals as a window over the ALREADY-aggregated
+      // (≤ |event_type|² row) frame: the groupBy+join-back form
+      // re-evaluated the whole scan → per-user window → count chain a
+      // second time for the totals subtree (DataFrame subtrees never
+      // ReuseExchange — 2 corpus scans in the round-15 plan dump). Same
+      // exact integer sums, one corpus pass, one tiny extra exchange.
+      val wf = Window.partitionBy(col("from_type"))
+      cnt.withColumn("n_from", sum(col("n")).over(wf))
         .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
           expr("(n * 1000000L) div n_from").as("p_ppm"))
         .orderBy(col("from_type"), col("to_type"))
