@@ -396,8 +396,17 @@ object AnalyticsQueries {
     // supplier — a correlated scalar min, decorrelated into a window min
     // over the joined relation. Dims broadcast; top-20 by acctbal.
     "q2_min_cost_supplier" -> ((s, dir) => {
+      // One partkey exchange serves the (partkey, suppkey) distinct AND
+      // the cheapest-supplier window (guide §2.4): hashpartitioning on
+      // l_partkey clusters the distinct's keys, survives the broadcast
+      // dim joins (BroadcastHashJoin expands its output partitioning
+      // across the join equality, so the window's p_partkey requirement
+      // is satisfied), and the old plan's second corpus-wide window
+      // exchange disappears. Same q20/q16 round-15 pattern.
       val rel = load(s, dir, "lineitem")
-        .select("l_partkey", "l_suppkey").distinct()
+        .select("l_partkey", "l_suppkey")
+        .repartition(col("l_partkey"))
+        .distinct()
       val sup = load(s, dir, "supplier")
       val nat = load(s, dir, "nation")
       val joined = rel
@@ -424,7 +433,18 @@ object AnalyticsQueries {
     "q16_supplier_counts" -> ((s, dir) => {
       val bad = load(s, dir, "supplier")
         .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_key"))
-      load(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      // ONE suppkey exchange serves the whole chain (guide §2.4):
+      // hashpartitioning(l_suppkey) satisfies the (partkey, suppkey)
+      // distinct, survives the broadcast anti-join and part join, and
+      // satisfies countDistinct's phase-1 (brand, band, suppkey)
+      // clustering — the round-15 executed plan at sf1 paid TWO
+      // corpus-sized exchanges (5.45M + 5.06M rows) for the same
+      // dataflow. Map-side partial dedup only saved 8% of rows here,
+      // so the raw-row exchange costs ~the same bytes as the old
+      // post-partial one.
+      load(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .repartition(col("l_suppkey"))
+        .distinct()
         .join(bad, col("l_suppkey") === col("bad_key"), "left_anti")
         .join(broadcast(load(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"),
@@ -467,11 +487,19 @@ object AnalyticsQueries {
     // quantity share of the part's total above 50%. Exact DECIMAL sums;
     // the share is one IEEE division of identical inputs on both engines.
     "q20_volume_share" -> ((s, dir) => {
+      // ONE exchange serves both the grouping and the window (guide
+      // §2.4): hashpartitioning(l_partkey) satisfies the (partkey,
+      // suppkey) aggregation's clustered distribution AND the window's
+      // partitionBy, so the explicit repartition replaces TWO
+      // corpus-sized exchanges (the round-15 executed plan at sf1
+      // showed 5.92M + 5.91M rows, 316 + 270 MiB). Map-side partial agg
+      // gave back almost nothing here anyway — (partkey, suppkey) pairs
+      // are ~unique per lineitem row (5.9M groups from 6M rows).
       val qty = load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
-      // per-part totals as a window over the grouped frame — one exchange
-      // on l_partkey, no self-join (the joined form re-shuffled qty twice)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_partkey"))
       qty.withColumn("total_qty", sum(col("qty")).over(w))

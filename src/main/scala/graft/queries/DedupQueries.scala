@@ -328,11 +328,18 @@ object DedupQueries {
       // by (gram, doc_id) keeps BOTH exchanges partially aggregated —
       // identical values (Σ per-doc counts = count, count of groups =
       // count_distinct, min of mins = min); ~3× at sf10 (SCALING.md).
+      // One gram exchange serves BOTH aggregation levels (guide §2.4 —
+      // the q20/q16 round-15 pattern): hashpartitioning(gram) clusters
+      // the (gram, doc_id) pre-group and the per-gram rollup, where the
+      // old plan exchanged the partially-aggregated stream twice.
+      // Partial agg gave back little here (8-token spans are ~unique
+      // within a doc), so the raw-row exchange carries ~the same bytes.
       load(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(expr(s"word_ngrams($toks, $SpanLen)"))
             .as(Seq("p", "gram")))
         .select(col("doc_id"), (col("p") + 1).as("pos"), col("gram"))
+        .repartition(col("gram"))
         .groupBy(col("gram"), col("doc_id"))
         .agg(count(lit(1)).as("n_in_doc"),
           min(col("doc_id") * lit(1000000L) + col("pos")).as("enc"))
