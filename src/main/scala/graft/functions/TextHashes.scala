@@ -52,21 +52,60 @@ object TextHashImpl {
       hashes(i) = h
       i += 1
     }
-    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    // Round-16 per-task rewrite (guide §1.2 step 2 — the kernel runs once
+    // per document on the corpus's hottest dedup paths): the boxed
+    // mutable.SortedSet (a node allocation + tree rebalance per window)
+    // is replaced by a primitive buffer that records each window minimum
+    // only when it CHANGES (consecutive windows usually share their min),
+    // sorted + deduplicated once at the end — the identical sorted
+    // distinct value set. The per-window min is amortized O(1): track the
+    // RIGHTMOST position of the current min (ties keep the later
+    // position, which maximizes its lifetime without changing the VALUE);
+    // a full rescan happens only when the tracked min slides out.
+    var buf = new Array[Long](64)
+    var nb = 0
+    def record(v: Long): Unit = {
+      if (nb == 0 || buf(nb - 1) != v) {
+        if (nb == buf.length) buf = java.util.Arrays.copyOf(buf, nb * 2)
+        buf(nb) = v
+        nb += 1
+      }
+    }
     if (m <= w) {
       var mn = hashes(0); i = 1
       while (i < m) { if (hashes(i) < mn) mn = hashes(i); i += 1 }
-      picked += mn
+      record(mn)
     } else {
-      i = 0
+      // window [0, w)
+      var minPos = 0
+      i = 1
+      while (i < w) { if (hashes(i) <= hashes(minPos)) minPos = i; i += 1 }
+      record(hashes(minPos))
+      // slide: window [i, i+w) for i = 1 .. m-w
+      i = 1
       while (i + w <= m) {
-        var mn = hashes(i); var j = i + 1
-        while (j < i + w) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
-        picked += mn
+        val in = i + w - 1
+        if (minPos < i) {
+          // tracked min slid out — rescan the window
+          minPos = i
+          var j = i + 1
+          while (j <= in) { if (hashes(j) <= hashes(minPos)) minPos = j; j += 1 }
+        } else if (hashes(in) <= hashes(minPos)) {
+          minPos = in
+        }
+        record(hashes(minPos))
         i += 1
       }
     }
-    new GenericArrayData(picked.toArray)
+    val sel = java.util.Arrays.copyOf(buf, nb)
+    java.util.Arrays.sort(sel)
+    var out = 0
+    i = 0
+    while (i < nb) {
+      if (out == 0 || sel(out - 1) != sel(i)) { sel(out) = sel(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, out))
   }
 
   private val Space = UTF8String.fromString(" ")

@@ -38,6 +38,21 @@ object ClassifierQueries {
 
   private val toks = "split(text, ' ')"
 
+  /** Loud bound on the vocab-sized weight broadcast (one row per distinct
+    * train token). 100M rows of (short token, small lang→long map) is
+    * roughly low-single-digit GB framed — under Spark's hard 8 GB /
+    * 512M-row broadcast cap with headroom, far beyond any gate-SF vocab,
+    * and a corpus that trips it needs the shuffled-join form, not a
+    * bigger driver. Package-visible so the refusal is spec-pinned without
+    * manufacturing a 100M-token corpus.
+    */
+  private[graft] val VocabBroadcastMaxRows = 100000000L
+  private[graft] def requireVocabBroadcastable(v: Long): Unit =
+    require(v <= VocabBroadcastMaxRows,
+      s"NB classifier: vocabulary of $v distinct tokens exceeds the " +
+        s"$VocabBroadcastMaxRows-row broadcast fence for the token-weight " +
+        "map; score with the shuffled token join instead of broadcast")
+
   /** All (doc_id, lang_actual, lang, score) rows before the argmax — the
     * margin-audit surface ClassifierSpec checks tie-safety on. Unpivoted
     * from the wide per-doc score columns (identical values — the wide
@@ -128,7 +143,8 @@ object ClassifierQueries {
       .crossJoin(broadcast(nTrain))
       .select(col("lang"),
         microNats(lit(1.0) / (col("tot") + col("v"))).as("dm"),
-        microNats(col("n_lang").cast("double") / col("n_train")).as("pm"))
+        microNats(col("n_lang").cast("double") / col("n_train")).as("pm"),
+        col("v"))
       .orderBy(col("lang"))
       .collect()
     // Empty train corpus ⇒ the oracle's langinfo CTE is empty and its
@@ -140,6 +156,14 @@ object ClassifierQueries {
     require(langRows.length <= 1000,
       s"NB classifier: ${langRows.length} languages exceeds the bounded " +
         "per-lang model collect contract (langs are labels, not data)")
+    // The token → (lang→weight) map below is broadcast: vocab-sized, and
+    // a Heaps-law vocabulary at 100 TB could silently blow the 8 GB /
+    // 512M-row broadcast-relation cap. Same loud-fence discipline as the
+    // langs collect above (round-15 VERDICT #5); v already rides the
+    // langRows frame, so the check is free. Degrade path if a real corpus
+    // ever trips it: drop the broadcast() hint and let the scoring join
+    // shuffle on token (the documented graceful form in the header).
+    requireVocabBroadcastable(langRows.head.getLong(3))
     val langs = langRows.toSeq.map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2)))
 

@@ -359,27 +359,35 @@ object DedupQueries {
     // Training Data Makes Language Models Better", ExactSubstr: delete
     // every verbatim span that also occurs in another document). A token
     // is dropped iff some duplicated SpanLen-gram covers it; survivors
-    // keep their original order. Scale: the gram index is built and
-    // counted ONCE (one exchange keyed by gram, partial aggs map-side);
-    // duplicated grams join back by KEY (no broadcast assumption — the
-    // dup-gram set grows with the corpus); coverage is then applied
-    // DOC-LOCALLY — only the per-doc start-position list (ints, ≤
-    // tokens/doc) shuffles to the doc, never exploded token rows. The
+    // keep their original order. Scale (round-16 shape): the gram stream
+    // is exploded and exchanged ONCE — the (gram, doc_id) pre-group and
+    // the per-gram distinct-doc count both ride a single
+    // hashpartitioning(gram) (guide §2.4, the span_detect/q20 pattern);
+    // the doc count is a window COUNT over the pre-grouped rows, so the
+    // old count_distinct two-phase (two exchanges) AND the join-back that
+    // re-scanned + re-exploded the whole corpus (no ReuseExchange across
+    // differently-projected subtrees) are gone. Coverage is then applied
+    // DOC-LOCALLY — only the per-doc start-position lists (ints, ≤
+    // tokens/doc) shuffle to the doc, never exploded token rows. The
     // kept-token pass is O(n) per doc: array_except(position-range,
     // covered) builds a hashed set once, and each survivor is an O(1)
-    // element_at — not O(n·|covered|) membership scans.
+    // element_at — not O(n·|covered|) membership scans. `starts` order
+    // and duplicates are immaterial: cov array_distincts and array_except
+    // is membership-only, so the flatten needs no sort/dedup.
     "dedup_span_removal" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
       val grams = docs.select(col("doc_id"),
         posexplode(expr(s"word_ngrams($toks, $SpanLen)"))
           .as(Seq("p", "gram")))
         .select(col("doc_id"), (col("p") + 1).as("pos"), col("gram"))
-      val dup = grams.groupBy(col("gram"))
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select(col("gram"))
-      val starts = grams.join(dup, "gram")
+      val starts = grams
+        .repartition(col("gram"))
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(collect_list(col("pos")).as("ps"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gram"))))
+        .filter(col("nd") >= 2)
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("pos"))).as("starts"))
+        .agg(flatten(collect_list(col("ps"))).as("starts"))
       docs.select(col("doc_id"), col("text"))
         .join(starts, Seq("doc_id"), "left")
         .withColumn("t", expr(toks))
@@ -527,6 +535,13 @@ object DedupQueries {
       // local constant). sf1 warm (hash_all): 17.4 → ~5.4 s across the
       // two steps; sf0.1 unchanged (the fan-out is tiny there).
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // argmin carrier: min over a (h, doc_id) STRUCT — field-ordered
+      // comparison IS the oracle's ROW_NUMBER ... ORDER BY h, doc_id, for
+      // ANY doc_id sign (the round-15 packed string `h ++ lpad(doc_id)`
+      // was lexicographic == numeric only for doc_id >= 0 — true of this
+      // generator but an undeclared contract, VERDICT r15 #9). Same
+      // SortAggregate class either way (neither a string nor a struct min
+      // buffer is mutable-fixed-width); measured within noise at sf1.
       val neg = probes.repartition(nPart, col("a"), col("j"))
         .join(broadcast(pool), "bucket")
         .filter(col("doc_id") =!= col("a"))
@@ -534,10 +549,8 @@ object DedupQueries {
           lit(":"), col("j").cast("string"), lit(":"),
           col("doc_id").cast("string"))))
         .groupBy(col("a"), col("j"))
-        .agg(min(concat(col("h"),
-          lpad(col("doc_id").cast("string"), 20, "0"))).as("mk"))
-        .select(col("a"),
-          expr("cast(substring(mk, 33) as bigint)").as("doc_id"))
+        .agg(min(struct(col("h"), col("doc_id"))).as("mk"))
+        .select(col("a"), col("mk.doc_id").as("doc_id"))
         .select(least(col("a"), col("doc_id")).as("doc_a"),
           greatest(col("a"), col("doc_id")).as("doc_b"))
         .distinct()

@@ -504,22 +504,6 @@ object SimilarityQueries {
       cut: Option[Boolean] = None): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val pl = if (planes > 0) planes else autoPlanes(embCount(s, dir))
-      // Lineage-cut gate (round 15): materializing `pairs`/`edges` to
-      // session-temp parquet trades ~2 fixed write/read round-trips for
-      // NOT re-evaluating the LSH chain 2-4x (no ReuseExchange across the
-      // union / reverse-join subtrees). The chain's duplicate cost grows
-      // with corpus size while the round-trip is ~fixed — A/B crossover
-      // measured between 20k vectors (sim_knn_graph 4.0 -> 5.1 s warm at
-      // sf1: cut loses) and 200k (14.1 -> 12.6 s at sf10: cut wins), so
-      // the default follows the corpus count, like autoPlanes. Callers
-      // that re-reference the edge list beyond the internal two reads
-      // (sim_label_audit: vote + degree subtrees — cut wins already at
-      // 20k, 5.7 -> 4.2 s) force it on. Env-overridable for scale
-      // experiments.
-      val doCut = cut.getOrElse(embCount(s, dir) >=
-        sys.env.getOrElse("SPARK_GRAFT_GRAPH_CUT_MIN", "100000").toLong)
-      def maybeCut(df: DataFrame): DataFrame =
-        if (doCut) DedupQueries.materialize(s, df) else df
       val sigs = load(s, dir, "embeddings")
         .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
           posexplode(expr(s"lsh_buckets(embedding, $tables, $pl)"))
@@ -538,35 +522,55 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"))
         .filter(col("n").between(2, cap))
         .select(col("table_id"), col("bucket"))
-      // `pairs` feeds the union's TWO branches and `edges` its own
-      // reverse join — DataFrame subtrees never ReuseExchange (AQE's
-      // stage reuse fired only partially: executed sim_knn_graph ran 8
-      // shuffles / 4 corpus scans, the LSH chain 2-4x per evaluation;
-      // sim_label_audit's initial plan held 18 scans). Under the gate
-      // above, each frame is evaluated ONCE into a session-temp parquet
-      // (AQE-planned, distributed — both frames grow with the corpus, so
-      // neither localCheckpoint's no-AQE path nor a collect fits).
-      val pairs = maybeCut(
-        sigs.join(good, Seq("table_id", "bucket"))
-          .groupBy(col("table_id"), col("bucket"))
-          .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
-          .select(explode(expr("struct_pairs(vs)")).as("p"))
-          .select(col("p.a.vec_id").as("va"), col("p.b.vec_id").as("vb"),
-            round(expr("vec_dot(p.a.ne, p.b.ne)"), 6).as("cos"))
-          .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos")))
-      val sym = pairs.unionByName(pairs.select(col("vb").as("va"),
-        col("va").as("vb"), col("cos")))
+      // Round-16 single-pass symmetrization (VERDICT r15 #6). The old
+      // form referenced `pairs` twice (the symmetrizing union) and
+      // `edges` twice (the mutuality reverse join) — DataFrame subtrees
+      // never ReuseExchange, so below round-15's 100k-vector materialize
+      // gate the LSH chain re-evaluated up to 4x, and above it the cut
+      // paid two parquet round-trips. Both double-references are gone:
+      //   (a) each unordered bucket pair emits BOTH directed edges at the
+      //       explode (inline over the 2-array of orientations — codegen,
+      //       one vec_dot per unordered pair, mirrored exactly:
+      //       multiplication commutes so vec_dot(a,b) == vec_dot(b,a));
+      //   (b) one explicit hashpartitioning(va) serves the (va, vb)
+      //       cross-table max AND the top-k window (guide §2.4 — the
+      //       q20/span_detect subset-key pattern);
+      //   (c) mutuality is a pair-keyed count instead of a self-join:
+      //       the two directed survivors of an unordered pair meet in ONE
+      //       (least, greatest) group — 2 rows — and size(es) == 2 is
+      //       exactly "the reverse edge also ranked <= k".
+      // The chain now evaluates ONCE at every corpus size: no gate, no
+      // temp-parquet round-trips, 3 exchanges total. Values are
+      // unchanged: same per-direction (va, vb, max cos) rows, same
+      // row_number ordering (cos desc, vb), same mutual predicate.
+      // Multi-consumer callers (sim_label_audit reads the RESULT twice)
+      // still materialize the finished edge list via cut = Some(true).
+      val sym = sigs.join(good, Seq("table_id", "bucket"))
+        .groupBy(col("table_id"), col("bucket"))
+        .agg(expr("sort_array(collect_list(struct(vec_id, ne)))").as("vs"))
+        .select(explode(expr("struct_pairs(vs)")).as("p"))
+        .select(col("p.a.vec_id").as("a"), col("p.b.vec_id").as("b"),
+          round(expr("vec_dot(p.a.ne, p.b.ne)"), 6).as("c"))
+        .select(expr("inline(array(struct(a as va, b as vb, c as cos), " +
+          "struct(b as va, a as vb, c as cos)))"))
+        .repartition(col("va"))
+        .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos"))
       val w = Window.partitionBy(col("va"))
         .orderBy(col("cos").desc, col("vb"))
-      val edges = maybeCut(
-        sym.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= k)
-          .select(col("va"), col("vb"), col("cos"), col("rank")))
-      val rev = edges.select(col("vb").as("va"), col("va").as("vb"),
-        lit(true).as("m"))
-      edges.join(rev, Seq("va", "vb"), "left")
-        .select(col("va").as("vec_id"), col("rank"), col("vb").as("nid"),
-          col("cos"), coalesce(col("m"), lit(false)).as("mutual"))
+      val edges = sym
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+      val out = edges
+        .groupBy(least(col("va"), col("vb")).as("lo"),
+          greatest(col("va"), col("vb")).as("hi"))
+        .agg(collect_list(struct(col("va"), col("vb"), col("cos"),
+          col("rank"))).as("es"))
+        .select(explode(col("es")).as("e"), (size(col("es")) === 2).as("mutual"))
+        .select(col("e.va").as("vec_id"), col("e.rank").as("rank"),
+          col("e.vb").as("nid"), col("e.cos").as("cos"), col("mutual"))
+      // The single-pass chain needs no internal cut; callers that consume
+      // the finished edge list more than once still ask for one.
+      if (cut.contains(true)) DedupQueries.materialize(s, out) else out
   }
 
   // DuckDB-side cosine with the same double math; DuckDB 1.0 lacks indexed

@@ -619,21 +619,36 @@ object TextQueries {
     // fully original; 0.0 = every shingle is shared (boilerplate or a
     // near-dup). Exact integers + one final IEEE division; docs too short
     // for a trigram surface with NULL novelty rather than silently
-    // dropping. Scale: one shingle-keyed exchange (explode distinct
-    // shingles → df groupBy → join back), the same cost class as
-    // text_doc_freq — no candidate blow-up since df is a count, never a
-    // pair list.
+    // dropping.
+    //
+    // Round-16 shape (guide §2.3/§2.4): the old plan joined the shingle
+    // stream back to its own df table — THREE corpus scans (sh replayed
+    // for the join; no ReuseExchange across differently-projected
+    // subtrees) and two gram-keyed exchanges of raw (doc_id, g) rows.
+    // Both halves of the output are recoverable without the join-back:
+    // n_shingles is ROW-LOCAL (size of the distinct-gram array — exactly
+    // what the explode counted per doc), and a novel gram (df = 1) lives
+    // in exactly ONE document, so min(doc_id) riding the df aggregation
+    // IS that document. One scan + explode, one gram exchange carrying
+    // partially-aggregated (g, cnt, min_doc) rows instead of raw pairs,
+    // then a doc-keyed count over novel grams only. Identical integers:
+    // count-per-doc of exploded distinct grams == size of the distinct
+    // array (0-gram docs: empty explode == size 0), and the df=1 group's
+    // min(doc_id) is its only member.
     "text_ngram_novelty" -> ((s, dir) => {
       val docs = load(s, dir, "documents")
-      val sh = docs.select(col("doc_id"),
-        explode(expr(s"array_distinct(word_ngrams($toks, 3))")).as("g"))
-      val df = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val nov = sh.join(df, "g").groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
-      docs.select(col("doc_id")).join(nov, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+      val novel = docs.select(col("doc_id"),
+          explode(expr(s"array_distinct(word_ngrams($toks, 3))")).as("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d"))
+        .filter(col("df") === 1)
+        .groupBy(col("d").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      docs.select(col("doc_id"),
+          expr(s"cast(size(array_distinct(word_ngrams($toks, 3))) as bigint)")
+            .as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty",
           when(col("n_shingles") > 0,

@@ -99,4 +99,17 @@ class ClassifierSpec extends SparkSuite {
     }
     assert(chunks.nonEmpty)
   }
+
+  test("vocab-sized weight broadcast is loudly fenced (round-15 VERDICT " +
+      "#5): over-bound vocabularies refuse with the shuffled-join hint") {
+    ClassifierQueries.requireVocabBroadcastable(1L)
+    ClassifierQueries.requireVocabBroadcastable(
+      ClassifierQueries.VocabBroadcastMaxRows)
+    val e = intercept[IllegalArgumentException] {
+      ClassifierQueries.requireVocabBroadcastable(
+        ClassifierQueries.VocabBroadcastMaxRows + 1)
+    }
+    assert(e.getMessage.contains("broadcast fence"), e.getMessage)
+    assert(e.getMessage.contains("shuffled token join"), e.getMessage)
+  }
 }

@@ -127,6 +127,37 @@ object HashProperties extends Properties("graft.hashes") {
       w1 == w2 && w1.subsetOf(all) && w1.nonEmpty
     }
 
+  /** Naive Schleimer et al. reference: full FNV per position, full min
+    * rescan per window, SortedSet dedup — the round-15 kernel verbatim.
+    * Pins the round-16 amortized sliding-min + primitive-buffer rewrite
+    * to the exact sorted-distinct value set at arbitrary (k, w).
+    */
+  private def winnowRef(s: String, k: Int, w: Int): Seq[Long] = {
+    val bytes = s.getBytes("UTF-8")
+    val m = bytes.length - k + 1
+    if (m <= 0) return Seq.empty
+    val hashes = (0 until m).map { i =>
+      var h = TextHashImpl.Offset
+      (0 until k).foreach { j =>
+        h ^= (bytes(i + j) & 0xffL); h *= TextHashImpl.Prime
+      }
+      h
+    }
+    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    if (m <= w) picked += hashes.min
+    else (0 to m - w).foreach(i => picked += hashes.slice(i, i + w).min)
+    picked.toSeq
+  }
+
+  property("winnow == the naive reference (exact sorted distinct window " +
+      "minima) at arbitrary k and w") =
+    forAll(Gen.asciiPrintableStr, Gen.chooseNum(1, 12), Gen.chooseNum(1, 9)) {
+      (s, k, w) =>
+        val got = TextHashImpl.winnow(utf8(s), k, w).toLongArray().toSeq
+        val want = winnowRef(s, k, w)
+        Prop(got == want) :| s"k=$k w=$w got=$got want=$want"
+    }
+
   private val tokenList: Gen[List[String]] =
     Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.identifier.map(_.take(8))))
