@@ -114,7 +114,10 @@ object ClassifierQueries {
     */
   private def wideScores(s: SparkSession, dir: String)
       : (DataFrame, Seq[(String, Long, Long)]) = {
-    val docs = load(s, dir, "documents")
+    // spread (round-16, guide §2.5): the train-count and test-score
+    // explodes otherwise run inside the single-row-group scan as ONE
+    // task each.
+    val docs = spread(load(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), col("lang"), expr(toks).as("tokens"))
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val test = docs.filter(col("doc_id") % 5 === 0)

@@ -141,7 +141,12 @@ object CurationQueries {
     // column (non-q docs have k = false ⇒ c = false regardless). This
     // cuts the query's dominant stage (the gram explode + broadcast
     // probe) to the quality-survivor fraction of the corpus.
-    val contaminated = corpus.filter(quality)
+    // spread BEFORE the gram explode (round-16, guide §2.5 — the
+    // decontam_overlap finding): the single-row-group documents scan ran
+    // the explode + broadcast probe + partial count as ONE task. doc_id
+    // prefixes the count's grouping keys, so the one exchange also
+    // completes the (doc_id, eval_doc_id) aggregation in-stage.
+    val contaminated = spread(corpus.filter(quality), col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(word_ngrams($toks, 4))")).as("gram"))
       .join(broadcast(evalGrams), "gram")
@@ -173,7 +178,9 @@ object CurationQueries {
     // INSTANCE — at 100 TB that shuffle is the whole corpus re-keyed,
     // for stats each row already contains. (A/B at sf10: 15.8 s → 2.1 s.)
     "text_repetition" -> ((s, dir) =>
-      load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           expr(s"size($toks)").cast("bigint").as("n_words"),
           expr(s"size(array_distinct($toks))").cast("bigint")
@@ -199,7 +206,9 @@ object CurationQueries {
     // shape as text_repetition: every rule is a per-row function of the
     // token array; the corpus never leaves its scan partition.
     "curation_gopher_filter" -> ((s, dir) =>
-      gopherAnnotate(load(s, dir, "documents"))
+      // spread (round-16, guide §2.5): the gopher per-doc features
+      // otherwise run inside the single-row-group scan as ONE task.
+      gopherAnnotate(spread(load(s, dir, "documents"), col("doc_id")))
         .select(col("doc_id"), col("n_words"), col("n_stop"), col("top_cnt"),
           col("reasons"), col("pass"))
         .orderBy(col("doc_id"))),
@@ -212,7 +221,9 @@ object CurationQueries {
     // ≤64-doc cap bounds the hottest window (boilerplate) exactly like
     // the near-dup candidate caps.
     "dedup_window_pairs" -> ((s, dir) =>
-      load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           explode(expr("char_windows(text, 64, 32)")).as("win"))
         .groupBy(col("win"))
@@ -243,7 +254,17 @@ object CurationQueries {
       val docs = load(s, dir, "documents")
       val evalGrams = grams(docs.filter(col("doc_id") % 37 === 0))
         .withColumnRenamed("doc_id", "eval_doc_id")
-      grams(docs.filter(col("doc_id") % 37 =!= 0))
+      // spread BEFORE the gram explode (round-16, guide §2.5): the
+      // single-row-group scan ran the whole explode + broadcast probe +
+      // partial count — ~55 of the query's ~60 s at sf10 — as ONE task.
+      // Keying by doc_id both parallelizes that stage and (doc_id
+      // prefixes the grouping, and Generate/BroadcastHashJoin preserve
+      // the child partitioning) makes the (doc_id, eval_doc_id) count
+      // complete WITHOUT its own exchange: the ~100M matched rows at
+      // sf10 collapse to pair counts in the same stage, and only the
+      // 21.8M result rows reach the final sort. sf10: 63-76 -> 5.1 s.
+      spread(docs.filter(col("doc_id") % 37 =!= 0), col("doc_id"))
+        .transform(grams)
         .join(broadcast(evalGrams), "gram")
         .groupBy(col("doc_id"), col("eval_doc_id"))
         .agg(count(lit(1)).as("n_shared"))
@@ -340,7 +361,9 @@ object CurationQueries {
     // HOF math — zero exchanges; summary stats (sum/min/max/#saturated)
     // verify the elementwise kernel without emitting arrays.
     "sim_quantize_int8" -> ((s, dir) =>
-      load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "embeddings"), col("vec_id"))
         .withColumn("amax", expr(
           "array_max(transform(embedding, x -> abs(cast(x as double))))"))
         .withColumn("q", expr(
@@ -409,7 +432,9 @@ object CurationQueries {
       val passLang = col("lang").isin("en", "de", "fr", "es")
       def cnt(c: org.apache.spark.sql.Column) =
         sum(when(c, 1L).otherwise(0L))
-      load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "documents"), col("doc_id"))
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
           cnt(passLen).as("pass_len"),
@@ -435,7 +460,9 @@ object CurationQueries {
     // on a 1024-key space), the quantized ratio table is KB-sized so AQE
     // broadcasts the scoring join, and the doc-side pass is a narrow map.
     "curation_dsir_weights" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      val docs = spread(load(s, dir, "documents"), col("doc_id"))
       val bg = docs.select(col("doc_id"), col("lang"),
         explode(expr(s"transform(word_ngrams($toks, 2), " +
           s"g -> pmod(fnv64(g), ${DsirBuckets}L))")).as("b"))

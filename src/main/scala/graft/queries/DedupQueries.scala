@@ -203,7 +203,9 @@ object DedupQueries {
     // the index at all). The oracle is the BRUTE-FORCE pair set — the
     // gate proves losslessness, not just self-consistency.
     "dedup_prefix_pairs" -> ((s, dir) => {
-      val ex = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-doc shingle hashing otherwise
+      // runs inside the single-row-group scan as ONE task.
+      val ex = spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           explode(expr(s"shingle_hashes($toks, 3)")).as("s"))
       val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -334,7 +336,9 @@ object DedupQueries {
       // old plan exchanged the partially-aggregated stream twice.
       // Partial agg gave back little here (8-token spans are ~unique
       // within a doc), so the raw-row exchange carries ~the same bytes.
-      load(s, dir, "documents")
+      // spread (round-16, guide §2.5): the single-row-group scan
+      // otherwise runs the whole word_ngrams explode as ONE task.
+      spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           posexplode(expr(s"word_ngrams($toks, $SpanLen)"))
             .as(Seq("p", "gram")))
@@ -375,7 +379,12 @@ object DedupQueries {
     // and duplicates are immaterial: cov array_distincts and array_except
     // is membership-only, so the flatten needs no sort/dedup.
     "dedup_span_removal" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
+      // Both docs references are spread (round-16, guide §2.5): the gram
+      // side's explode and the output side's tokenize + array_except
+      // kept-token pass each otherwise run inside the single-row-group
+      // scan as ONE task. doc_id keying means the output side's exchange
+      // doubles as the join distribution if the planner merge-joins.
+      val docs = spread(load(s, dir, "documents"), col("doc_id"))
       val grams = docs.select(col("doc_id"),
         posexplode(expr(s"word_ngrams($toks, $SpanLen)"))
           .as(Seq("p", "gram")))
@@ -569,7 +578,9 @@ object DedupQueries {
     // TextHashesSpec/DedupSimilaritySpec. Same ≤64-doc bucket cap as
     // every candidate generator.
     "dedup_cdc_chunks" -> ((s, dir) =>
-      load(s, dir, "documents")
+      // spread (round-16, guide §2.5): the Gear rolling hash per doc
+      // otherwise runs inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), explode(expr("cdc_chunks(text, 5)")).as("ch"))
         .groupBy(col("ch"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -603,7 +614,9 @@ object DedupQueries {
       // (which promoted this query to bit-exact). The exchange carries 32
       // key bytes instead of 8; at any SF the band shuffle is dwarfed by
       // the signature payload it already carries.
-      val bands = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): the 32-permutation MinHash per
+      // doc otherwise runs inside the single-row-group scan as ONE task.
+      val bands = spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), expr(s"minhash_ngrams($toks, 3, 32)").as("sig"))
         .select(col("doc_id"), col("sig"),
           posexplode(expr(
@@ -639,7 +652,9 @@ object DedupQueries {
       import graft.operators.IncrementalDedup
       val isDelta = conv(substring(md5(concat(lit("delta:"),
         col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int") < 26
-      val docs = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): both index builds' shingle
+      // passes otherwise run inside the single-row-group scan as ONE task.
+      val docs = spread(load(s, dir, "documents"), col("doc_id"))
       IncrementalDedup.probe(
           IncrementalDedup.buildIndex(docs.filter(!isDelta)),
           IncrementalDedup.buildIndex(docs.filter(isDelta)),
@@ -669,7 +684,9 @@ object DedupQueries {
     // pinned by DedupSimilaritySpec.
     "dedup_embedding_near" -> ((s, dir) => {
       val pl = lshPlanes(s, dir)
-      val b = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): embeddings also ship as one row
+      // group; the LSH signature pass otherwise runs as ONE task.
+      val b = spread(load(s, dir, "embeddings"), col("vec_id"))
         // native codegen'd LSH signatures (graft.functions.LshBuckets) on
         // the RAW embedding — the form the oracle replays. Bucketing the
         // normalized vector was equivalent under the old double-sum
@@ -740,7 +757,8 @@ object DedupQueries {
     // and the transitive closure all replay in ANSI SQL.
     "dedup_semantic_survivors" -> ((s, dir) => {
       val pl = lshPlanes(s, dir)
-      val emb = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): single-row-group embeddings.
+      val emb = spread(load(s, dir, "embeddings"), col("vec_id"))
       val b = emb.select(col("vec_id"), col("label"), col("embedding"),
         posexplode(expr(s"lsh_buckets(embedding, $LshTables, $pl)"))
           .as(Seq("table_id", "bucket")))
@@ -789,7 +807,10 @@ object DedupQueries {
     // CapDrops' listener on every action and pinned in CapDropsSpec.
     "dedup_winnow_pairs" -> ((s, dir) => {
       CapDrops.ensureListener(s)
-      val fp = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): the winnow kernel — O(len·k)
+      // rolling hashes per document — otherwise runs inside the
+      // single-row-group scan as ONE task.
+      val fp = spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           explode(expr(s"winnow_fingerprint(text, $WinnowK, $WinnowW)"))
             .as("f"))
@@ -819,7 +840,8 @@ object DedupQueries {
     // dedup_winnow_pairs is legitimately 0-row there), DuckDB-replayed
     // bit-exactly at every gate SF.
     "dedup_winnow_dropped" -> ((s, dir) =>
-      load(s, dir, "documents")
+      // spread: same serial-scan fix as dedup_winnow_pairs above.
+      spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           explode(expr(s"winnow_fingerprint(text, $WinnowK, $WinnowW)"))
             .as("f"))
@@ -839,7 +861,9 @@ object DedupQueries {
     // exploded quadratically; its pairs are recovered by the other 3
     // bands. Bit-exact oracle; recall pinned in DedupSimilaritySpec.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val bands = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): the per-doc SimHash otherwise
+      // runs inside the single-row-group scan as ONE task.
+      val bands = spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), expr(s"simhash64($toks)").as("sh"))
         .select(col("doc_id"), col("sh"),
           posexplode(expr(
@@ -874,7 +898,9 @@ object DedupQueries {
     // the per-doc reassembly of (k, ptext) segment rows — never exploded
     // tokens, never a global sort before the output ORDER BY.
     "dedup_paragraphs" -> ((s, dir) => {
-      val paras = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): the per-doc segmentation explode
+      // otherwise runs inside the single-row-group scan as ONE task.
+      val paras = spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), expr(toks).as("t"))
         .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
           posexplode(expr(
@@ -934,7 +960,10 @@ object DedupQueries {
     * one scale argument).
     */
   private def pairStats(s: SparkSession, dir: String): DataFrame = {
-    val ex = load(s, dir, "documents")
+    // spread (round-16, guide §2.5): shingle_hashes per doc otherwise
+    // runs inside the single-row-group scan as ONE task — and this
+    // subtree replays per consumer (pairs + both size joins).
+    val ex = spread(load(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"shingle_hashes($toks, 3)")).as("s"))
     val buckets = ex.groupBy(col("s"))

@@ -56,7 +56,9 @@ object RankMixQueries {
     // it per-partition-pruned), the output sort. Same tf/df/N integers,
     // same round(tf·ln(N/df), 6) expression ⇒ bit-identical rows.
     "text_tfidf_topk" -> ((s, dir) => {
-      val docs = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      val docs = spread(load(s, dir, "documents"), col("doc_id"))
       val n = docs.agg(count(lit(1)).as("n"))
       val tf = docs
         .select(col("doc_id"), explode(expr(s"token_counts($toks)")).as("e"))
@@ -83,7 +85,9 @@ object RankMixQueries {
     // top-20 documents. Per-doc term counts are a narrow map; the only
     // exchanges are the 1-row stats broadcast and the final top-k.
     "text_bm25" -> ((s, dir) => {
-      val base = load(s, dir, "documents").select(
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      val base = spread(load(s, dir, "documents"), col("doc_id")).select(
         col("doc_id"),
         expr(s"cast(size($toks) as bigint)").as("dl"),
         expr(s"cast(size(filter($toks, t -> t = 'spark')) as bigint)")
@@ -119,7 +123,9 @@ object RankMixQueries {
     "sample_stratified" -> ((s, dir) => {
       val rn = row_number().over(Window.partitionBy(col("lang"))
         .orderBy(col("h"), col("doc_id")))
-      load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("lang"), col("doc_id"), md5(col("text")).as("h"))
         .withColumn("rn", rn).filter(col("rn") <= 10)
         .select(col("lang"), col("doc_id"), col("rn").cast("bigint").as("rn"),
@@ -143,7 +149,9 @@ object RankMixQueries {
     // DISTINCT for approx_count_distinct — RankMixSpec pins the HLL
     // estimate within 5% of this exact answer.)
     "mix_vocab_by_source" -> ((s, dir) =>
-      load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("source"), col("doc_id"),
           explode(expr(toks)).as("token"))
         .groupBy(col("source")).agg(
@@ -278,7 +286,9 @@ object RankMixQueries {
     // marginal is a re-agg of the count table, the per-source totals are
     // #sources rows broadcast back, and the final agg is #sources rows.
     "mix_source_kl" -> ((s, dir) => {
-      val cst = load(s, dir, "documents")
+      // spread (round-16, guide §2.5): per-row work otherwise runs
+      // inside the single-row-group scan as ONE task.
+      val cst = spread(load(s, dir, "documents"), col("doc_id"))
         .select(col("source"), explode(expr(toks)).as("token"))
         .groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("c_st"))

@@ -152,7 +152,11 @@ object SimilarityQueries {
       val emb = load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      // spread the corpus side only (round-16, guide §2.5): the per-row
+      // cosine against every broadcast query otherwise runs inside the
+      // single-row-group scan as ONE task; q is NQueries rows.
+      val c = spread(emb, col("vec_id"))
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"))
       val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
         .withColumn("cos", round(expr(cosExpr("qe", "ne")), 6))
       val w = Window.partitionBy(col("qid"))
@@ -175,7 +179,8 @@ object SimilarityQueries {
       val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("label").as("qlabel"))
-      val c = emb.select(col("vec_id").as("nid"),
+      // spread the corpus side only (round-16, guide §2.5).
+      val c = spread(emb, col("vec_id")).select(col("vec_id").as("nid"),
         col("embedding").as("ne"), col("label"))
       val scored = c.join(broadcast(q),
           col("qid") =!= col("nid") && col("label") === col("qlabel"))
@@ -195,7 +200,9 @@ object SimilarityQueries {
     // every downstream cosine starts from identical inputs; the exploded
     // (label, dim) join is a 640-row broadcast.
     "sim_cluster_quality" -> ((s, dir) => {
-      val d = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row vector work otherwise
+      // runs inside the single-row-group scan as ONE task.
+      val d = spread(load(s, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("dim", "xf")))
         .withColumn("x", col("xf").cast("double"))
@@ -224,7 +231,9 @@ object SimilarityQueries {
     // IVF coarse quantizer: per-label centroid, one row per (label, dim).
     // Single scan + posexplode + partial agg on (label, dim) — 640 groups.
     "sim_centroids" -> ((s, dir) =>
-      load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row vector work otherwise
+      // runs inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "embeddings"), col("vec_id"))
         .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
         .groupBy(col("label").cast("long").as("label"),
           (col("p") + 1).cast("long").as("d"))
@@ -240,7 +249,9 @@ object SimilarityQueries {
     // (interpreted lambdas), the native loop is whole-stage codegen —
     // A/B-measured 30× faster at sf0.1, bit-identical output. Zero shuffle.
     "sim_lsh_buckets" -> ((s, dir) =>
-      load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row vector work otherwise
+      // runs inside the single-row-group scan as ONE task.
+      spread(load(s, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id"),
           expr("element_at(lsh_buckets(embedding, 1, 16), 1)").as("bucket"))
         .orderBy(col("vec_id"))),
@@ -262,7 +273,9 @@ object SimilarityQueries {
     // so the whole dataflow replays in DuckDB; recall additionally
     // pinned by DedupSimilaritySpec.
     "sim_knn_ivf" -> ((s, dir) => {
-      val emb = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row vector work otherwise
+      // runs inside the single-row-group scan as ONE task.
+      val emb = spread(load(s, dir, "embeddings"), col("vec_id"))
       val cents = ivfCentroids(emb)
       ivfRerank(ivfAssign(emb, cents), ivfProbes(emb, cents, nprobe = 3))
     }),
@@ -278,7 +291,9 @@ object SimilarityQueries {
     // micro-units) replays as unrolled MATERIALIZED CTEs; ADC-recall
     // additionally pinned in DedupSimilaritySpec.
     "sim_pq_codes" -> ((s, dir) => {
-      val emb = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row vector work otherwise
+      // runs inside the single-row-group scan as ONE task.
+      val emb = spread(load(s, dir, "embeddings"), col("vec_id"))
       val slices = (0 until 4).map(sub =>
         expr(s"slice(embedding, ${sub * 16 + 1}, 16)"))
       // all 4 sub-codebooks train in the SAME Lloyd passes over one
@@ -303,7 +318,9 @@ object SimilarityQueries {
     // seeding, Lloyd passes, probes and re-rank replay in DuckDB);
     // recall@5 vs brute force additionally pinned in DedupSimilaritySpec.
     "sim_knn_ivf_trained" -> ((s, dir) => {
-      val emb = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row vector work otherwise
+      // runs inside the single-row-group scan as ONE task.
+      val emb = spread(load(s, dir, "embeddings"), col("vec_id"))
       val cents = graft.operators.KMeans.fit(
         emb, "vec_id", "embedding", k = 8, iters = 3)
       ivfRerank(ivfAssign(emb, cents), ivfProbes(emb, cents, nprobe = 3))
@@ -326,11 +343,16 @@ object SimilarityQueries {
     // Per-step self-consistency, separation monotonicity and determinism
     // additionally pinned by CoresetSpec.
     "sim_diverse_coreset" -> ((s, dir) =>
+      // spread (round-16, guide §2.5): the quantized distance folds
+      // otherwise run inside the single-row-group scan as ONE task.
       graft.operators.Coreset.farthestPoint(
-        load(s, dir, "embeddings"), "vec_id", "embedding", k = CoresetK)),
+        spread(load(s, dir, "embeddings"), col("vec_id")),
+        "vec_id", "embedding", k = CoresetK)),
 
     "sim_kmeans_cells" -> ((s, dir) => {
-      val emb = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row vector work otherwise
+      // runs inside the single-row-group scan as ONE task.
+      val emb = spread(load(s, dir, "embeddings"), col("vec_id"))
       val model = graft.operators.KMeans.fit(
         emb, "vec_id", "embedding", k = 8, iters = 3)
       graft.operators.KMeans.assign(emb, "embedding", model)
@@ -346,7 +368,9 @@ object SimilarityQueries {
     // sim_knn_brute is pinned by a ScalaTest.
     "sim_knn_lsh" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): per-row vector work otherwise
+      // runs inside the single-row-group scan as ONE task.
+      val emb = spread(load(s, dir, "embeddings"), col("vec_id"))
       // plane p = t·6+j — the native expression's indexing, so these
       // buckets are bit-identical to the previous HOF formulation
       val sigs = emb.select(col("vec_id"), col("embedding"),
@@ -504,7 +528,10 @@ object SimilarityQueries {
       cut: Option[Boolean] = None): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val pl = if (planes > 0) planes else autoPlanes(embCount(s, dir))
-      val sigs = load(s, dir, "embeddings")
+      // spread (round-16, guide §2.5): normalize + LSH per vector
+      // otherwise run inside the single-row-group scan as ONE task (and
+      // this subtree evaluates twice: bucket census + candidate join).
+      val sigs = spread(load(s, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id"), expr("vec_normalize(embedding)").as("ne"),
           posexplode(expr(s"lsh_buckets(embedding, $tables, $pl)"))
             .as(Seq("table_id", "bucket")))

@@ -48,6 +48,26 @@ object Tables {
     graft.operators.EventsCdc.normalizeTs(
       spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Spread a deficiently-split scan across the session's shuffle
+    * parallelism BEFORE heavy row-local work (guide §2.5, "input skew:
+    * one huge unsplittable file — repartition immediately after the
+    * read"). The testdata tables ship as single-row-group parquet files
+    * at every SF (sf10 documents: 500k rows / 58 MB / ONE row group) and
+    * a parquet scan cannot split inside a row group, so every
+    * explode/kernel/probe that precedes the first exchange otherwise
+    * runs as ONE task regardless of core count — measured round 16:
+    * decontam_overlap spent ~55 of its 60 s at sf10 in that serial scan
+    * stage. Used only on paths whose per-row work dominates the moved
+    * bytes (the id-keyed text/vector rows are tiny next to the explode
+    * fan-out they feed). Keyed repartition: a unique id spreads evenly
+    * and deterministically, skips round-robin's sort-before-repartition,
+    * and — when the key prefixes the downstream grouping — the one
+    * exchange also satisfies the aggregation (the q20/span_detect subset
+    * pattern). Partition count comes from spark.sql.shuffle.partitions
+    * (scale-configured, never a local constant).
+    */
+  def spread(df: DataFrame, key: Column): DataFrame = df.repartition(key)
+
   /** Exact money sum: SUM(CAST(x AS DECIMAL(18,2))) rounded to 2, as double. */
   def moneySum(c: Column): Column =
     round(sum(c.cast(DecimalType(18, 2))), 2).cast("double")
